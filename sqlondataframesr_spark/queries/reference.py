@@ -1,0 +1,430 @@
+"""The reference's six query shapes, transposed onto the synthetic
+star schema (transposition map: FIXTURES.md §C).
+
+Each task keeps the exact operator shape of its original
+(`/root/reference/RDataFramesSQL.Rmd`) — filter/aggregate/join/argmax/
+top-k/semi-join structure — re-targeted at the driver's TPC-H-ish
+tables. Every query exists in two forms that must agree (N-version
+discipline, Rmd:40-53): the fluent DataFrame build here and the
+Spark-SQL text in ``SPARK_SQL``; the DuckDB oracle in ``ORACLES`` is
+the external ground truth.
+
+Determinism policy (SURVEY.md §7 "What's hard"): SQLite's bare-column
+argmax (Rmd:77-81, 176-180, 400-404) returns *an arbitrary* max row on
+ties; we instead fix a total order everywhere — rank by the measure
+descending, then by the group's natural key ascending — so all three
+engines agree row-for-row.
+
+Float policy: values produced by order-sensitive float reductions
+(SUM over doubles) are rounded to 2 decimals in BOTH engines; values
+that are exact selections (MAX, single subtraction of stored doubles)
+are left untouched — they're bit-identical across engines.
+
+Scale notes are inline per query; the common ones:
+- aggregates are expressed with groupBy().agg() so Catalyst emits
+  partial (map-side) aggregation before the shuffle;
+- filters and projections sit directly on the scan so they push into
+  parquet (verify with .explain: PushedFilters / ReadSchema);
+- joins of two already-aggregated sides shuffle only the aggregated
+  (small) data, never the raw fact table twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# Task 1 (Rmd:75-81): per-year upvote counts -> argmax order per year.
+# Shape: filter -> count by (key, year(date)) -> join -> argmax per year.
+# ---------------------------------------------------------------------------
+
+def q1_yearly_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each ship-year, the order with the most 'N'-flag lineitems.
+
+    Scale: the count aggregates lineitem down to (order, year) before
+    anything joins; the per-year argmax runs on the *aggregated* rows
+    (one shuffle keyed by yr, already tiny). orders joins the
+    aggregated side on its primary key — a plain shuffle join AQE can
+    turn into broadcast when the aggregated side is small.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    upvotes = (
+        lineitem.filter(F.col("l_returnflag") == "N")  # pushed to scan
+        .select("l_orderkey", F.year("l_shipdate").cast("int").alias("yr"))
+        .groupBy("l_orderkey", "yr")
+        .agg(F.count(F.lit(1)).alias("n_upvotes"))
+    )
+    w = W.partitionBy("yr").orderBy(F.col("n_upvotes").desc(), F.col("l_orderkey").asc())
+    top = (
+        upvotes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        top.join(orders, top.l_orderkey == orders.o_orderkey, "inner")
+        .select(
+            "yr",
+            F.col("o_orderkey"),
+            F.col("o_orderpriority"),
+            F.col("n_upvotes"),
+        )
+        .orderBy("yr")
+    )
+
+
+Q1_ORACLE = """
+WITH upy AS (
+  SELECT l_orderkey, CAST(year(l_shipdate) AS INT) AS yr, COUNT(*) AS n_upvotes
+  FROM lineitem WHERE l_returnflag = 'N'
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT yr, l_orderkey, n_upvotes,
+         ROW_NUMBER() OVER (PARTITION BY yr ORDER BY n_upvotes DESC, l_orderkey ASC) AS rn
+  FROM upy
+)
+SELECT r.yr, o.o_orderkey, o.o_orderpriority, r.n_upvotes
+FROM ranked r JOIN orders o ON o.o_orderkey = r.l_orderkey
+WHERE r.rn = 1
+ORDER BY r.yr
+"""
+
+Q1_SPARK_SQL = """
+WITH upy AS (
+  SELECT l_orderkey, CAST(year(l_shipdate) AS INT) AS yr, COUNT(*) AS n_upvotes
+  FROM lineitem WHERE l_returnflag = 'N'
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT yr, l_orderkey, n_upvotes,
+         ROW_NUMBER() OVER (PARTITION BY yr ORDER BY n_upvotes DESC, l_orderkey ASC) AS rn
+  FROM upy
+)
+SELECT r.yr, o.o_orderkey, o.o_orderpriority, r.n_upvotes
+FROM ranked r JOIN orders o ON o.o_orderkey = r.l_orderkey
+WHERE r.rn = 1
+ORDER BY r.yr
+"""
+
+
+# ---------------------------------------------------------------------------
+# Task 2 (Rmd:176-181): per-user NULL-skipping SUM + MAX + argmax, join
+# users, top-10. The CASE introduces NULLs so the SUM-skips-NULLs path
+# (Rmd:202, 221: na.rm=TRUE vs SQLite SUM) actually fires.
+# ---------------------------------------------------------------------------
+
+def q2_top_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by finished-order spend, with their best order.
+
+    Scale: one groupBy over orders (partial agg map-side), one window
+    over the same grouped key for the argmax, then a key join to
+    customer. Nothing re-reads orders twice thanks to the single-pass
+    agg; customer join is on its primary key (AQE picks broadcast at
+    small SF, sort-merge at 100 TB).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    agg = orders.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
+        ).alias("finished_spend"),
+        F.max("o_totalprice").alias("max_order_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    best = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("best_orderkey"))
+    )
+    return (
+        agg.join(best, "o_custkey")
+        .join(customer, agg.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            "finished_spend",
+            "max_order_price",
+            "n_orders",
+            "best_orderkey",
+        )
+        .orderBy(F.col("finished_spend").desc_nulls_last(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+Q2_ORACLE = """
+WITH agg AS (
+  SELECT o_custkey,
+         ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS finished_spend,
+         MAX(o_totalprice) AS max_order_price,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+), best AS (
+  SELECT o_custkey, o_orderkey AS best_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       a.finished_spend, a.max_order_price, a.n_orders, b.best_orderkey
+FROM agg a
+JOIN best b ON b.o_custkey = a.o_custkey AND b.rn = 1
+JOIN customer c ON c.c_custkey = a.o_custkey
+ORDER BY a.finished_spend DESC NULLS LAST, c.c_custkey ASC
+LIMIT 10
+"""
+
+Q2_SPARK_SQL = Q2_ORACLE  # identical ANSI text parses in both dialects
+
+
+# ---------------------------------------------------------------------------
+# Task 3 (Rmd:289-298): derived count table -> join -> top-10.
+# The smallest complete query; also the flagship entry() query.
+# ---------------------------------------------------------------------------
+
+def q3_top_orders_by_big_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 orders by number of high-quantity lineitems.
+
+    Scale: filter pushes to the parquet scan; count aggregates
+    lineitem to one row per order *before* joining orders, so the join
+    moves (orderkey, count) pairs, not raw lineitems. ORDER BY+LIMIT
+    lowers to TakeOrderedAndProject — no global sort materializes.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    counts = (
+        lineitem.filter(F.col("l_quantity") > 25)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_big_items"))
+    )
+    return (
+        counts.join(orders, counts.l_orderkey == orders.o_orderkey, "inner")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "n_big_items")
+        .orderBy(F.col("n_big_items").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+WITH counts AS (
+  SELECT l_orderkey, COUNT(*) AS n_big_items
+  FROM lineitem WHERE l_quantity > 25
+  GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, c.n_big_items
+FROM counts c JOIN orders o ON o.o_orderkey = c.l_orderkey
+ORDER BY c.n_big_items DESC, o.o_orderkey ASC
+LIMIT 10
+"""
+
+Q3_SPARK_SQL = Q3_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Task 4 (Rmd:396-412): two derived tables -> 3-way self-join -> computed
+# difference -> filter on the computed value (the SQLite alias-in-WHERE,
+# Rmd:411, inlined here per SURVEY §4 rewrite 2) -> full descending sort.
+# ---------------------------------------------------------------------------
+
+def q4_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders where the max lineitem price beats the first lineitem's
+    price by more than 1000, sorted by the spread.
+
+    Scale: both derived tables aggregate/filter lineitem down to one
+    row per order before the 3-way join; the self-join sides share the
+    l_orderkey partitioning so AQE can reuse the exchange. The spread
+    is a single IEEE subtraction of stored doubles — bit-identical
+    across engines, no rounding needed.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    best = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_extendedprice").alias("max_price")
+    )
+    first = lineitem.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey", F.col("l_extendedprice").alias("first_price")
+    )
+    joined = (
+        best.join(first, "l_orderkey")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .withColumn("price_spread", F.col("max_price") - F.col("first_price"))
+    )
+    return (
+        joined.filter(F.col("price_spread") > 1000)  # alias-in-WHERE, inlined
+        .select("o_orderkey", "o_orderpriority", "max_price", "first_price", "price_spread")
+        .orderBy(F.col("price_spread").desc(), F.col("o_orderkey").asc())
+    )
+
+
+Q4_ORACLE = """
+WITH best AS (
+  SELECT l_orderkey, MAX(l_extendedprice) AS max_price
+  FROM lineitem GROUP BY l_orderkey
+), first_item AS (
+  SELECT l_orderkey, l_extendedprice AS first_price
+  FROM lineitem WHERE l_linenumber = 1
+)
+SELECT o.o_orderkey, o.o_orderpriority, b.max_price, f.first_price,
+       b.max_price - f.first_price AS price_spread
+FROM best b
+JOIN first_item f ON f.l_orderkey = b.l_orderkey
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+WHERE b.max_price - f.first_price > 1000
+ORDER BY price_spread DESC, o.o_orderkey ASC
+"""
+
+Q4_SPARK_SQL = Q4_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Task 5 (Rmd:522-532): SUM by (key1, key2) -> composite-key join ->
+# top-10. Two derived aggregates joined on BOTH keys.
+# ---------------------------------------------------------------------------
+
+def q5_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 (user, event_type) pairs by total value, annotated with
+    the max high-value event — a composite-key join of two aggregates.
+
+    Scale: both sides aggregate events first (map-side partial agg),
+    then join on the composite key — identical partitioning
+    expressions on both sides, so the shuffle of one side is reusable
+    and no re-partitioning happens after the join.
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    totals = events.groupBy("user_id", "event_type").agg(
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    big = (
+        events.filter(F.col("value") > 100)
+        .groupBy("user_id", "event_type")
+        .agg(F.max("value").alias("max_big_value"))
+    )
+    return (
+        totals.join(big, ["user_id", "event_type"], "inner")
+        .select("user_id", "event_type", "total_value", "n_events", "max_big_value")
+        .orderBy(
+            F.col("total_value").desc(),
+            F.col("user_id").asc(),
+            F.col("event_type").asc(),
+        )
+        .limit(10)
+    )
+
+
+Q5_ORACLE = """
+WITH totals AS (
+  SELECT user_id, event_type,
+         ROUND(SUM(value), 2) AS total_value, COUNT(*) AS n_events
+  FROM events GROUP BY user_id, event_type
+), big AS (
+  SELECT user_id, event_type, MAX(value) AS max_big_value
+  FROM events WHERE value > 100 GROUP BY user_id, event_type
+)
+SELECT t.user_id, t.event_type, t.total_value, t.n_events, b.max_big_value
+FROM totals t
+JOIN big b ON b.user_id = t.user_id AND b.event_type = t.event_type
+ORDER BY t.total_value DESC, t.user_id ASC, t.event_type ASC
+LIMIT 10
+"""
+
+Q5_SPARK_SQL = Q5_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Task 6 (Rmd:613-627): HAVING-band -> IN-subquery (left-semi join) ->
+# join dimensions -> multi-column DISTINCT. The HAVING band uses AVG so
+# it stays selective at every scale factor (a COUNT band degenerates as
+# rows scale — see SURVEY §7 on scale-dependent constants).
+# ---------------------------------------------------------------------------
+
+def q6_distinct_suppliers_of_qualifying_brands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct suppliers (with nation) shipping parts of brands in a
+    HAVING band, via a left-semi join (the IN-subquery form, Rmd:618).
+
+    Scale: the qualifying-brand set is tiny (<= 25 brands) and the
+    semi-join against part broadcasts it; nation (25 rows, fixed at
+    any SF) is broadcast explicitly. lineitem is filtered by the
+    semi-joined partkeys before touching supplier, and DISTINCT runs
+    on the already-projected narrow columns.
+    """
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    brands = (
+        part.filter(F.col("p_size") < 15)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.avg("p_retailprice").alias("avg_price"))
+        .filter((F.col("cnt") >= 2) & F.col("avg_price").between(905.0, 952.0))
+        .select("p_brand")
+    )
+    qualifying_parts = part.join(F.broadcast(brands), "p_brand", "left_semi")
+    return (
+        lineitem.join(qualifying_parts, lineitem.l_partkey == qualifying_parts.p_partkey, "left_semi")
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+Q6_ORACLE = """
+SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE l.l_partkey IN (
+  SELECT p_partkey FROM part
+  WHERE p_brand IN (
+    SELECT p_brand FROM part WHERE p_size < 15
+    GROUP BY p_brand
+    HAVING COUNT(*) >= 2 AND AVG(p_retailprice) BETWEEN 905.0 AND 952.0
+  )
+)
+ORDER BY s_suppkey
+"""
+
+Q6_SPARK_SQL = Q6_ORACLE
+
+
+QUERIES = {
+    "q1_yearly_top_order": q1_yearly_top_order,
+    "q2_top_customers_by_spend": q2_top_customers_by_spend,
+    "q3_top_orders_by_big_items": q3_top_orders_by_big_items,
+    "q4_price_spread": q4_price_spread,
+    "q5_user_event_totals": q5_user_event_totals,
+    "q6_distinct_suppliers_of_qualifying_brands": q6_distinct_suppliers_of_qualifying_brands,
+}
+
+ORACLES = {
+    "q1_yearly_top_order": Q1_ORACLE,
+    "q2_top_customers_by_spend": Q2_ORACLE,
+    "q3_top_orders_by_big_items": Q3_ORACLE,
+    "q4_price_spread": Q4_ORACLE,
+    "q5_user_event_totals": Q5_ORACLE,
+    "q6_distinct_suppliers_of_qualifying_brands": Q6_ORACLE,
+}
+
+SPARK_SQL = {
+    "q1_yearly_top_order": Q1_SPARK_SQL,
+    "q2_top_customers_by_spend": Q2_SPARK_SQL,
+    "q3_top_orders_by_big_items": Q3_SPARK_SQL,
+    "q4_price_spread": Q4_SPARK_SQL,
+    "q5_user_event_totals": Q5_SPARK_SQL,
+    "q6_distinct_suppliers_of_qualifying_brands": Q6_SPARK_SQL,
+}

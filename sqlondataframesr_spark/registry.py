@@ -1,0 +1,35 @@
+"""Central registry: collects QUERIES / ORACLES / SPARK_SQL from every
+query module. ``__spark_entry__`` re-exports these for the driver."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .queries import reference
+
+_MODULES = [reference]
+
+
+def _collect(attr: str) -> dict:
+    out: dict = {}
+    for mod in _MODULES:
+        entries = getattr(mod, attr, {})
+        dup = set(entries) & set(out)
+        if dup:
+            raise ValueError(f"duplicate query names across modules: {dup}")
+        out.update(entries)
+    return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _collect("QUERIES")
+
+
+def oracles() -> dict[str, str]:
+    return _collect("ORACLES")
+
+
+def spark_sql() -> dict[str, str]:
+    return _collect("SPARK_SQL")

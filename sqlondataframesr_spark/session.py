@@ -1,0 +1,75 @@
+"""SparkSession factory.
+
+Local testing runs on ``local[N]``; the same SQL configs are the ones
+we'd set cluster-side at 100 TB:
+
+- AQE on (runtime re-planning, partition coalescing, skew-join splits)
+  so the physical plan adapts to real statistics instead of estimates.
+- ``spark.sql.shuffle.partitions`` sized to the parallelism at hand —
+  on a 1000-executor cluster this would be (cores * 2..3); locally we
+  match the CPU count so tiny SFs don't fragment into empty tasks
+  (AQE coalescing fixes over-partitioning at runtime either way).
+- Arrow enabled: every pandas interchange (toPandas, applyInPandas,
+  mapInPandas) moves columnar batches instead of pickled rows.
+- Session timezone pinned to UTC so date/hour extraction is
+  deterministic and matches the DuckDB oracle.
+- ``nanosAsLong``: the events table stores TIMESTAMP(NANOS) which the
+  vectorized parquet reader refuses; we read the raw int64 and convert
+  to microsecond timestamps in the catalog layer (DuckDB's own
+  timestamp resolution, so both engines see identical values).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: SQL configs applied to every session this factory builds. All of
+#: them are runtime (non-static) confs, so `configure()` can also
+#: apply them to an externally-created session (e.g. the driver's).
+SQL_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4)
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime SQL confs to an existing session."""
+    for k, v in SQL_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 - conf may be static/unknown on some builds
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "sqlondataframesr-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or cpus
+    driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in SQL_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)
