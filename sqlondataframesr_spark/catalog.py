@@ -43,6 +43,13 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+#: (applicationId, sf_dir, name) -> DataFrame. Caches the *analyzed
+#: relation* (file listing + schema), not data — Spark still scans
+#: parquet lazily per action. Keyed by applicationId so a stopped
+#: session's stale plans are never reused.
+_table_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table, canonicalizing types.
 
@@ -51,6 +58,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     we convert to a microsecond timestamp (exactly what DuckDB stores,
     so differential checks see identical instants).
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _table_cache.get(key)
+    if cached is not None:
+        return cached
     path = f"{sf_dir}/{name}.parquet"
     try:
         df = spark.read.parquet(path)
@@ -63,6 +74,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
         )
+    _table_cache[key] = df
     return df
 
 

@@ -1,0 +1,61 @@
+"""Per-group argmax — the reference's single biggest semantic
+divergence (SURVEY.md §2.3).
+
+SQLite's non-standard "bare column under GROUP BY with MAX" returns
+the non-aggregated columns *from the max row* (RDataFramesSQL.Rmd:
+77-81, 176-180, 400-404); R spells the same thing `which.max` /
+`.SD[which.max(x)]` / `top_n(1)`. Spark rejects the bare-column form,
+so the engine offers two deterministic rewrites (ties broken by the
+ascending tie-break columns, matching `which.max`'s first-match rule
+when the tie-break mirrors input order):
+
+- :func:`argmax_maxby` — ``max_by(col, struct(measure, -tiebreak))``
+  inside a regular groupBy. ONE partial-aggregating shuffle; scales to
+  any group cardinality and any skew (no per-group partition needed).
+  Preferred at 100 TB.
+- :func:`argmax_window` — ``row_number() over (partition by group
+  order by measure desc, tiebreak asc) = 1``. The classic form; keeps
+  whole rows without re-joining, but shuffles ALL rows into per-group
+  partitions — a skewed group lands on one task, so only use it when
+  group cardinality is high relative to the biggest group.
+
+Both are exercised by tests/test_operators.py and must agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def _neg(col: Column) -> Column:
+    """Order-inverting transform so max-of-struct breaks ties by the
+    SMALLEST tie-break value. Numeric only (keys here are numeric)."""
+    return -col
+
+
+def argmax_window(
+    df: DataFrame, group: list[str], measure: str, tiebreak: list[str]
+) -> DataFrame:
+    """All columns of the row with the max ``measure`` per ``group``
+    (ties -> smallest tiebreak values), via row_number window."""
+    w = W.partitionBy(*group).orderBy(
+        F.col(measure).desc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def argmax_maxby(
+    df: DataFrame, group: list[str], measure: str, payload: list[str], tiebreak: str
+) -> DataFrame:
+    """``group`` keys + max ``measure`` + ``payload`` columns taken from
+    the argmax row (ties -> smallest ``tiebreak``), via a single
+    aggregation (map-side partial + one shuffle)."""
+    ord_struct = F.struct(F.col(measure), _neg(F.col(tiebreak)))
+    aggs = [F.max(measure).alias(measure)] + [
+        F.max_by(c, ord_struct).alias(c) for c in payload
+    ]
+    return df.groupBy(*group).agg(*aggs)

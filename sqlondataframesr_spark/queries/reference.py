@@ -44,12 +44,14 @@ from ..catalog import load_table
 def q1_yearly_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each ship-year, the order with the most 'N'-flag lineitems.
 
-    Scale: the count aggregates lineitem down to (order, year) before
-    anything joins; the per-year argmax runs on the *aggregated* rows
-    (one shuffle keyed by yr, already tiny). orders joins the
-    aggregated side on its primary key — a plain shuffle join AQE can
-    turn into broadcast when the aggregated side is small.
+    Scale: the count aggregates lineitem down to (order, year); the
+    per-year argmax is a SECOND aggregation (argmax_maxby), i.e. a
+    partial-aggregating shuffle on yr — NOT a window, whose
+    per-year partitions would serialize onto 7 tasks no matter how
+    big the data. The <=7 argmax rows then broadcast-join orders.
     """
+    from ..operators.argmax import argmax_maxby
+
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
 
@@ -59,14 +61,11 @@ def q1_yearly_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "yr")
         .agg(F.count(F.lit(1)).alias("n_upvotes"))
     )
-    w = W.partitionBy("yr").orderBy(F.col("n_upvotes").desc(), F.col("l_orderkey").asc())
-    top = (
-        upvotes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    top = argmax_maxby(
+        upvotes, ["yr"], "n_upvotes", payload=["l_orderkey"], tiebreak="l_orderkey"
     )
     return (
-        top.join(orders, top.l_orderkey == orders.o_orderkey, "inner")
+        F.broadcast(top).join(orders, top.l_orderkey == orders.o_orderkey, "inner")
         .select(
             "yr",
             F.col("o_orderkey"),
@@ -119,33 +118,33 @@ ORDER BY r.yr
 def q2_top_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 customers by finished-order spend, with their best order.
 
-    Scale: one groupBy over orders (partial agg map-side), one window
-    over the same grouped key for the argmax, then a key join to
-    customer. Nothing re-reads orders twice thanks to the single-pass
-    agg; customer join is on its primary key (AQE picks broadcast at
-    small SF, sort-merge at 100 TB).
+    Scale: ONE shuffle total over orders — sums, max, count and the
+    argmax (max_by) all ride the same partial-aggregating groupBy, so
+    orders is scanned once and never shuffled a second time for a
+    window. The customer join is on its primary key (AQE picks
+    broadcast at small SF, sort-merge at 100 TB).
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
 
+    # Single-pass aggregation: the argmax rides in the same groupBy as
+    # the sums via max_by over a (price, -key) struct — max price, and
+    # the smallest orderkey among ties — instead of a second
+    # window-shuffle + join over orders. The SPARK_SQL form keeps the
+    # window formulation, so the N-version check proves the two
+    # strategies equivalent.
     agg = orders.groupBy("o_custkey").agg(
         F.round(
             F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
         ).alias("finished_spend"),
         F.max("o_totalprice").alias("max_order_price"),
         F.count(F.lit(1)).alias("n_orders"),
-    )
-    w = W.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    best = (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", F.col("o_orderkey").alias("best_orderkey"))
+        F.max_by(
+            "o_orderkey", F.struct(F.col("o_totalprice"), -F.col("o_orderkey"))
+        ).alias("best_orderkey"),
     )
     return (
-        agg.join(best, "o_custkey")
-        .join(customer, agg.o_custkey == customer.c_custkey)
+        agg.join(customer, agg.o_custkey == customer.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -238,23 +237,31 @@ def q4_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders where the max lineitem price beats the first lineitem's
     price by more than 1000, sorted by the spread.
 
-    Scale: both derived tables aggregate/filter lineitem down to one
-    row per order before the 3-way join; the self-join sides share the
-    l_orderkey partitioning so AQE can reuse the exchange. The spread
-    is a single IEEE subtraction of stored doubles — bit-identical
-    across engines, no rounding needed.
+    Scale: the reference's logical shape is two derived tables (best
+    price per order; first-linenumber price per order) 3-way
+    self-joined (Rmd:398-410). Per-order "first line" is a *conditional
+    aggregate* of the same grouping, so we collapse the self-join into
+    ONE pass over lineitem — one scan, one partial-aggregating shuffle,
+    zero self-joins; the rewrite an optimizer would want is done at
+    plan-construction time. The SPARK_SQL form keeps the two-derived-
+    tables join, and the N-version check proves them equivalent. The
+    spread is a single IEEE subtraction of stored doubles —
+    bit-identical across engines, no rounding needed.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
 
-    best = lineitem.groupBy("l_orderkey").agg(
-        F.max("l_extendedprice").alias("max_price")
-    )
-    first = lineitem.filter(F.col("l_linenumber") == 1).select(
-        "l_orderkey", F.col("l_extendedprice").alias("first_price")
+    # l_linenumber is NOT unique per order in the synthetic data, so
+    # "the first lineitem's price" is pinned deterministically as the
+    # MIN price among an order's linenumber-1 rows.
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_extendedprice").alias("max_price"),
+        F.min(
+            F.when(F.col("l_linenumber") == 1, F.col("l_extendedprice"))
+        ).alias("first_price"),
     )
     joined = (
-        best.join(first, "l_orderkey")
+        per_order.filter(F.col("first_price").isNotNull())
         .join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .withColumn("price_spread", F.col("max_price") - F.col("first_price"))
     )
@@ -270,8 +277,8 @@ WITH best AS (
   SELECT l_orderkey, MAX(l_extendedprice) AS max_price
   FROM lineitem GROUP BY l_orderkey
 ), first_item AS (
-  SELECT l_orderkey, l_extendedprice AS first_price
-  FROM lineitem WHERE l_linenumber = 1
+  SELECT l_orderkey, MIN(l_extendedprice) AS first_price
+  FROM lineitem WHERE l_linenumber = 1 GROUP BY l_orderkey
 )
 SELECT o.o_orderkey, o.o_orderpriority, b.max_price, f.first_price,
        b.max_price - f.first_price AS price_spread
@@ -282,6 +289,9 @@ WHERE b.max_price - f.first_price > 1000
 ORDER BY price_spread DESC, o.o_orderkey ASC
 """
 
+# The SQL form keeps the reference's two-derived-tables 3-way join
+# (Rmd:398-410); the fluent form collapses it to one conditional-agg
+# pass. The N-version test proves the strategies equivalent.
 Q4_SPARK_SQL = Q4_ORACLE
 
 
