@@ -1,0 +1,237 @@
+"""Text-analysis operators over the ``documents`` table: token stats,
+quality scoring, n-gram language ID, fingerprinting.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` (split /
+transform / filter / aggregate higher-order functions) — no Python
+UDFs — so the whole pipeline stays inside whole-stage codegen and
+scales linearly with executors. Each query has an exactly-equivalent
+DuckDB oracle; string ops are deliberately restricted to constructs
+whose semantics are dialect-identical (single-space split, md5 hex,
+ASCII character classes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+
+#: Tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic. Order matters: it is the deterministic tie-break.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "es": ["el", "los", "las", "y", "una", "que"],
+}
+
+
+def _tokens() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts — the unit everything downstream
+    (quality filters, contamination budgets) is denominated in.
+
+    Scale: narrow projection of one string column; embarrassingly
+    parallel, no shuffle at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = _tokens()
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_actual"),
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_unique_tokens"),
+        # mean token length over the split tokens; single division of
+        # exact ints -> bit-identical across engines
+        (
+            (F.length("text") - F.size(w) + 1).cast("double") / F.size(w).cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+TEXT_TOKEN_STATS_ORACLE = """
+SELECT doc_id, lang,
+       length(text) AS n_chars_actual,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+       CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals per document: type-token ratio,
+    stopword ratio, digit ratio, mean token length — the standard
+    cheap pre-filters before expensive model-based scoring.
+
+    Scale: same no-shuffle map-only shape as token stats.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    en = [F.lit(s) for s in LANG_STOPWORDS["en"]]
+    w = _tokens()
+    n_tok = F.size(w).cast("double")
+    n_stop = F.size(F.filter(w, lambda t: t.isin(LANG_STOPWORDS["en"]))).cast("double")
+    n_digit_chars = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    ).cast("double")
+    del en
+    return docs.select(
+        "doc_id",
+        "source",
+        F.round(F.size(F.array_distinct(w)).cast("double") / n_tok, 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
+        F.round(n_digit_chars / F.length("text").cast("double"), 6).alias(
+            "digit_ratio"
+        ),
+    )
+
+
+_EN_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"]) + "]"
+
+TEXT_QUALITY_SCORE_ORACLE = f"""
+WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, source,
+       ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE), 6)
+         AS type_token_ratio,
+       ROUND(CAST(len(list_filter(w, t -> list_contains({_EN_LIST_SQL}, t))) AS DOUBLE)
+             / CAST(len(w) AS DOUBLE), 6) AS stopword_ratio,
+       ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE), 6) AS digit_ratio
+FROM t
+"""
+
+
+def lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-hit counting — the classic cheap
+    n-gram/stopword heuristic. Deterministic argmax: languages are
+    compared in LANG_STOPWORDS order with >= so earlier languages win
+    ties; zero hits everywhere -> 'und' (undetermined).
+
+    Scale: map-only; the stopword lists are literals compiled into the
+    codegen'd plan, no broadcast needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = _tokens()
+    def _stopword_hits(sw: list[str]):
+        # nested closure: a 2-arg lambda would be read by F.filter as
+        # the (element, index) form and bind sw to the index column
+        return lambda t: t.isin(sw)
+
+    score_cols = {
+        lang: F.size(F.filter(w, _stopword_hits(sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    langs = list(LANG_STOPWORDS)
+    # fold right-to-left so the first language in order wins ties
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang in reversed(langs):
+        s = score_cols[lang]
+        pred = F.when(s > 0, F.when(s >= best, F.lit(lang)).otherwise(pred)).otherwise(
+            pred
+        )
+        best = F.greatest(best, s)
+    sel = [F.col("doc_id"), F.col("lang").alias("labeled_lang")]
+    sel += [score_cols[lang].alias(f"score_{lang}") for lang in langs]
+    sel += [pred.alias("predicted_lang")]
+    return docs.select(*sel)
+
+
+def _lang_id_oracle() -> str:
+    langs = list(LANG_STOPWORDS)
+    score_exprs = ",\n       ".join(
+        f"len(list_filter(w, t -> list_contains({'[' + ', '.join(chr(39) + s + chr(39) for s in LANG_STOPWORDS[lang]) + ']'}, t))) AS score_{lang}"
+        for lang in langs
+    )
+    # same right-fold as the fluent build: earlier language wins ties
+    pred = "'und'"
+    best = "0"
+    for lang in reversed(langs):
+        pred = (
+            f"CASE WHEN score_{lang} > 0 THEN "
+            f"(CASE WHEN score_{lang} >= {best} THEN '{lang}' ELSE {pred} END) "
+            f"ELSE {pred} END"
+        )
+        best = f"greatest({best}, score_{lang})"
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+       {score_exprs}
+  FROM t
+)
+SELECT doc_id, labeled_lang, {', '.join('score_' + lang for lang in langs)},
+       {pred} AS predicted_lang
+FROM scored
+"""
+
+
+LANG_ID_ORACLE = _lang_id_oracle()
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation min-hash fingerprint per document: the minimum
+    md5 over the document's distinct word 3-shingles. Identical
+    fingerprints => near-identical shingle sets — the cheap first pass
+    of fingerprint-based clustering (winnowing's degenerate k=1 case).
+
+    Scale: map-only (shingling + md5 + array-min all inside codegen);
+    grouping by fingerprint to find collisions is one shuffle of
+    (fingerprint, doc_id) pairs only.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    shingled = docs.withColumn("w", F.split(F.col("text"), " ")).withColumn(
+        "sh",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(w)-3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ),
+    )
+    return shingled.select(
+        "doc_id",
+        F.array_min(F.transform(F.col("sh"), F.md5)).alias("fingerprint"),
+        F.size("sh").alias("n_shingles"),
+    )
+
+
+DOC_FINGERPRINT_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct([w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2]
+                        for i in range(1, len(w)-1)]) AS sh
+  FROM t WHERE len(w) >= 3
+)
+SELECT doc_id,
+       list_min([md5(x) for x in sh]) AS fingerprint,
+       len(sh) AS n_shingles
+FROM s
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "lang_id_stopword": lang_id_stopword,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": TEXT_TOKEN_STATS_ORACLE,
+    "text_quality_score": TEXT_QUALITY_SCORE_ORACLE,
+    "lang_id_stopword": LANG_ID_ORACLE,
+    "doc_fingerprint": DOC_FINGERPRINT_ORACLE,
+}
+
+SPARK_SQL: dict[str, str] = {}

@@ -7,9 +7,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .llm import dedup, text
 from .queries import reference
 
-_MODULES = [reference]
+_MODULES = [reference, text, dedup]
 
 
 def _collect(attr: str) -> dict:

@@ -1,0 +1,40 @@
+"""Differential + semantic tests for the LLM-pipeline operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqlondataframesr_spark.llm import dedup, text
+from sqlondataframesr_spark.check import compare_spark_duckdb
+
+
+def test_dedup_ngram_finds_planted_near_dups(spark, sf_dir):
+    pairs = dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    # the synthetic corpus plants near-duplicates at jaccard ~0.99
+    assert len(pairs) > 0
+    assert all(r["jaccard"] >= dedup.JACCARD_THRESHOLD for r in pairs)
+    assert all(r["doc_a"] < r["doc_b"] for r in pairs)
+
+
+def test_lang_id_deterministic_tiebreak(spark, sf_dir):
+    out = text.lang_id_stopword(spark, sf_dir)
+    # predicted_lang is only ever a known code or 'und'
+    langs = {r["predicted_lang"] for r in out.select("predicted_lang").distinct().collect()}
+    assert langs <= set(text.LANG_STOPWORDS) | {"und"}
+
+
+def test_near_dups_share_fingerprint(spark, sf_dir):
+    """A near-dup pair at jaccard j shares the single-perm minhash
+    fingerprint with probability j (~0.95 for the planted dups), so
+    MOST true pairs must collide. The converse does NOT hold with one
+    permutation over a small shingle vocabulary — unrelated docs can
+    share the globally-minimal shingle — which is exactly why the
+    banded multi-perm MinHash-LSH operator exists."""
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.doc_fingerprint(spark, sf_dir).collect()}
+    true_pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    ]
+    assert true_pairs
+    hits = sum(1 for a, b in true_pairs if fp[a] == fp[b])
+    assert hits >= len(true_pairs) * 0.6
