@@ -1,0 +1,151 @@
+"""MinHash + LSH banding — the 100 TB near-duplicate path.
+
+The exact shingle-Jaccard operator (``llm/dedup.py``) is quadratic in
+hot shingles; MinHash-LSH replaces it with a fixed-size signature per
+document and candidate generation by band-bucket collision:
+
+1. signature: K=12 min-hashes, permutation i simulated as
+   ``md5(i || ':' || shingle)`` — lexicographic min over hex digests
+   of a uniform hash is a valid min-hash (the classic "one hash
+   function per permutation" construction from Broder's resemblance
+   paper);
+2. banding: 4 bands x 3 rows; two docs are candidates iff some band
+   of their signatures is identical (P[candidate] = 1-(1-J^3)^4,
+   ~0.94 at J=0.8, <0.03 at J=0.2);
+3. scoring: estimated Jaccard = fraction of the 12 signature
+   positions that agree, computed only on candidate pairs.
+
+Everything is md5-based and deterministic so the DuckDB oracle
+reproduces signatures bit-for-bit (no engine-private hash anywhere).
+
+Scale: the signature pass is map-only (shingle + md5 + array_min all
+inside codegen); banding explodes each doc into exactly 4 (band,
+bucket) rows — the self-join shuffles 4 fixed-width rows per doc
+instead of one row per shingle (contrast dedup_ngram_jaccard), and
+the signature re-join moves K*32 bytes per *candidate*, not per doc
+pair. Hot buckets (boilerplate docs) are real duplicates, so their
+quadratic blow-up is the answer, not overhead; AQE skew-join splits
+the stragglers.
+
+Reference scope note: the reference repo has no near-dup operator at
+all (SURVEY.md §2.6 "NOT present") — this module is north-star
+surface (BASELINE.json north_star: dedup at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from .dedup import _SHINGLES_SQL, _with_shingles
+
+#: K signature positions = BANDS * ROWS_PER_BAND
+NUM_PERM = 12
+BANDS = 4
+ROWS_PER_BAND = 3
+
+#: minimum estimated Jaccard (in units of 1/NUM_PERM) to report
+EST_THRESHOLD = 0.5
+
+
+def minhash_signatures(docs_shingled: DataFrame) -> DataFrame:
+    """doc_id + K-element minhash signature (array<string> of hex)."""
+    return docs_shingled.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {NUM_PERM - 1}),"
+            "  i -> array_min(transform(sh, s -> md5(concat(cast(i as string), ':', s)))))"
+        ).alias("sig"),
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, scored by
+    estimated Jaccard (signature agreement fraction), est >= 0.5."""
+    shingled = _with_shingles(load_table(spark, sf_dir, "documents"))
+    sig = minhash_signatures(shingled)
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, {BANDS - 1}),"
+            f"  b -> struct(b as band, concat_ws('', slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND})) as bkey))"
+        )).alias("e"),
+    ).select("doc_id", "e.band", "e.bkey")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+                )).cast("double") / F.lit(float(NUM_PERM)),
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
+    return (
+        est.filter(F.col("est_jaccard") >= EST_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_MINHASH_LSH_ORACLE = f"""
+WITH s AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         [list_min([md5(CAST(i AS VARCHAR) || ':' || x) for x in sh])
+          for i in range(0, {NUM_PERM})] AS sig
+  FROM s
+),
+bands AS (
+  SELECT doc_id, t.b,
+         list_aggregate(sig[t.b * {ROWS_PER_BAND} + 1 : t.b * {ROWS_PER_BAND} + {ROWS_PER_BAND}], 'string_agg', '') AS bkey
+  FROM sig, range(0, {BANDS}) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(CAST(len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, {NUM_PERM + 1})], v -> v)) AS DOUBLE)
+               / {float(NUM_PERM)}, 6) AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard
+FROM est
+WHERE est_jaccard >= {EST_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES = {
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+}
+
+ORACLES = {
+    "dedup_minhash_lsh": DEDUP_MINHASH_LSH_ORACLE,
+}
+
+SPARK_SQL: dict[str, str] = {}
