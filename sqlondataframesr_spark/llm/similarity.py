@@ -1,0 +1,293 @@
+"""Similarity search over ``embeddings.embedding`` (array<float>, 64-d).
+
+Two paths, both oracle-checked:
+
+- :func:`ann_cosine_topk` — brute-force cosine top-k. The query set is
+  broadcast, so the scan side streams once with no shuffle; exact, and
+  the right baseline to measure every approximate variant against.
+- :func:`ann_lsh_topk` / :func:`dedup_embedding_cosine` — random
+  hyperplane LSH (Charikar sign sketches): each vector gets a 16-bit
+  sign signature; signature split into 4 bands of 4 bits; candidates
+  are pairs agreeing on >= 1 band; exact cosine is computed only on
+  candidates. P[bit agree] = 1 - theta/pi, so a cosine-0.95 pair
+  agrees on a 4-bit band with p ~ 0.66 and survives 4 bands with
+  p ~ 0.99; unrelated vectors (cos ~ 0) collide rarely, so the
+  all-pairs O(n^2) never materializes.
+
+Determinism: the 16x64 hyperplane matrix is precomputed here from
+md5("j:d") (uniform in [-1, 1), rounded to 6 dp) and embedded as a
+*literal* in both the Spark expression and the DuckDB oracle — the
+two engines evaluate the identical matrix, so signatures agree
+bit-for-bit. Cosines are computed in double and rounded to 6 dp
+before ranking; ties broken by neighbor id.
+
+Scale (100 TB posture): signatures are map-only inside codegen (one
+fused fold per plane); banding emits exactly 4 fixed-width rows per
+vector, so the candidate join shuffles 4 small rows per vector rather
+than the vector itself; exact scoring re-joins the full vectors only
+for candidate ids. The brute-force path broadcasts the (small) query
+set — scan-side stays shuffle-free. Hot buckets (dense regions) are
+handled by AQE skew splitting.
+
+Reference scope note: the reference has no vector operations at all
+(SURVEY.md §2.7 "NOT present") — this module is north-star surface
+(similarity search over an embedding column).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+
+DIM = 64
+NUM_PLANES = 16
+BANDS = 4
+BAND_BITS = NUM_PLANES // BANDS
+TOP_K = 5
+#: query set for the top-k operators: vec_id < N_QUERIES
+N_QUERIES = 10
+#: minimum exact cosine for the embedding near-dup report
+COS_THRESHOLD = 0.4
+
+
+def _plane_weight(j: int, d: int) -> float:
+    """Deterministic uniform [-1, 1) weight from md5 — no RNG state."""
+    h = hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8]
+    return round(int(h, 16) / 2**32 * 2 - 1, 6)
+
+
+PLANES = [[_plane_weight(j, d) for d in range(DIM)] for j in range(NUM_PLANES)]
+
+_PLANES_SPARK = "array(" + ",".join(
+    "array(" + ",".join(f"{w}D" for w in p) + ")" for p in PLANES
+) + ")"
+_PLANES_DUCK = "[" + ",".join(
+    "[" + ",".join(str(w) for w in p) + "]" for p in PLANES
+) + "]"
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id + double-cast vector + L2 norm (cast once, reuse everywhere)."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+        .withColumn("nrm", F.expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+    )
+
+
+_COS = (
+    "round(aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    " / ({na} * {nb}), 6)"
+)
+
+
+def with_signature(vectors: DataFrame) -> DataFrame:
+    """Add the 16-char '0'/'1' sign signature column."""
+    return vectors.withColumn(
+        "sig",
+        F.expr(
+            f"concat_ws('', transform({_PLANES_SPARK},"
+            " p -> IF(aggregate(zip_with(p, v, (w, x) -> w * x), 0D, (a, x) -> a + x) >= 0,"
+            " '1', '0')))"
+        ),
+    )
+
+
+def _bands(signed: DataFrame) -> DataFrame:
+    """Explode signature into (vec_id, band, bkey) — 4 fixed rows/vector."""
+    return signed.select(
+        "vec_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, {BANDS - 1}),"
+            f"  b -> struct(b as band, substring(sig, b * {BAND_BITS} + 1, {BAND_BITS}) as bkey))"
+        )).alias("e"),
+    ).select("vec_id", "e.band", "e.bkey")
+
+
+def _topk(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "neighbor_id", "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id < 10).
+
+    The query side is broadcast — the full scan streams once against an
+    in-memory query table (BroadcastNestedLoopJoin), no shuffle of the
+    big side at any scale.
+    """
+    vec = _vectors(spark, sf_dir)
+    q = vec.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    ).filter(F.col("q_id") < N_QUERIES)
+    scored = (
+        vec.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_COS.format(a="qv", b="v", na="qn", nb="nrm")).alias("cosine"),
+        )
+    )
+    return _topk(scored)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 among LSH band-collision candidates (the approximate path).
+
+    Same output shape as :func:`ann_cosine_topk`; recall < 1 by design —
+    the oracle replicates the bucketing, so the check pins the
+    *algorithm*, not ideal-kNN."""
+    vec = _vectors(spark, sf_dir)
+    bands = _bands(with_signature(vec))
+    qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "band", "bkey"
+    )
+    cand = (
+        bands.join(F.broadcast(qb), ["band", "bkey"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = vec.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    nv = vec.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm")
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(nv, "neighbor_id")
+        .select("q_id", "neighbor_id",
+                F.expr(_COS.format(a="qv", b="v", na="qn", nb="nrm")).alias("cosine"))
+    )
+    return _topk(scored)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup vector pairs: band collision then exact cosine >= 0.4."""
+    vec = _vectors(spark, sf_dir)
+    bands = _bands(with_signature(vec))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = vec.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = vec.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b",
+                F.expr(_COS.format(a="va", b="vb", na="na", nb="nb")).alias("cosine"))
+        .filter(F.col("cosine") >= COS_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_VEC_SQL = """
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+  FROM embeddings
+"""
+
+_COS_DUCK = (
+    "ROUND(list_sum([{a}[i] * {b}[i] for i in range(1, " + str(DIM + 1) + ")])"
+    " / ({na} * {nb}), 6)"
+)
+
+_SIG_SQL = f"""
+  SELECT vec_id,
+         list_aggregate([CASE WHEN list_sum([p[i] * v[i] for i in range(1, {DIM + 1})]) >= 0
+                         THEN '1' ELSE '0' END for p in {_PLANES_DUCK}],
+                        'string_agg', '') AS sig
+  FROM vec
+"""
+
+_BANDS_SQL = f"""
+  SELECT vec_id, t.b AS band,
+         sig[t.b * {BAND_BITS} + 1 : t.b * {BAND_BITS} + {BAND_BITS}] AS bkey
+  FROM sig, range(0, {BANDS}) t(b)
+"""
+
+ANN_COSINE_TOPK_ORACLE = f"""
+WITH vec AS ({_VEC_SQL}),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         {_COS_DUCK.format(a='q.v', b='c.v', na='q.nrm', nb='c.nrm')} AS cosine
+  FROM vec q JOIN vec c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= {TOP_K} ORDER BY q_id, rnk
+"""
+
+ANN_LSH_TOPK_ORACLE = f"""
+WITH vec AS ({_VEC_SQL}),
+sig AS ({_SIG_SQL}),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+  FROM bands q JOIN bands c ON q.band = c.band AND q.bkey = c.bkey AND c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         {_COS_DUCK.format(a='q.v', b='c.v', na='q.nrm', nb='c.nrm')} AS cosine
+  FROM cand
+  JOIN vec q ON q.vec_id = cand.q_id
+  JOIN vec c ON c.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= {TOP_K} ORDER BY q_id, rnk
+"""
+
+DEDUP_EMBEDDING_COSINE_ORACLE = f"""
+WITH vec AS ({_VEC_SQL}),
+sig AS ({_SIG_SQL}),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT cand.vec_a, cand.vec_b,
+         {_COS_DUCK.format(a='va.v', b='vb.v', na='va.nrm', nb='vb.nrm')} AS cosine
+  FROM cand
+  JOIN vec va ON va.vec_id = cand.vec_a
+  JOIN vec vb ON vb.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored
+WHERE cosine >= {COS_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "ann_cosine_topk": ANN_COSINE_TOPK_ORACLE,
+    "ann_lsh_topk": ANN_LSH_TOPK_ORACLE,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_ORACLE,
+}
+
+SPARK_SQL: dict[str, str] = {}

@@ -7,10 +7,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .llm import dedup, minhash, simhash, text
+from .llm import dedup, minhash, simhash, similarity, text
 from .queries import reference
 
-_MODULES = [reference, text, dedup, minhash, simhash]
+_MODULES = [reference, text, dedup, minhash, simhash, similarity]
 
 
 def _collect(attr: str) -> dict:
