@@ -71,9 +71,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _session.configure(spark)
         df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer division — float division loses precision at 1e18 nanos
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     _table_cache[key] = df
     return df
 

@@ -9,8 +9,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .llm import dedup, minhash, simhash, similarity, text
 from .queries import reference
+from .streaming import windows as streaming_windows
 
-_MODULES = [reference, text, dedup, minhash, simhash, similarity]
+_MODULES = [reference, text, dedup, minhash, simhash, similarity, streaming_windows]
 
 
 def _collect(attr: str) -> dict:

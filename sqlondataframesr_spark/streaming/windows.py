@@ -1,0 +1,241 @@
+"""Event-time windowing over the ``events`` table — batch AND stream.
+
+The reference is batch-only (SURVEY.md §2.8: no windows, no streaming),
+so this module is north-star surface. The design principle is Spark's
+own: **the same transformation runs in both executions**. Each
+function below takes an events DataFrame — batch (`spark.read`) or
+streaming (`spark.readStream`) — and returns the windowed aggregate;
+Structured Streaming's incrementalization is Catalyst's job, not ours.
+
+Operators:
+
+- :func:`tumbling` — fixed windows via ``F.window(ts, width)``.
+- :func:`sliding` — overlapping windows via ``F.window(ts, width,
+  slide)`` (each event lands in width/slide windows).
+- :func:`sessionized` — per-user activity sessions via
+  ``F.session_window(ts, gap)``: a session extends while consecutive
+  events arrive within ``gap``; window end = last event + gap.
+- :func:`stream_events` / :func:`with_watermark` — the streaming
+  source (file source over the parquet) and late-data bound.
+- :func:`dedup_stream` — stateful exact dedup on event_id
+  (``dropDuplicates`` keyed state; with a watermark the state is
+  GC-able, the unbounded-state fix for infinite streams).
+
+Batch forms of the three window shapes are registered as oracle-checked
+queries (DuckDB: ``time_bucket`` for tumbling/sliding, gaps-and-islands
+SQL for sessions — the session oracle *derives* Spark's merge semantics
+independently, a real differential check of the operator).
+
+Scale (100 TB posture): windowed aggregation shuffles once on
+(window x key) — partial aggregation happens map-side; session windows
+shuffle on user_id so state for one user is on one executor, and the
+watermark bounds state size (sessions closed > delay ago are evicted).
+Alignment is epoch-based (UTC session timezone), so window boundaries
+are identical across engines and across restarts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import load_table
+
+TUMBLE_WIDTH = "1 day"
+SLIDE_WIDTH = "1 day"
+SLIDE_STEP = "12 hours"
+SESSION_GAP = "1 hour"
+WATERMARK_DELAY = "1 hour"
+
+#: Raw parquet schema for the streaming file source. ``ts`` is stored
+#: as parquet TIMESTAMP(NANOS); under ``nanosAsLong`` it reads as int64.
+EVENTS_RAW_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def _canon_ts(df: DataFrame) -> DataFrame:
+    """int64-nanos → microsecond timestamp (same instant DuckDB sees)."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        # integer division — float division loses precision at 1e18 nanos
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file stream source requires a *directory*; the testdata ships
+    one parquet file per table, so expose it through a symlink dir."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), "sqlondataframesr_stream", tag)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a Structured Streaming file source."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(_stream_dir(sf_dir))
+    )
+    return _canon_ts(raw)
+
+
+def with_watermark(events: DataFrame, delay: str = WATERMARK_DELAY) -> DataFrame:
+    """Bound event-time lateness: rows later than max(ts) - delay drop,
+    and window/session state older than the bound is evicted."""
+    return events.withWatermark("ts", delay)
+
+
+def tumbling(events: DataFrame, width: str = TUMBLE_WIDTH) -> DataFrame:
+    """Fixed event-time windows x event_type: count + total value."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("ws"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding(
+    events: DataFrame, width: str = SLIDE_WIDTH, slide: str = SLIDE_STEP
+) -> DataFrame:
+    """Overlapping windows (width 1d, step 12h → 2 windows/event)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("ws"), "n_events", "total_value")
+    )
+
+
+def sessionized(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Per-user sessions: events within ``gap`` of each other merge;
+    session end = last event ts + gap (Spark's half-open semantics)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Exact streaming dedup on event_id (keyed state per id)."""
+    return with_watermark(events).dropDuplicates(["event_id"])
+
+
+# --- batch-shaped registry entries (oracle-checked) -----------------
+
+
+def evt_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling(load_table(spark, sf_dir, "events")).orderBy("ws", "event_type")
+
+
+def evt_sliding_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding(load_table(spark, sf_dir, "events")).orderBy("ws")
+
+
+def evt_sessions_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionized(load_table(spark, sf_dir, "events")).orderBy(
+        "user_id", "session_start"
+    )
+
+
+EVT_TUMBLING_DAILY_ORACLE = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS ws,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY ws, event_type
+ORDER BY ws, event_type
+"""
+
+# Each event belongs to the two 1-day windows starting at its 12h
+# bucket and the bucket 12h earlier.
+EVT_SLIDING_12H_ORACLE = """
+SELECT time_bucket(INTERVAL '12 hours', ts) - INTERVAL 12 HOURS * t.k AS ws,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events, range(0, 2) t(k)
+GROUP BY ws
+ORDER BY ws
+"""
+
+# Gaps-and-islands: a new session starts when the previous event of the
+# same user is >= 1h older; session end = last event + gap. This
+# re-derives session_window's merge semantics from first principles.
+EVT_SESSIONS_1H_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   < INTERVAL 1 HOUR THEN 0 ELSE 1 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 1 HOUR AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM islands
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+QUERIES = {
+    "evt_tumbling_daily": evt_tumbling_daily,
+    "evt_sliding_12h": evt_sliding_12h,
+    "evt_sessions_1h": evt_sessions_1h,
+}
+
+ORACLES = {
+    "evt_tumbling_daily": EVT_TUMBLING_DAILY_ORACLE,
+    "evt_sliding_12h": EVT_SLIDING_12H_ORACLE,
+    "evt_sessions_1h": EVT_SESSIONS_1H_ORACLE,
+}
+
+SPARK_SQL: dict[str, str] = {}

@@ -1,0 +1,57 @@
+"""Structured Streaming differential tests.
+
+The same transformation function is applied to a batch read and to a
+streaming read of the same parquet; with trigger=availableNow the
+stream's final state must equal the batch result (complete output
+mode), recreating the reference's N-version check across *execution
+modes* instead of engines.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from sqlondataframesr_spark.catalog import load_table
+from sqlondataframesr_spark.check import compare_frames
+from sqlondataframesr_spark.streaming import windows as W
+
+
+def _run_stream(spark, df, mode="complete"):
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir):
+    batch = W.tumbling(load_table(spark, sf_dir, "events"))
+    stream = W.tumbling(W.with_watermark(W.stream_events(spark, sf_dir)))
+    got = _run_stream(spark, stream)
+    assert not compare_frames(got, batch)
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    batch = W.sliding(load_table(spark, sf_dir, "events"))
+    stream = W.sliding(W.with_watermark(W.stream_events(spark, sf_dir)))
+    got = _run_stream(spark, stream)
+    assert not compare_frames(got, batch)
+
+
+def test_session_stream_matches_batch(spark, sf_dir):
+    batch = W.sessionized(load_table(spark, sf_dir, "events"))
+    stream = W.sessionized(W.with_watermark(W.stream_events(spark, sf_dir)))
+    got = _run_stream(spark, stream)
+    assert not compare_frames(got, batch)
+
+
+def test_dedup_stream_matches_batch_distinct(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    stream = W.dedup_stream(W.stream_events(spark, sf_dir)).select("event_id")
+    got = _run_stream(spark, stream, mode="append")
+    assert got.count() == events.select("event_id").distinct().count()
