@@ -1,0 +1,48 @@
+"""Simulate the driver's correctness gate: plain SparkSession (none of
+our confs), every queries() entry vs oracle_sql() via DuckDB at sf0.01.
+Run from a neutral cwd: python /root/repo/scripts/driver_sim.py"""
+import math
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[8]").appName("driver-sim")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e
+
+print("entry rows:", len(e.entry(spark).collect()))
+import duckdb
+
+SF = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+qs, osql = e.queries(), e.oracle_sql()
+fails = 0
+for name, fn in sorted(qs.items()):
+    sdf = fn(spark, SF)
+    scols = sorted(sdf.columns)
+    srows = sorted(tuple(r[c] for c in scols) for r in sdf.collect())
+    if name not in osql:
+        print(name, "rows-only:", len(srows))
+        continue
+    cur = con.execute(osql[name])
+    dcols = [d[0] for d in cur.description]
+    order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    drows = sorted(tuple(r[i] for i in order) for r in cur.fetchall())
+
+    def close(a, b):
+        if isinstance(a, float) and isinstance(b, float):
+            return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+        return a == b
+
+    ok = len(srows) == len(drows) and all(
+        all(close(x, y) for x, y in zip(a, b)) for a, b in zip(srows, drows))
+    if not ok:
+        fails += 1
+    print(name, len(srows), "match" if ok else "MISMATCH")
+sys.exit(1 if fails else 0)

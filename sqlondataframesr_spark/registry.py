@@ -8,10 +8,20 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .llm import dedup, minhash, simhash, similarity, text
+from .multimodal import media
 from .queries import reference
 from .streaming import windows as streaming_windows
 
-_MODULES = [reference, text, dedup, minhash, simhash, similarity, streaming_windows]
+_MODULES = [
+    reference,
+    text,
+    dedup,
+    minhash,
+    simhash,
+    similarity,
+    streaming_windows,
+    media,
+]
 
 
 def _collect(attr: str) -> dict:
