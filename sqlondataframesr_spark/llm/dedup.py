@@ -93,7 +93,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed hot shingles are exactly what AQE skew-join splitting
     handles.
     """
-    shingled = _with_shingles(load_table(spark, sf_dir, "documents"))
+    # shingled feeds four branches (sizes x2, inverted index x2);
+    # checkpoint so shingling runs once instead of per-branch.
+    shingled = _with_shingles(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
     sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
     exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
 

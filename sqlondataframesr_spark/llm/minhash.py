@@ -4,28 +4,29 @@ The exact shingle-Jaccard operator (``llm/dedup.py``) is quadratic in
 hot shingles; MinHash-LSH replaces it with a fixed-size signature per
 document and candidate generation by band-bucket collision:
 
-1. signature: K=12 min-hashes, permutation i simulated as
-   ``md5(i || ':' || shingle)`` — lexicographic min over hex digests
-   of a uniform hash is a valid min-hash (the classic "one hash
-   function per permutation" construction from Broder's resemblance
-   paper);
+1. signature: each shingle is hashed ONCE (first 8 hex digits of md5
+   → 32-bit int h); permutation i is the universal hash
+   ``(A_i * h + B_i) mod P`` with P = 2^31 - 1 and per-permutation
+   constants derived deterministically from md5 in Python below — so
+   a K=12 signature costs 1 md5 + 12 multiply-mods per shingle, all
+   integer ops inside codegen (the classic "one hash function per
+   permutation" construction from Broder's resemblance paper);
 2. banding: 4 bands x 3 rows; two docs are candidates iff some band
    of their signatures is identical (P[candidate] = 1-(1-J^3)^4,
    ~0.94 at J=0.8, <0.03 at J=0.2);
 3. scoring: estimated Jaccard = fraction of the 12 signature
    positions that agree, computed only on candidate pairs.
 
-Everything is md5-based and deterministic so the DuckDB oracle
+Everything is md5-derived and deterministic so the DuckDB oracle
 reproduces signatures bit-for-bit (no engine-private hash anywhere).
 
-Scale: the signature pass is map-only (shingle + md5 + array_min all
-inside codegen); banding explodes each doc into exactly 4 (band,
-bucket) rows — the self-join shuffles 4 fixed-width rows per doc
-instead of one row per shingle (contrast dedup_ngram_jaccard), and
-the signature re-join moves K*32 bytes per *candidate*, not per doc
-pair. Hot buckets (boilerplate docs) are real duplicates, so their
-quadratic blow-up is the answer, not overhead; AQE skew-join splits
-the stragglers.
+Scale: the signature pass is map-only; banding explodes each doc into
+exactly 4 (band, bucket) rows — the self-join shuffles 4 fixed-width
+rows per doc instead of one row per shingle (contrast
+dedup_ngram_jaccard), and the signature re-join moves K*8 bytes per
+*candidate*, not per doc pair. Hot buckets (boilerplate docs) are real
+duplicates, so their quadratic blow-up is the answer, not overhead;
+AQE skew-join splits the stragglers.
 
 Reference scope note: the reference repo has no near-dup operator at
 all (SURVEY.md §2.6 "NOT present") — this module is north-star
@@ -33,6 +34,8 @@ surface (BASELINE.json north_star: dedup at 100 TB).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -44,17 +47,37 @@ NUM_PERM = 12
 BANDS = 4
 ROWS_PER_BAND = 3
 
+#: Mersenne prime modulus for the universal hash family
+P = 2_147_483_647
+
 #: minimum estimated Jaccard (in units of 1/NUM_PERM) to report
 EST_THRESHOLD = 0.5
 
 
+def _param(i: int, which: str, lo: int) -> int:
+    h = hashlib.md5(f"perm:{i}:{which}".encode()).hexdigest()[:12]
+    return lo + int(h, 16) % (P - lo)
+
+
+#: (A_i, B_i) per permutation — embedded as literals in BOTH dialects
+PERMS = [(_param(i, "a", 1), _param(i, "b", 0)) for i in range(NUM_PERM)]
+
+_PERMS_SPARK = "array(" + ",".join(f"array({a}L,{b}L)" for a, b in PERMS) + ")"
+_PERMS_DUCK = "[" + ",".join(f"[{a}::BIGINT,{b}::BIGINT]" for a, b in PERMS) + "]"
+
+
 def minhash_signatures(docs_shingled: DataFrame) -> DataFrame:
-    """doc_id + K-element minhash signature (array<string> of hex)."""
+    """doc_id + K-element minhash signature (array<bigint>)."""
     return docs_shingled.select(
         "doc_id",
         F.expr(
-            f"transform(sequence(0, {NUM_PERM - 1}),"
-            "  i -> array_min(transform(sh, s -> md5(concat(cast(i as string), ':', s)))))"
+            "transform(sh, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
+        ).alias("hsh"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"transform({_PERMS_SPARK}, p -> aggregate(hsh, bigint({P}),"
+            f"  (acc, h) -> least(acc, (element_at(p, 1) * h + element_at(p, 2)) % {P})))"
         ).alias("sig"),
     )
 
@@ -63,13 +86,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, scored by
     estimated Jaccard (signature agreement fraction), est >= 0.5."""
     shingled = _with_shingles(load_table(spark, sf_dir, "documents"))
-    sig = minhash_signatures(shingled)
+    # sig feeds three branches (bands + both sides of the score join);
+    # checkpoint so the shingle+hash pass runs once. K bigints per doc.
+    sig = minhash_signatures(shingled).localCheckpoint(eager=False)
 
     bands = sig.select(
         "doc_id",
         F.explode(F.expr(
             f"transform(sequence(0, {BANDS - 1}),"
-            f"  b -> struct(b as band, concat_ws('', slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND})) as bkey))"
+            f"  b -> struct(b as band, concat_ws(',', transform("
+            f"    slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}),"
+            "     x -> cast(x as string))) as bkey))"
         )).alias("e"),
     ).select("doc_id", "e.band", "e.bkey")
 
@@ -111,13 +138,16 @@ DEDUP_MINHASH_LSH_ORACLE = f"""
 WITH s AS ({_SHINGLES_SQL}),
 sig AS (
   SELECT doc_id,
-         [list_min([md5(CAST(i AS VARCHAR) || ':' || x) for x in sh])
-          for i in range(0, {NUM_PERM})] AS sig
+         [list_min([(p[1] * h + p[2]) % {P}
+                    for h in [('0x' || substr(md5(x), 1, 8))::BIGINT for x in sh]])
+          for p in {_PERMS_DUCK}] AS sig
   FROM s
 ),
 bands AS (
   SELECT doc_id, t.b,
-         list_aggregate(sig[t.b * {ROWS_PER_BAND} + 1 : t.b * {ROWS_PER_BAND} + {ROWS_PER_BAND}], 'string_agg', '') AS bkey
+         list_aggregate([CAST(x AS VARCHAR)
+                         for x in sig[t.b * {ROWS_PER_BAND} + 1 : t.b * {ROWS_PER_BAND} + {ROWS_PER_BAND}]],
+                        'string_agg', ',') AS bkey
   FROM sig, range(0, {BANDS}) t(b)
 ),
 cand AS (

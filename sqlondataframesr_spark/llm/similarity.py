@@ -145,7 +145,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same output shape as :func:`ann_cosine_topk`; recall < 1 by design —
     the oracle replicates the bucketing, so the check pins the
     *algorithm*, not ideal-kNN."""
-    vec = _vectors(spark, sf_dir)
+    # vec feeds three branches (bands + query/neighbor score joins)
+    vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
     bands = _bands(with_signature(vec))
     qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "band", "bkey"
@@ -169,7 +170,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup vector pairs: band collision then exact cosine >= 0.4."""
-    vec = _vectors(spark, sf_dir)
+    # vec feeds three branches (bands + both sides of the score join)
+    vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
     bands = _bands(with_signature(vec))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
