@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .llm import dedup, minhash, simhash, similarity, text
 from .multimodal import media
+from .operators import grouped
 from .queries import reference
 from .streaming import windows as streaming_windows
 
@@ -21,6 +22,7 @@ _MODULES = [
     similarity,
     streaming_windows,
     media,
+    grouped,
 ]
 
 

@@ -1,0 +1,109 @@
+"""Sources & sinks beyond the driver's parquet testdata.
+
+The reference's only source is CSV-with-inferred-schema
+(``read.csv("Users.csv")`` x7, RDataFramesSQL.Rmd:61-67) and its only
+sink is the in-memory data.frame. Spark-native equivalents, plus the
+formats a real corpus pipeline needs:
+
+- :func:`read_csv` — header + schema inference (the reference's exact
+  semantics) or an explicit schema for production paths. Schema
+  inference costs a full extra pass over the data — at 100 TB always
+  pass the schema.
+- :func:`read_json` — JSON-lines with explicit schema (inference on
+  JSON is even more expensive than CSV).
+- :func:`write_parquet` — the canonical at-rest format: columnar,
+  compressed, stats-bearing (min/max per row group power predicate
+  pushdown on re-read). ``partition_by`` produces
+  ``col=value/part-*.parquet`` layout → partition pruning turns
+  point/range queries on the partition key into file-listing, no scan.
+- :func:`write_csv` — interchange only; no pushdown, no types on
+  re-read without a schema. Not a 100 TB format.
+- :func:`register_csv_dir` — the sqldf-style workflow: load every
+  ``*.csv`` in a directory and register each as a temp view named
+  after the file (the analogue of the reference's 7 ``read.csv``
+  calls feeding sqldf's implicit catalog).
+
+Scale notes: all readers produce splittable scans (CSV/JSON split by
+newline at block boundaries, parquet by row group); writers emit one
+file per task — control output file count with
+``df.repartition(n)`` (or ``spark.sql.files.maxRecordsPerFile``)
+upstream of the write, NOT with coalesce(1), which serializes the
+whole job through one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan; infers the schema when none is given (reference
+    semantics — costs an extra data pass, fine below ~GB scale)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines scan with (strongly recommended) explicit schema."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "error",
+) -> None:
+    """Columnar sink; ``partition_by`` lays out ``col=value/`` dirs so
+    re-reads prune partitions before touching data."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, header: bool = True, mode: str = "error"
+) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def register_csv_dir(
+    spark: SparkSession, directory: str, **options: str
+) -> dict[str, DataFrame]:
+    """Load every ``*.csv`` in ``directory`` and register temp views
+    named after the files — the reference's load-then-query workflow
+    (7 ``read.csv`` calls + sqldf implicit catalog) in one call."""
+    import glob
+    import os
+
+    out: dict[str, DataFrame] = {}
+    for f in sorted(glob.glob(os.path.join(directory, "*.csv"))):
+        name = os.path.splitext(os.path.basename(f))[0]
+        df = read_csv(spark, f, **options)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

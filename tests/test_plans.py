@@ -1,0 +1,83 @@
+"""Physical-plan hygiene tests — the 100 TB posture, checked.
+
+Correct results are necessary, not sufficient: at scale the *plan*
+decides feasibility. These tests pin the properties that keep the
+reference queries scalable — predicate pushdown into the parquet scan,
+column pruning, fused top-k, no accidental cartesian products — so a
+refactor that silently produces a read-everything plan fails CI.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from sqlondataframesr_spark import registry
+
+REF = [
+    "q1_yearly_top_order",
+    "q2_top_customers_by_spend",
+    "q3_top_orders_by_big_items",
+    "q4_price_spread",
+    "q5_user_event_totals",
+    "q6_distinct_suppliers_of_qualifying_brands",
+]
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", REF)
+def test_no_cartesian_product(spark, sf_dir, name):
+    assert "CartesianProduct" not in _plan(spark, sf_dir, name)
+
+
+@pytest.mark.parametrize(
+    ("name", "pushed"),
+    [
+        ("q1_yearly_top_order", "EqualTo(l_returnflag"),
+        ("q3_top_orders_by_big_items", "GreaterThan(l_quantity"),
+        ("q5_user_event_totals", "GreaterThan(value"),
+        ("q6_distinct_suppliers_of_qualifying_brands", "LessThan(p_size"),
+    ],
+)
+def test_filters_reach_the_scan(spark, sf_dir, name, pushed):
+    """The WHERE clause must appear in PushedFilters — evaluated by the
+    parquet reader against row-group stats, not post-scan."""
+    assert pushed in _plan(spark, sf_dir, name)
+
+
+def test_column_pruning_q3(spark, sf_dir):
+    """q3 touches 2 of lineitem's 16 columns; the scan must read
+    exactly those (a full-width scan is ~8x the IO at any scale)."""
+    plan = _plan(spark, sf_dir, "q3_top_orders_by_big_items")
+    li_schemas = [
+        s for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan) if "l_" in s
+    ]
+    assert li_schemas and all(
+        set(s.split(",")) <= {"l_orderkey:bigint", "l_quantity:double"}
+        for s in li_schemas
+    )
+
+
+def test_topk_is_fused_q3(spark, sf_dir):
+    """ORDER BY .. LIMIT k must lower to TakeOrderedAndProject (per-
+    partition top-k then merge), never a full global sort."""
+    assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "q3_top_orders_by_big_items")
+
+
+def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
+    """The scan side must stream against the broadcast query set; a
+    shuffle-based join here would move the full corpus."""
+    plan = _plan(spark, sf_dir, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir):
+    """Exact dedup is one hash-aggregate: exactly one exchange (plus
+    any AQE-inserted reads), keyed on the text hash."""
+    plan = _plan(spark, sf_dir, "dedup_exact")
+    assert plan.count("Exchange hashpartitioning") == 1
