@@ -43,7 +43,16 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     queries = sorted(registry.queries().items())
-    is_ref = lambda name: name.startswith("q")  # noqa: E731
+    # like-for-like vs BASELINE.md = the SIX transposed reference tasks
+    ref_names = {
+        "q1_yearly_top_order",
+        "q2_top_customers_by_spend",
+        "q3_top_orders_by_big_items",
+        "q4_price_spread",
+        "q5_user_event_totals",
+        "q6_distinct_suppliers_of_qualifying_brands",
+    }
+    is_ref = ref_names.__contains__
 
     timings: dict[str, float] = {}
     for name, fn in queries:

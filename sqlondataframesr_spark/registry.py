@@ -10,11 +10,12 @@ from pyspark.sql import DataFrame, SparkSession
 from .llm import dedup, minhash, simhash, similarity, text
 from .multimodal import media
 from .operators import grouped
-from .queries import reference
+from .queries import extensions, reference
 from .streaming import windows as streaming_windows
 
 _MODULES = [
     reference,
+    extensions,
     text,
     dedup,
     minhash,
