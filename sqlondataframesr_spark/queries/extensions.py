@@ -193,7 +193,9 @@ def q13_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") > RICH_BAL)
         .select(F.col("s_nationkey").alias("nationkey"))
     )
-    return rich_c.exceptAll(rich_s.distinct()).distinct().orderBy("nationkey")
+    # subtract == SQL EXCEPT (distinct semantics); exceptAll would be
+    # bag-difference and leak duplicated left values past the filter
+    return rich_c.subtract(rich_s).orderBy("nationkey")
 
 
 Q13_ORACLE = f"""

@@ -1,0 +1,437 @@
+"""The reference's SIX original queries on its OWN schema.
+
+`queries/reference.py` transposes the six tasks onto the driver's
+synthetic star schema (that is what the external correctness gate
+checks). THIS module is the direct parity artifact: the same
+Users/Posts/Votes/Comments/Badges tables the reference loads
+(RDataFramesSQL.Rmd:61-67; column contract in FIXTURES.md §A), the
+same six query shapes (Rmd:75-81, 176-181, 289-298, 396-412, 522-532,
+613-627), a deterministic fixture generator reproducing the data
+characteristics the queries depend on (multi-year votes, NULL-bearing
+FavoriteCount/OwnerUserId/Age/Location/UserId, self-referential Posts,
+badge counts straddling the HAVING band), and a DuckDB oracle per task
+over the very same CSVs.
+
+Dialect decisions (SURVEY.md §4):
+
+- SQLite's bare-column argmax (``SELECT Title, MAX(Count) .. GROUP
+  BY Year`` returning Title *from the max row*) is rewritten as a
+  ``row_number()`` window — and because SQLite picks an *arbitrary*
+  max row on ties, we pin the deterministic refinement
+  ``ORDER BY value DESC, Id ASC`` on BOTH engines.
+- Task 4's SELECT-alias-in-WHERE (``WHERE Difference > 50``) is
+  inlined into a post-projection filter.
+- ``STRFTIME('%Y', CreationDate)`` (string year) maps to
+  ``date_format(to_date(...), 'yyyy')`` — string on both sides.
+
+Scale notes: identical posture to the transposed forms — filters
+before joins (pushdown does it anyway), single keyed shuffle per
+aggregate, window argmax partitions by the group key, top-k lowers to
+TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.io import read_csv
+
+SCHEMAS = {
+    "Users": "Id INT, DisplayName STRING, Age INT, Location STRING, Reputation INT",
+    "Posts": (
+        "Id INT, Title STRING, PostTypeId INT, ParentId INT, Score INT,"
+        " OwnerUserId INT, FavoriteCount INT, AcceptedAnswerId INT, AnswerCount INT"
+    ),
+    "Votes": "Id INT, PostId INT, VoteTypeId INT, CreationDate STRING",
+    "Comments": "Id INT, PostId INT, UserId INT, Score INT",
+    "Badges": "Id INT, UserId INT, Name STRING, Class INT",
+    "Tags": "Id INT, TagName STRING, Count INT",
+    "PostLinks": "Id INT, PostId INT, RelatedPostId INT, LinkTypeId INT",
+}
+
+_BADGE_NAMES = [f"badge_{i}" for i in range(24)]
+_LOCATIONS = ["Warsaw", "Lisbon", "Kyoto", "Quito", "Tunis", "Oslo"]
+
+
+def generate_fixture(out_dir: str, seed: int = 42) -> dict[str, str]:
+    """Write a deterministic Stack-Exchange-shaped CSV dump.
+
+    Pure ``random.Random(seed)`` — same bytes on every run/platform.
+    Shapes per FIXTURES.md §A: answers point at questions (ParentId),
+    questions at accepted answers; NULL density on the columns whose
+    NULL paths the reference exercises.
+    """
+    rng = random.Random(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    paths: dict[str, str] = {}
+
+    def write(name: str, header: list[str], rows: list[list]) -> None:
+        path = os.path.join(out_dir, f"{name}.csv")
+        with open(path, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(header)
+            w.writerows(rows)
+        paths[name] = path
+
+    n_users, n_questions, n_answers = 150, 400, 450
+    users = [
+        [
+            uid,
+            f"user {uid}",
+            rng.randint(18, 80) if rng.random() > 0.3 else None,
+            rng.choice(_LOCATIONS) if rng.random() > 0.2 else None,
+            rng.randint(1, 20000),
+        ]
+        for uid in range(1, n_users + 1)
+    ]
+    write("Users", ["Id", "DisplayName", "Age", "Location", "Reputation"], users)
+
+    questions = []
+    for qid in range(1, n_questions + 1):
+        questions.append(
+            [
+                qid,
+                f"question title {qid}",
+                1,
+                None,
+                rng.randint(-5, 60),
+                rng.randint(1, n_users) if rng.random() > 0.05 else None,
+                rng.randint(0, 40) if rng.random() > 0.4 else None,
+                None,  # AcceptedAnswerId patched below
+                0,
+            ]
+        )
+    answers = []
+    q_answers: dict[int, list[int]] = {}
+    for i in range(n_answers):
+        aid = n_questions + 1 + i
+        parent = rng.randint(1, n_questions)
+        answers.append(
+            [
+                aid,
+                None,
+                2,
+                parent,
+                rng.randint(-5, 120),
+                rng.randint(1, n_users) if rng.random() > 0.05 else None,
+                None,
+                None,
+                None,
+            ]
+        )
+        q_answers.setdefault(parent, []).append(aid)
+    for q in questions:
+        aids = q_answers.get(q[0])
+        if aids and rng.random() > 0.3:
+            q[7] = rng.choice(aids)  # accepted answer
+        q[8] = len(aids or [])
+    write(
+        "Posts",
+        [
+            "Id",
+            "Title",
+            "PostTypeId",
+            "ParentId",
+            "Score",
+            "OwnerUserId",
+            "FavoriteCount",
+            "AcceptedAnswerId",
+            "AnswerCount",
+        ],
+        questions + answers,
+    )
+
+    votes = [
+        [
+            vid,
+            rng.randint(1, n_questions + n_answers),
+            rng.choice([1, 2, 2, 2, 3, 5]),
+            f"{rng.randint(2015, 2019)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}",
+        ]
+        for vid in range(1, 4001)
+    ]
+    write("Votes", ["Id", "PostId", "VoteTypeId", "CreationDate"], votes)
+
+    comments = [
+        [
+            cid,
+            rng.randint(1, n_questions + n_answers),
+            rng.randint(1, n_users) if rng.random() > 0.1 else None,
+            rng.randint(-2, 15),
+        ]
+        for cid in range(1, 1501)
+    ]
+    write("Comments", ["Id", "PostId", "UserId", "Score"], comments)
+
+    badges = [
+        [
+            bid,
+            rng.randint(1, n_users),
+            rng.choice(_BADGE_NAMES),
+            rng.choice([1, 1, 2, 3]),
+        ]
+        for bid in range(1, 501)
+    ]
+    write("Badges", ["Id", "UserId", "Name", "Class"], badges)
+
+    # loaded-but-never-queried parity tables (RDataFramesSQL.Rmd:62, 65)
+    write("Tags", ["Id", "TagName", "Count"], [[1, "travel", 10]])
+    write("PostLinks", ["Id", "PostId", "RelatedPostId", "LinkTypeId"], [[1, 1, 2, 1]])
+    return paths
+
+
+def load_se(spark: SparkSession, data_dir: str) -> dict[str, DataFrame]:
+    """read.csv x7 + view registration — the reference's load step."""
+    out = {}
+    for name, schema in SCHEMAS.items():
+        df = read_csv(spark, os.path.join(data_dir, f"{name}.csv"), schema=schema)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def task1_upvotes_per_year(spark: SparkSession, data_dir: str) -> DataFrame:
+    """Rmd:75-81 — per year, the question with the most upvotes."""
+    t = load_se(spark, data_dir)
+    up_per_year = (
+        t["Votes"]
+        .filter(F.col("VoteTypeId") == 2)
+        .withColumn("Year", F.date_format(F.to_date("CreationDate", "yyyy-MM-dd"), "yyyy"))
+        .groupBy("PostId", "Year")
+        .agg(F.count(F.lit(1)).alias("Count"))
+    )
+    joined = (
+        t["Posts"].filter(F.col("PostTypeId") == 1)
+        .join(up_per_year, F.col("Id") == F.col("PostId"))
+    )
+    w = Window.partitionBy("Year").orderBy(F.desc("Count"), F.asc("Id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("Title", "Year", "Count")
+        .orderBy("Year")
+    )
+
+
+TASK1_ORACLE = """
+WITH UpVotesPerYear AS (
+  SELECT PostId, strftime(CAST(CreationDate AS DATE), '%Y') AS Year, COUNT(*) AS Count
+  FROM Votes WHERE VoteTypeId = 2 GROUP BY PostId, Year
+),
+j AS (
+  SELECT p.Id, p.Title, u.Year, u.Count,
+         row_number() OVER (PARTITION BY u.Year ORDER BY u.Count DESC, p.Id) AS rn
+  FROM Posts p JOIN UpVotesPerYear u ON p.Id = u.PostId
+  WHERE p.PostTypeId = 1
+)
+SELECT Title, Year, Count FROM j WHERE rn = 1 ORDER BY Year
+"""
+
+
+def task2_top_favorited_users(spark: SparkSession, data_dir: str) -> DataFrame:
+    """Rmd:176-181 — top-10 users by total favorites, with each user's
+    most-favorited question (argmax, NULLs skipped by SUM/MAX)."""
+    t = load_se(spark, data_dir)
+    q = t["Posts"].filter(F.col("PostTypeId") == 1)
+    w = Window.partitionBy("OwnerUserId").orderBy(
+        F.desc_nulls_last("FavoriteCount"), F.asc("Id")
+    )
+    per_user = (
+        q.withColumn("rn", F.row_number().over(w))
+        .groupBy("OwnerUserId")
+        .agg(
+            F.sum("FavoriteCount").alias("FavoriteTotal"),
+            F.max(F.when(F.col("rn") == 1, F.col("Title"))).alias("MostFavoriteQuestion"),
+            F.max("FavoriteCount").alias("MostFavoriteQuestionLikes"),
+        )
+    )
+    return (
+        t["Users"].join(per_user, F.col("Id") == F.col("OwnerUserId"))
+        .select(
+            "DisplayName", "Age", "Location",
+            "FavoriteTotal", "MostFavoriteQuestion", "MostFavoriteQuestionLikes",
+        )
+        .orderBy(F.desc_nulls_last("FavoriteTotal"), F.asc("DisplayName"))
+        .limit(10)
+    )
+
+
+TASK2_ORACLE = """
+WITH ranked AS (
+  SELECT OwnerUserId, Title, FavoriteCount,
+         row_number() OVER (PARTITION BY OwnerUserId
+                            ORDER BY FavoriteCount DESC NULLS LAST, Id) AS rn
+  FROM Posts WHERE PostTypeId = 1
+),
+per_user AS (
+  SELECT OwnerUserId,
+         SUM(FavoriteCount) AS FavoriteTotal,
+         MAX(CASE WHEN rn = 1 THEN Title END) AS MostFavoriteQuestion,
+         MAX(FavoriteCount) AS MostFavoriteQuestionLikes
+  FROM ranked GROUP BY OwnerUserId
+)
+SELECT u.DisplayName, u.Age, u.Location,
+       p.FavoriteTotal, p.MostFavoriteQuestion, p.MostFavoriteQuestionLikes
+FROM Users u JOIN per_user p ON u.Id = p.OwnerUserId
+ORDER BY p.FavoriteTotal DESC NULLS LAST, u.DisplayName
+LIMIT 10
+"""
+
+
+def task3_top_positive_answer_counts(spark: SparkSession, data_dir: str) -> DataFrame:
+    """Rmd:289-298 — top-10 questions by count of positively-scored
+    answers (derived table self-join)."""
+    t = load_se(spark, data_dir)
+    posts2 = (
+        t["Posts"]
+        .filter((F.col("PostTypeId") == 2) & (F.col("Score") > 0))
+        .groupBy("ParentId")
+        .agg(F.count(F.lit(1)).alias("PositiveAnswerCount"))
+    )
+    return (
+        t["Posts"].alias("p")
+        .join(posts2.alias("p2"), F.col("p.Id") == F.col("p2.ParentId"))
+        .select(F.col("p.Id").alias("Id"), "p.Title", "p2.PositiveAnswerCount")
+        .orderBy(F.desc("PositiveAnswerCount"), F.asc("Id"))
+        .limit(10)
+    )
+
+
+TASK3_ORACLE = """
+WITH Posts2 AS (
+  SELECT ParentId, COUNT(*) AS PositiveAnswerCount
+  FROM Posts WHERE PostTypeId = 2 AND Score > 0 GROUP BY ParentId
+)
+SELECT p.Id, p.Title, Posts2.PositiveAnswerCount
+FROM Posts p JOIN Posts2 ON p.Id = Posts2.ParentId
+ORDER BY Posts2.PositiveAnswerCount DESC, p.Id
+LIMIT 10
+"""
+
+
+def task4_best_vs_accepted(spark: SparkSession, data_dir: str) -> DataFrame:
+    """Rmd:396-412 — questions whose best answer beats the accepted
+    answer by > 50 (3-way self-join; alias-in-WHERE inlined)."""
+    t = load_se(spark, data_dir)
+    posts = t["Posts"]
+    best = (
+        posts.filter(F.col("PostTypeId") == 2)
+        .groupBy("ParentId")
+        .agg(F.max("Score").alias("MaxScore"))
+    )
+    questions = posts.filter(F.col("PostTypeId") == 1).select(
+        F.col("Id").alias("QId"), "Title", "AcceptedAnswerId"
+    )
+    accepted = posts.select(F.col("Id").alias("AId"), F.col("Score").alias("AcceptedScore"))
+    return (
+        best.join(questions, F.col("ParentId") == F.col("QId"))
+        .join(accepted, F.col("AcceptedAnswerId") == F.col("AId"))
+        .withColumn("Difference", F.col("MaxScore") - F.col("AcceptedScore"))
+        .filter(F.col("Difference") > 50)
+        .select("Title", "MaxScore", "AcceptedScore", "Difference")
+        .orderBy(F.desc("Difference"), F.asc("Title"))
+    )
+
+
+TASK4_ORACLE = """
+WITH BestAnswers AS (
+  SELECT ParentId, MAX(Score) AS MaxScore
+  FROM Posts WHERE PostTypeId = 2 GROUP BY ParentId
+)
+SELECT q.Title, b.MaxScore, a.Score AS AcceptedScore,
+       b.MaxScore - a.Score AS Difference
+FROM BestAnswers b
+JOIN Posts q ON b.ParentId = q.Id AND q.PostTypeId = 1
+JOIN Posts a ON q.AcceptedAnswerId = a.Id
+WHERE b.MaxScore - a.Score > 50
+ORDER BY Difference DESC, q.Title
+"""
+
+
+def task5_comment_scores(spark: SparkSession, data_dir: str) -> DataFrame:
+    """Rmd:522-532 — top-10 questions by the owner's own comment score
+    total (composite-key join)."""
+    t = load_se(spark, data_dir)
+    cmt = (
+        t["Comments"]
+        .groupBy("PostId", "UserId")
+        .agg(F.sum("Score").alias("CommentsTotalScore"))
+    )
+    return (
+        t["Posts"].filter(F.col("PostTypeId") == 1)
+        .join(
+            cmt,
+            (F.col("Id") == F.col("PostId")) & (F.col("OwnerUserId") == F.col("UserId")),
+        )
+        .select("Title", "CommentsTotalScore")
+        .orderBy(F.desc("CommentsTotalScore"), F.asc("Title"))
+        .limit(10)
+    )
+
+
+TASK5_ORACLE = """
+WITH CmtTotScr AS (
+  SELECT PostId, UserId, SUM(Score) AS CommentsTotalScore
+  FROM Comments GROUP BY PostId, UserId
+)
+SELECT p.Title, c.CommentsTotalScore
+FROM Posts p
+JOIN CmtTotScr c ON p.Id = c.PostId AND p.OwnerUserId = c.UserId
+WHERE p.PostTypeId = 1
+ORDER BY c.CommentsTotalScore DESC, p.Title
+LIMIT 10
+"""
+
+
+def task6_valuable_badges(spark: SparkSession, data_dir: str) -> DataFrame:
+    """Rmd:613-627 — users holding gold badges whose name has 2..10
+    gold awards (IN-subquery → left-semi join; multi-column DISTINCT)."""
+    t = load_se(spark, data_dir)
+    valuable = (
+        t["Badges"].filter(F.col("Class") == 1)
+        .groupBy("Name")
+        .agg(F.count(F.lit(1)).alias("Count"))
+        .filter(F.col("Count").between(2, 10))
+        .select("Name")
+    )
+    gold = t["Badges"].filter(F.col("Class") == 1).join(valuable, "Name", "left_semi")
+    return (
+        t["Users"].alias("u")
+        .join(gold.alias("g"), F.col("u.Id") == F.col("g.UserId"))
+        .select(
+            F.col("u.Id").alias("Id"),
+            "u.DisplayName",
+            "u.Reputation",
+            "u.Age",
+            "u.Location",
+        )
+        .distinct()
+        .orderBy("Id")
+    )
+
+
+TASK6_ORACLE = """
+SELECT DISTINCT u.Id, u.DisplayName, u.Reputation, u.Age, u.Location
+FROM Users u
+JOIN Badges b ON u.Id = b.UserId
+WHERE b.Class = 1
+  AND b.Name IN (
+    SELECT Name FROM Badges WHERE Class = 1
+    GROUP BY Name HAVING COUNT(*) BETWEEN 2 AND 10
+  )
+ORDER BY u.Id
+"""
+
+
+TASKS = {
+    "task1_upvotes_per_year": (task1_upvotes_per_year, TASK1_ORACLE),
+    "task2_top_favorited_users": (task2_top_favorited_users, TASK2_ORACLE),
+    "task3_top_positive_answer_counts": (task3_top_positive_answer_counts, TASK3_ORACLE),
+    "task4_best_vs_accepted": (task4_best_vs_accepted, TASK4_ORACLE),
+    "task5_comment_scores": (task5_comment_scores, TASK5_ORACLE),
+    "task6_valuable_badges": (task6_valuable_badges, TASK6_ORACLE),
+}
