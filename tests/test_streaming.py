@@ -55,3 +55,29 @@ def test_dedup_stream_matches_batch_distinct(spark, sf_dir):
     stream = W.dedup_stream(W.stream_events(spark, sf_dir)).select("event_id")
     got = _run_stream(spark, stream, mode="append")
     assert got.count() == events.select("event_id").distinct().count()
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir):
+    """applyInPandasWithState over availableNow: the last emitted
+    snapshot per user must equal the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from sqlondataframesr_spark.streaming.stateful import running_user_totals
+
+    got = _run_stream(
+        spark, running_user_totals(W.stream_events(spark, sf_dir)), mode="update"
+    )
+    # update mode appends a row per (batch, user); keep the last
+    latest = {r["user_id"]: (r["n_events"], r["total_value"]) for r in got.collect()}
+    batch = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert set(latest) == set(batch)
+    for uid, (n, total) in batch.items():
+        gn, gt = latest[uid]
+        assert gn == n
+        assert abs(gt - total) < 0.02
