@@ -41,6 +41,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
+from ..functions import vector as V
 
 DIM = 64
 NUM_PLANES = 16
@@ -73,15 +74,12 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vec_id + double-cast vector + L2 norm (cast once, reuse everywhere)."""
     return (
         load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
-        .withColumn("nrm", F.expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+        .select("vec_id", F.expr(V.to_double("embedding")).alias("v"))
+        .withColumn("nrm", F.expr(V.l2_norm("v")))
     )
 
 
-_COS = (
-    "round(aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (a, x) -> a + x)"
-    " / ({na} * {nb}), 6)"
-)
+_COS = V.cosine("{a}", "{b}", "{na}", "{nb}")
 
 
 def with_signature(vectors: DataFrame) -> DataFrame:

@@ -1,0 +1,64 @@
+"""Physical-plan inspection — "is this the plan I'd want at 100 TB?"
+
+`.explain()` prints for humans; this module parses the executed plan
+into a small structured summary so scale properties can be *asserted*
+(tests/test_plans.py) or checked interactively:
+
+    >>> from sqlondataframesr_spark.plans.audit import audit
+    >>> a = audit(df)
+    >>> a.pushed_filters       # reached the parquet reader?
+    >>> a.join_strategies      # broadcast vs shuffle
+    >>> a.has_cartesian        # accidental cross product?
+
+The summary reads the AQE *final* plan when available — what actually
+ran, not the static estimate.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+_JOIN_RE = re.compile(
+    r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+    r"BroadcastNestedLoopJoin|CartesianProduct)"
+)
+
+
+@dataclass
+class PlanAudit:
+    text: str
+    join_strategies: list[str] = field(default_factory=list)
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    n_exchanges: int = 0
+    has_cartesian: bool = False
+    has_fused_topk: bool = False
+
+    def scan_columns(self) -> set[str]:
+        """Union of all columns any scan actually reads."""
+        cols: set[str] = set()
+        for s in self.read_schemas:
+            cols |= {c.split(":")[0] for c in s.split(",") if c}
+        return cols
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit(df: DataFrame) -> PlanAudit:
+    plan = physical_plan(df)
+    return PlanAudit(
+        text=plan,
+        join_strategies=_JOIN_RE.findall(plan),
+        pushed_filters=[
+            f for f in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if f
+        ],
+        read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", plan),
+        n_exchanges=plan.count("Exchange hashpartitioning"),
+        has_cartesian="CartesianProduct" in plan,
+        has_fused_topk="TakeOrderedAndProject" in plan,
+    )

@@ -9,11 +9,10 @@ refactor that silently produces a read-everything plan fails CI.
 
 from __future__ import annotations
 
-import re
-
 import pytest
 
 from sqlondataframesr_spark import registry
+from sqlondataframesr_spark.plans.audit import audit
 
 REF = [
     "q1_yearly_top_order",
@@ -25,14 +24,17 @@ REF = [
 ]
 
 
+def _audit(spark, sf_dir, name: str):
+    return audit(registry.queries()[name](spark, sf_dir))
+
+
 def _plan(spark, sf_dir, name: str) -> str:
-    df = registry.queries()[name](spark, sf_dir)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return _audit(spark, sf_dir, name).text
 
 
 @pytest.mark.parametrize("name", REF)
 def test_no_cartesian_product(spark, sf_dir, name):
-    assert "CartesianProduct" not in _plan(spark, sf_dir, name)
+    assert not _audit(spark, sf_dir, name).has_cartesian
 
 
 @pytest.mark.parametrize(
@@ -53,10 +55,8 @@ def test_filters_reach_the_scan(spark, sf_dir, name, pushed):
 def test_column_pruning_q3(spark, sf_dir):
     """q3 touches 2 of lineitem's 16 columns; the scan must read
     exactly those (a full-width scan is ~8x the IO at any scale)."""
-    plan = _plan(spark, sf_dir, "q3_top_orders_by_big_items")
-    li_schemas = [
-        s for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan) if "l_" in s
-    ]
+    a = _audit(spark, sf_dir, "q3_top_orders_by_big_items")
+    li_schemas = [s for s in a.read_schemas if "l_" in s]
     assert li_schemas and all(
         set(s.split(",")) <= {"l_orderkey:bigint", "l_quantity:double"}
         for s in li_schemas
@@ -66,18 +66,16 @@ def test_column_pruning_q3(spark, sf_dir):
 def test_topk_is_fused_q3(spark, sf_dir):
     """ORDER BY .. LIMIT k must lower to TakeOrderedAndProject (per-
     partition top-k then merge), never a full global sort."""
-    assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "q3_top_orders_by_big_items")
+    assert _audit(spark, sf_dir, "q3_top_orders_by_big_items").has_fused_topk
 
 
 def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
     """The scan side must stream against the broadcast query set; a
     shuffle-based join here would move the full corpus."""
-    plan = _plan(spark, sf_dir, "ann_cosine_topk")
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastNestedLoopJoin" in _audit(spark, sf_dir, "ann_cosine_topk").join_strategies
 
 
 def test_dedup_exact_single_shuffle(spark, sf_dir):
     """Exact dedup is one hash-aggregate: exactly one exchange (plus
     any AQE-inserted reads), keyed on the text hash."""
-    plan = _plan(spark, sf_dir, "dedup_exact")
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert _audit(spark, sf_dir, "dedup_exact").n_exchanges == 1
