@@ -68,3 +68,42 @@ def test_register_csv_dir(spark, sf_dir, tmp_path):
         " ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name ORDER BY r.r_name"
     ).collect()
     assert len(got) == 5 and all(r["n"] == 5 for r in got)
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """orders ⋈ lineitem both bucketed on the order key: the join must
+    run with ZERO exchanges — bucket i joins bucket i directly."""
+    from sqlondataframesr_spark.plans.audit import audit
+
+    # warehouse.dir is a static conf — tables land in ./spark-warehouse
+    # (gitignored); dropped in the finally below
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    io.write_bucketed(orders, "orders_b", ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    io.write_bucketed(lineitem, "lineitem_b", ["l_orderkey"], 8, sort_by=["l_orderkey"])
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = (
+                spark.table("orders_b")
+                .join(
+                    spark.table("lineitem_b"),
+                    F.col("o_orderkey") == F.col("l_orderkey"),
+                )
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            a = audit(j)
+            assert "SortMergeJoin" in a.join_strategies
+            # the JOIN itself is exchange-free; the only exchange is the
+            # final single-key aggregate
+            assert a.n_exchanges <= 1
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

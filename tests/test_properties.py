@@ -1,0 +1,59 @@
+"""Property-based tests (hypothesis): algebraic equivalences that must
+hold for ALL inputs, not just the fixture corpus.
+
+- salted_join is a pure physical rewrite of join
+- the single-shuffle argmax (max_by) agrees with the window form
+
+Examples are capped small: each example costs Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from sqlondataframesr_spark.check import compare_frames
+from sqlondataframesr_spark.operators.argmax import argmax_maxby, argmax_window
+from sqlondataframesr_spark.operators.salt import salted_join
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),   # key
+        st.integers(min_value=-50, max_value=50),  # measure
+        st.integers(min_value=0, max_value=99),  # id / tiebreak
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=ROWS, n_salts=st.integers(min_value=1, max_value=7))
+@_SETTINGS
+def test_salted_join_is_pure_rewrite(spark, rows, n_salts):
+    fact = spark.createDataFrame(rows, "key int, measure int, id int")
+    dim = spark.createDataFrame(
+        [(k, k * 10) for k in range(5)], "key int, attr int"
+    )
+    plain = fact.join(dim, ["key"])
+    salted = salted_join(fact, dim, keys=["key"], n_salts=n_salts)
+    assert not compare_frames(salted.select(*plain.columns), plain)
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_argmax_forms_agree(spark, rows):
+    # unique (key, id) so the tie-break (measure desc, id asc) is total
+    rows = list({(r[0], r[2]): r for r in rows}.values())
+    df = spark.createDataFrame(rows, "key int, measure int, id int")
+    via_window = argmax_window(df, ["key"], "measure", ["id"]).select(
+        "key", "measure", "id"
+    )
+    via_maxby = argmax_maxby(df, ["key"], "measure", payload=["id"], tiebreak="id")
+    assert not compare_frames(via_maxby.select("key", "measure", "id"), via_window)
