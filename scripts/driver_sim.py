@@ -22,6 +22,9 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 qs, osql = e.queries(), e.oracle_sql()
+# optional argv filter: python driver_sim.py q14 q15  (prefix match)
+if len(sys.argv) > 1:
+    qs = {n: f for n, f in qs.items() if any(n.startswith(p) for p in sys.argv[1:])}
 fails = 0
 for name, fn in sorted(qs.items()):
     sdf = fn(spark, SF)

@@ -206,6 +206,139 @@ ORDER BY nationkey
 """
 
 
+def q14_outer_join_spend_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + COALESCE + CASE WHEN (none in the reference —
+    SURVEY.md §2.4/§2.7 "NOT present"): every customer with their total
+    spend, 0 if they never ordered, classified into tiers.
+
+    Scale: the aggregate shrinks orders to one row per customer BEFORE
+    the join (partial-agg map-side), so the outer join shuffles the
+    pre-reduced side — never raw orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    return (
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.coalesce(F.col("total"), F.lit(0.0)), 2).alias("spend"),
+            F.when(F.col("total").isNull(), "none")
+            .when(F.col("total") > 400000, "high")
+            .otherwise("regular")
+            .alias("tier"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+Q14_ORACLE = """
+SELECT c_custkey, c_name,
+       ROUND(COALESCE(s.total, 0), 2) AS spend,
+       CASE WHEN s.total IS NULL THEN 'none'
+            WHEN s.total > 400000 THEN 'high'
+            ELSE 'regular' END AS tier
+FROM customer c
+LEFT JOIN (SELECT o_custkey, SUM(o_totalprice) AS total
+           FROM orders GROUP BY o_custkey) s
+  ON c.c_custkey = s.o_custkey
+ORDER BY c_custkey
+"""
+
+
+def q15_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wider aggregate battery (AVG / MIN / COUNT DISTINCT / sample
+    stddev) per (returnflag, linestatus) — none used by the reference
+    (SURVEY.md §2.3 "NOT present").
+
+    Determinism: avg and stddev are DERIVED from exact integer sums
+    (sum, sum of squares, count — quantity is integral, exact in
+    doubles below 2^53) with the textually identical formula in both
+    engines, so the doubles match bit-for-bit; a native stddev_samp
+    would sum doubles in engine-specific order. COUNT(DISTINCT
+    l_partkey) is exact — Spark plans it as a two-stage expand +
+    aggregate; at 100 TB swap approx_count_distinct (HLL, one pass,
+    mergeable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("s"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("ss"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.expr("ROUND(CAST(s AS DOUBLE) / n, 6)").alias("avg_qty"),
+        "min_qty",
+        "max_qty",
+        "n_parts",
+        F.expr(
+            "ROUND(SQRT((n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * (n - 1))), 6)"
+        ).alias("stddev_qty"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+Q15_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+         COUNT(*) AS n,
+         SUM(l_quantity) AS s,
+         SUM(l_quantity * l_quantity) AS ss,
+         MIN(l_quantity) AS min_qty,
+         MAX(l_quantity) AS max_qty,
+         COUNT(DISTINCT l_partkey) AS n_parts
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, n,
+       ROUND(CAST(s AS DOUBLE) / n, 6) AS avg_qty,
+       min_qty, max_qty, n_parts,
+       ROUND(SQRT((n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (n - 1))), 6) AS stddev_qty
+FROM g
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q16_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().pivot()`` — the DataFrame-API pivot with EXPLICIT
+    pivot values (passing the list skips the eager distinct-scan job
+    Spark otherwise runs to discover them; at 100 TB that scan is a
+    full pass over the fact table). Lowers to one hash aggregate with
+    conditional branches — same single shuffle as a plain groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    ).orderBy("o_orderpriority")
+
+
+Q16_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q7_rollup_order_counts": q7_rollup_order_counts,
     "q8_union_all_parties": q8_union_all_parties,
@@ -214,6 +347,9 @@ QUERIES = {
     "q11_quantity_quantiles": q11_quantity_quantiles,
     "q12_set_intersect": q12_set_intersect,
     "q13_set_except": q13_set_except,
+    "q14_outer_join_spend_tiers": q14_outer_join_spend_tiers,
+    "q15_lineitem_stats": q15_lineitem_stats,
+    "q16_pivot_status_by_priority": q16_pivot_status_by_priority,
 }
 
 ORACLES = {
@@ -224,6 +360,9 @@ ORACLES = {
     "q11_quantity_quantiles": Q11_ORACLE,
     "q12_set_intersect": Q12_ORACLE,
     "q13_set_except": Q13_ORACLE,
+    "q14_outer_join_spend_tiers": Q14_ORACLE,
+    "q15_lineitem_stats": Q15_ORACLE,
+    "q16_pivot_status_by_priority": Q16_ORACLE,
 }
 
 SPARK_SQL: dict[str, str] = {}
