@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .llm import dedup, minhash, simhash, similarity, text
 from .multimodal import media
-from .operators import grouped
+from .operators import asof, grouped
 from .queries import extensions, reference
 from .streaming import windows as streaming_windows
 
@@ -24,6 +24,7 @@ _MODULES = [
     streaming_windows,
     media,
     grouped,
+    asof,
 ]
 
 

@@ -52,3 +52,31 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         "event_id", "type_code"
     )
     assert not compare_frames(salted, plain)
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive (>=) match, latest-preceding wins, NULLs when nothing
+    precedes, left rows always survive."""
+    import pytest
+    from sqlondataframesr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 5, "a"),   # matches right t=5 (equal ts is inclusive)
+            (1, 9, "b"),   # matches right t=7 (latest preceding)
+            (1, 2, "c"),   # nothing precedes -> NULL
+            (2, 4, "d"),   # key with no right rows at all -> NULL
+        ],
+        "k int, t int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 50), (1, 7, 70), (1, 11, 110)], "k int, t int, val int"
+    )
+    got = {
+        (r["k"], r["t"]): r["val"]
+        for r in asof_join(left, right, ["k"], "t", "t").collect()
+    }
+    assert got == {(1, 5): 50, (1, 9): 70, (1, 2): None, (2, 4): None}
+
+    with pytest.raises(ValueError, match="rename"):
+        asof_join(left, right.withColumnRenamed("val", "tag"), ["k"], "t", "t")
