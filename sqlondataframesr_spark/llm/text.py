@@ -12,7 +12,7 @@ ASCII character classes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 
@@ -220,11 +220,108 @@ FROM s
 """
 
 
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-20 terms by DOCUMENT frequency
+    (explode of per-doc distinct terms → count → top-k).
+
+    Scale: array_distinct runs map-side so each doc emits each term
+    once; the count gets a map-side partial aggregate, so the shuffle
+    carries one row per (partition, term); the top-20 lowers to
+    TakeOrderedAndProject — no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    term = docs.select(
+        F.explode(F.array_distinct(_tokens())).alias("term")
+    )
+    counted = term.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # top-k FIRST (lowers to TakeOrderedAndProject — per-partition
+    # heaps, no global sort); the rank window then only ever sees 20
+    # rows. A bare Window.orderBy over the full vocabulary would drag
+    # every term to one partition.
+    top = counted.orderBy(F.desc("doc_freq"), "term").limit(20)
+    w = Window.orderBy(F.desc("doc_freq"), "term")
+    return top.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
+
+
+TEXT_TOP_TERMS_ORACLE = """
+WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
+e AS (SELECT doc_id, unnest(w) AS term FROM t),
+c AS (SELECT term, COUNT(*) AS doc_freq FROM e GROUP BY term),
+r AS (SELECT term, doc_freq,
+             row_number() OVER (ORDER BY doc_freq DESC, term) AS rnk
+      FROM c)
+SELECT term, doc_freq, rnk FROM r WHERE rnk <= 20 ORDER BY rnk
+"""
+
+
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most TF-IDF-characteristic term of every document:
+    tf(term, doc)/|doc| * ln((N+1)/(df+1)), argmax per doc with a term
+    tie-break.
+
+    Determinism: tf, df, N, |doc| are exact integers; both engines
+    evaluate the textually identical double expression, so scores are
+    bit-identical before the 6 dp display rounding.
+
+    Scale: two keyed shuffles (tf by (doc, term), df by term) plus a
+    window re-key by doc. df joins BACK to tf by term as a regular
+    shuffle join — the vocabulary is NOT broadcast (at web scale it is
+    billions of terms); the one-row corpus count is. Zipf skew on hot
+    terms is AQE's skew-join case."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_doc = Window.partitionBy("doc_id")
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("n_tok", F.sum("tf").over(w_doc))
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("tf").cast("double") / F.col("n_tok").cast("double"))
+                * F.log(
+                    (F.col("n_docs").cast("double") + 1)
+                    / (F.col("df").cast("double") + 1)
+                ),
+                6,
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", "term", "tf", "df", "score")
+        .orderBy("doc_id")
+    )
+
+
+TEXT_TFIDF_ORACLE = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         ROUND((CAST(tf.tf AS DOUBLE) / CAST(SUM(tf.tf) OVER (PARTITION BY tf.doc_id) AS DOUBLE))
+               * ln((CAST(n_docs AS DOUBLE) + 1) / (CAST(df AS DOUBLE) + 1)), 6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM scored)
+SELECT doc_id, term, tf, df, score FROM r WHERE rnk = 1 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "lang_id_stopword": lang_id_stopword,
     "doc_fingerprint": doc_fingerprint,
+    "text_top_terms": text_top_terms,
+    "text_tfidf_top_term": text_tfidf_top_term,
 }
 
 ORACLES = {
@@ -232,6 +329,8 @@ ORACLES = {
     "text_quality_score": TEXT_QUALITY_SCORE_ORACLE,
     "lang_id_stopword": LANG_ID_ORACLE,
     "doc_fingerprint": DOC_FINGERPRINT_ORACLE,
+    "text_top_terms": TEXT_TOP_TERMS_ORACLE,
+    "text_tfidf_top_term": TEXT_TFIDF_ORACLE,
 }
 
 SPARK_SQL: dict[str, str] = {}
