@@ -1,0 +1,169 @@
+"""Deterministic sampling / splitting / packing operators over the
+``documents`` table — the selection layer of a training-data pipeline.
+
+Reproducibility is the whole point: at 100 TB a sample that depends on
+partition order, task retries, or an RNG seed-per-executor is useless
+(re-running the job must yield the SAME train/val/test membership).
+Every operator here derives its randomness from ``md5(doc_id)`` — a
+pure column expression computed identically by Spark
+(``conv(substr(md5(x),1,8),16,10)``) and the DuckDB oracle
+(``('0x' || substr(md5(x),1,8))::BIGINT``) — so membership is a property
+of the ROW, not of the run.
+
+Reference parity note: the reference (rafalbojarczuk/SQLonDataFramesR)
+has no sampling surface at all — these are north-star extensions in the
+sense of SURVEY.md §7 phase 5, not transpositions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+
+#: hash-bucket split boundaries (out of 100): [0,80) train, [80,90) val,
+#: [90,100) test
+TRAIN_PCT = 80
+VAL_PCT = 90
+
+#: per-(lang, source) stratum quota for quota sampling
+STRATUM_N = 5
+
+#: token budget per packed training sequence
+PACK_BUDGET = 512
+
+_BUCKET_SPARK = "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), 100)"
+_BUCKET_DUCK = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+
+
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket:
+    ``md5(doc_id) % 100`` → [0,80) train, [80,90) val, [90,100) test.
+
+    This is how reproducible splits are carved at scale: membership is
+    a pure function of the key, so adding data, changing partitioning,
+    or re-running never reshuffles existing documents between splits
+    (contamination-safe). Map-only — zero shuffle, fully codegen'd.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_BUCKET_SPARK)
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+SAMPLE_HASH_SPLIT_ORACLE = f"""
+SELECT doc_id, lang,
+       {_BUCKET_DUCK} AS bucket,
+       CASE WHEN {_BUCKET_DUCK} < {TRAIN_PCT} THEN 'train'
+            WHEN {_BUCKET_DUCK} < {VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota (stratified top-N) sampling: the STRATUM_N longest
+    documents per (lang, source) stratum, deterministic tie-break on
+    doc_id. The standard "balance the mixture" selection step when one
+    source would otherwise dominate the corpus.
+
+    Scale: one shuffle keyed by the stratum; per-partition top-N via
+    ``row_number`` needs only a bounded heap per stratum under AQE.
+    Strata counts are small (langs x sources), so skew is bounded by
+    the largest stratum — for pathological strata the same plan runs
+    on a salted key with a second top-N pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= STRATUM_N)
+        .select("lang", "source", "doc_id", "n_chars", "rnk")
+    )
+
+
+SAMPLE_STRATIFIED_TOPN_ORACLE = f"""
+SELECT lang, source, doc_id, n_chars, rnk
+FROM (SELECT lang, source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents)
+WHERE rnk <= {STRATUM_N}
+"""
+
+
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: within each language, documents
+    (in doc_id order) are chunked into training bins of PACK_BUDGET
+    tokens by running token count — ``bin_id = floor((cumsum - n_tokens)
+    / budget)``, i.e. a document lands in the bin where it STARTS.
+    This is the contiguous-chunking flavor of packing (documents may
+    straddle a budget edge and be truncated/continued by the tokenizer
+    downstream); the bin assignment itself is exact and engine-portable,
+    unlike greedy first-fit which is an inherently sequential fold.
+
+    Scale: the window is partitioned by ``lang`` — the running sum
+    never crosses partitions, so this is one shuffle and NO global
+    ordering bottleneck. With few giant languages, sub-partition by a
+    coarse hash of doc_id ranges and offset bin ids per range.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    toks = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(PACK_BUDGET)),
+        )
+        .withColumn(
+            "bin_pos",
+            F.row_number().over(Window.partitionBy("lang", "bin_id").orderBy("doc_id")),
+        )
+        .select("lang", "bin_id", "bin_pos", "doc_id", "n_tokens", "cum_tokens")
+    )
+
+
+PACK_TOKEN_BUDGET_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks
+)
+SELECT lang,
+       CAST(floor((cum_tokens - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS bin_id,
+       CAST(row_number() OVER (
+            PARTITION BY lang, floor((cum_tokens - n_tokens) / {PACK_BUDGET})
+            ORDER BY doc_id) AS BIGINT) AS bin_pos,
+       doc_id, n_tokens, cum_tokens
+FROM cum
+"""
+
+
+QUERIES = {
+    "sample_hash_split": sample_hash_split,
+    "sample_stratified_topn": sample_stratified_topn,
+    "pack_token_budget": pack_token_budget,
+}
+
+ORACLES = {
+    "sample_hash_split": SAMPLE_HASH_SPLIT_ORACLE,
+    "sample_stratified_topn": SAMPLE_STRATIFIED_TOPN_ORACLE,
+    "pack_token_budget": PACK_TOKEN_BUDGET_ORACLE,
+}
+
+SPARK_SQL: dict[str, str] = {}

@@ -339,7 +339,128 @@ ORDER BY o_orderpriority
 """
 
 
+#: q18 shape: orders whose total quantity exceeds this
+BIG_ORDER_QTY = 250.0
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate + self-join: revenue from
+    lineitems whose quantity is below 20% of their part's average,
+    reported per brand.
+
+    Determinism: l_quantity values are integral doubles, so
+    sum/count (the average) is bit-exact in both engines; revenue is
+    summed in exact integer cents (round(price*100)) and divided back,
+    so no float-accumulation-order noise can flip the output.
+
+    Scale: the per-part average is one keyed shuffle on l_partkey and
+    the join back to lineitem reuses that same key — with AQE the
+    exchange is shared, not repeated. The part-dimension join is a
+    broadcast (part is ~0.2% of lineitem). The reference never uses
+    scalar subqueries; SURVEY.md §2.4 "derived table" is the nearest
+    construct (RDataFramesSQL.Rmd:290-297)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (F.sum("l_quantity") / F.count(F.lit(1)))).alias("qty_cut")
+    )
+    small = (
+        lineitem.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        small.groupBy("p_brand")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "p_brand",
+            "n_items",
+            F.round(F.col("cents") / F.lit(100.0) / F.lit(7.0), 2).alias("avg_yearly"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q17_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey, 0.2 * (SUM(l_quantity) / COUNT(*)) AS qty_cut
+  FROM lineitem GROUP BY l_partkey
+),
+small AS (
+  SELECT l.l_partkey, l.l_extendedprice
+  FROM lineitem l JOIN per_part a USING (l_partkey)
+  WHERE l.l_quantity < a.qty_cut
+)
+SELECT p.p_brand,
+       COUNT(*) AS n_items,
+       ROUND(SUM(CAST(round(s.l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0, 2)
+         AS avg_yearly
+FROM small s JOIN part p ON s.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING-filtered IN-subquery over the fact
+    table: customers holding orders whose total quantity exceeds
+    BIG_ORDER_QTY, top-20 by order value.
+
+    Spark-first: instead of the SQL IN (SELECT ... HAVING) form we
+    aggregate once and JOIN the qualifying keys back — Catalyst lowers
+    the IN-subquery to exactly this left-semi shape anyway, but doing
+    it explicitly lets us reuse the aggregate's columns (sum_qty) in
+    the output without a second scan of lineitem.
+
+    Scale: one shuffle on l_orderkey for the aggregate; the surviving
+    key set (top ~1%) broadcasts to orders; customer is a broadcast
+    dim. Top-20 lowers to TakeOrderedAndProject — no global sort."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > BIG_ORDER_QTY)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > {BIG_ORDER_QTY}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       ROUND(o.o_totalprice, 2) AS o_totalprice, b.sum_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o_totalprice DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_orders": q18_large_orders,
     "q7_rollup_order_counts": q7_rollup_order_counts,
     "q8_union_all_parties": q8_union_all_parties,
     "q9_anti_recent_customers": q9_anti_recent_customers,
@@ -353,6 +474,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q17_small_quantity_revenue": Q17_ORACLE,
+    "q18_large_orders": Q18_ORACLE,
     "q7_rollup_order_counts": Q7_ORACLE,
     "q8_union_all_parties": Q8_ORACLE,
     "q9_anti_recent_customers": Q9_ORACLE,

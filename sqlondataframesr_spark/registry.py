@@ -7,7 +7,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .llm import dedup, minhash, simhash, similarity, text
+from .llm import dedup, minhash, sampling, simhash, similarity, text
 from .multimodal import media
 from .operators import asof, grouped
 from .queries import extensions, reference
@@ -21,6 +21,7 @@ _MODULES = [
     minhash,
     simhash,
     similarity,
+    sampling,
     streaming_windows,
     media,
     grouped,

@@ -91,3 +91,45 @@ def test_ivf_probes_shrink_candidate_set(spark, sf_dir):
         if (r["q_id"], r["neighbor_id"]) in exact
     ]
     assert all(abs(a - b) < 1e-9 for a, b in both)
+
+
+def test_hash_split_is_stable_and_proportional(spark, sf_dir):
+    """Split membership must be a pure function of doc_id (same result
+    across runs) and roughly honor the 80/10/10 design."""
+    from sqlondataframesr_spark.llm import sampling
+
+    a = {r["doc_id"]: r["split"] for r in sampling.sample_hash_split(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["split"] for r in sampling.sample_hash_split(spark, sf_dir).collect()}
+    assert a == b
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.7 < frac_train < 0.9
+
+
+def test_stratified_quota_respected(spark, sf_dir):
+    from sqlondataframesr_spark.llm import sampling
+
+    rows = sampling.sample_stratified_topn(spark, sf_dir).collect()
+    per_stratum = {}
+    for r in rows:
+        per_stratum.setdefault((r["lang"], r["source"]), []).append(r)
+    assert per_stratum
+    for rs in per_stratum.values():
+        assert len(rs) <= sampling.STRATUM_N
+        # within a stratum, lengths are non-increasing by rank
+        rs.sort(key=lambda r: r["rnk"])
+        lens = [r["n_chars"] for r in rs]
+        assert lens == sorted(lens, reverse=True)
+
+
+def test_packing_bins_partition_the_corpus(spark, sf_dir):
+    """Every doc lands in exactly one bin; within a (lang, bin) the
+    running total of PRIOR docs stays under the budget (the doc that
+    crosses the edge starts the next bin)."""
+    from sqlondataframesr_spark.llm import sampling
+
+    rows = sampling.pack_token_budget(spark, sf_dir).collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})
+    for r in rows:
+        start = r["cum_tokens"] - r["n_tokens"]
+        assert r["bin_id"] == start // sampling.PACK_BUDGET
