@@ -160,6 +160,39 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     return with_watermark(events).dropDuplicates(["event_id"])
 
 
+def enriched_by_segment(
+    events: DataFrame, customer: DataFrame, width: str = TUMBLE_WIDTH
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: events joined
+    to the customer dimension on user_id, aggregated per (day window,
+    market segment). The same transformation runs over a batch or a
+    streaming ``events`` — for a stream, Spark re-reads/broadcasts the
+    static side per micro-batch and the join is stateless (only the
+    downstream window agg keeps state).
+
+    Scale: the dimension is broadcast — the 100 TB fact stream never
+    shuffles for the join; the windowed agg is one keyed shuffle on
+    (window x segment) with map-side partials.
+    """
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", width).alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # --- batch-shaped registry entries (oracle-checked) -----------------
 
 
@@ -175,6 +208,23 @@ def evt_sessions_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionized(load_table(spark, sf_dir, "events")).orderBy(
         "user_id", "session_start"
     )
+
+
+def evt_segment_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enriched_by_segment(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    ).orderBy("ws", "segment")
+
+
+EVT_SEGMENT_DAILY_ORACLE = """
+SELECT time_bucket(INTERVAL '1 day', e.ts) AS ws,
+       c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 2) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY ws, segment
+ORDER BY ws, segment
+"""
 
 
 EVT_TUMBLING_DAILY_ORACLE = """
@@ -230,9 +280,11 @@ QUERIES = {
     "evt_tumbling_daily": evt_tumbling_daily,
     "evt_sliding_12h": evt_sliding_12h,
     "evt_sessions_1h": evt_sessions_1h,
+    "evt_segment_daily": evt_segment_daily,
 }
 
 ORACLES = {
+    "evt_segment_daily": EVT_SEGMENT_DAILY_ORACLE,
     "evt_tumbling_daily": EVT_TUMBLING_DAILY_ORACLE,
     "evt_sliding_12h": EVT_SLIDING_12H_ORACLE,
     "evt_sessions_1h": EVT_SESSIONS_1H_ORACLE,

@@ -79,3 +79,16 @@ def test_dedup_exact_single_shuffle(spark, sf_dir):
     """Exact dedup is one hash-aggregate: exactly one exchange (plus
     any AQE-inserted reads), keyed on the text hash."""
     assert _audit(spark, sf_dir, "dedup_exact").n_exchanges == 1
+
+
+def test_hash_split_is_map_only(spark, sf_dir):
+    """Deterministic split must be a pure map: zero exchanges — at
+    100 TB any shuffle here would be moving the whole corpus to
+    assign a per-row label."""
+    assert _audit(spark, sf_dir, "sample_hash_split").n_exchanges == 0
+
+
+def test_q18_topk_fused_no_global_sort(spark, sf_dir):
+    a = _audit(spark, sf_dir, "q18_large_orders")
+    assert a.has_fused_topk
+    assert not a.has_cartesian

@@ -81,3 +81,17 @@ def test_stateful_running_totals_match_batch(spark, sf_dir):
         gn, gt = latest[uid]
         assert gn == n
         assert abs(gt - total) < 0.02
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static broadcast join: joining each micro-batch to the
+    static customer dim then window-aggregating must equal the batch
+    plan of the same composed transformation."""
+    batch = W.enriched_by_segment(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+    stream = W.enriched_by_segment(
+        W.with_watermark(W.stream_events(spark, sf_dir)),
+        load_table(spark, sf_dir, "customer"),
+    )
+    got = _run_stream(spark, stream)
+    assert not compare_frames(got, batch)
