@@ -239,6 +239,53 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored)
 
 
+def emb_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the aggregation
+    behind cluster quality checks, IVF codebook refresh, and
+    label-drift monitoring.
+
+    Element-wise mean WITHOUT exploding: each of the 64 dimensions is
+    a separate aggregate column, so the plan is ONE hash aggregate
+    with map-side partials shuffling 64 longs per (partition, label) —
+    versus explode's 64x row blow-up through the shuffle.
+
+    Determinism: each component is quantized to integer micros
+    (round(x*1e6)) BEFORE summing, so partial-aggregation order cannot
+    perturb the sum — both engines produce the identical integer, and
+    the final mean is one exact-input double division."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.expr(V.to_double("embedding")).alias("v")
+    )
+    sums = [
+        F.sum(F.expr(f"cast(round(v[{i}] * 1000000) as bigint)")).alias(f"s{i}")
+        for i in range(DIM)
+    ]
+    g = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"), *sums)
+    centroid = F.array(
+        *[F.round(F.col(f"s{i}") / (F.col("n") * F.lit(1000000.0)), 6) for i in range(DIM)]
+    )
+    return g.select("label", "n", centroid.alias("centroid")).orderBy("label")
+
+
+def _centroid_oracle() -> str:
+    sums = ",\n       ".join(
+        f"SUM(CAST(round(v[{i + 1}] * 1000000) AS BIGINT)) AS s{i}" for i in range(DIM)
+    )
+    comps = ", ".join(f"ROUND(s{i} / (n * 1000000.0), 6)" for i in range(DIM))
+    return f"""
+WITH e AS (SELECT label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+g AS (
+  SELECT label, COUNT(*) AS n,
+       {sums}
+  FROM e GROUP BY label
+)
+SELECT label, n, [{comps}] AS centroid FROM g ORDER BY label
+"""
+
+
+EMB_LABEL_CENTROID_ORACLE = _centroid_oracle()
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup vector pairs: band collision then exact cosine >= 0.4."""
     # vec feeds three branches (bands + both sides of the score join)
@@ -397,6 +444,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "emb_label_centroid": emb_label_centroid,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -404,6 +452,7 @@ ORACLES = {
     "ann_cosine_topk": ANN_COSINE_TOPK_ORACLE,
     "ann_lsh_topk": ANN_LSH_TOPK_ORACLE,
     "ann_ivf_topk": ANN_IVF_TOPK_ORACLE,
+    "emb_label_centroid": EMB_LABEL_CENTROID_ORACLE,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_ORACLE,
 }
 

@@ -458,8 +458,47 @@ LIMIT 20
 """
 
 
+def q19_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column surface: parse the ``events.props`` JSON payload
+    (``get_json_object`` → typed cast) and aggregate the extracted
+    field per event type. The reference has no JSON anywhere
+    (SURVEY.md §2.7 "NOT present"); any real event pipeline does.
+
+    Scale: JSON parsing is per-row JVM work inside codegen (no UDF);
+    the aggregate is one keyed shuffle with map-side partials. For a
+    hot path at 100 TB you'd materialize the extracted column once
+    (schema-on-write) rather than re-parse per query — this operator
+    is the schema-on-read form."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q19_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_json_props_stats": q19_json_props_stats,
     "q18_large_orders": q18_large_orders,
     "q7_rollup_order_counts": q7_rollup_order_counts,
     "q8_union_all_parties": q8_union_all_parties,
@@ -476,6 +515,7 @@ QUERIES = {
 ORACLES = {
     "q17_small_quantity_revenue": Q17_ORACLE,
     "q18_large_orders": Q18_ORACLE,
+    "q19_json_props_stats": Q19_ORACLE,
     "q7_rollup_order_counts": Q7_ORACLE,
     "q8_union_all_parties": Q8_ORACLE,
     "q9_anti_recent_customers": Q9_ORACLE,
