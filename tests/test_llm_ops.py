@@ -133,3 +133,27 @@ def test_packing_bins_partition_the_corpus(spark, sf_dir):
     for r in rows:
         start = r["cum_tokens"] - r["n_tokens"]
         assert r["bin_id"] == start // sampling.PACK_BUDGET
+
+
+def test_dedup_clusters_partition_and_contain_pairs(spark, sf_dir):
+    """Every doc gets exactly one cluster; near-dup pairs land in the
+    same cluster; cluster_id is the min member; sizes are consistent."""
+    from sqlondataframesr_spark.llm.dedup import dedup_clusters, dedup_ngram_jaccard
+    from sqlondataframesr_spark.catalog import load_table
+
+    clusters = {r.doc_id: (r.cluster_id, r.cluster_size)
+                for r in dedup_clusters(spark, sf_dir).collect()}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(clusters) == n_docs
+
+    # pairwise near-dups co-clustered
+    for p in dedup_ngram_jaccard(spark, sf_dir).collect():
+        assert clusters[p.doc_a][0] == clusters[p.doc_b][0]
+
+    # cluster_id is the minimum member; size counts members
+    from collections import Counter
+    sizes = Counter(cid for cid, _ in clusters.values())
+    for doc_id, (cid, csize) in clusters.items():
+        assert cid <= doc_id
+        assert sizes[cid] == csize
+        assert clusters[cid][0] == cid  # representative is its own label
