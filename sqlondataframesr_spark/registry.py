@@ -7,9 +7,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .llm import dedup, minhash, sampling, simhash, similarity, text
+from .llm import decontam, dedup, minhash, sampling, simhash, similarity, text
 from .multimodal import media
-from .operators import asof, grouped
+from .operators import asof, grouped, rangejoin
 from .queries import extensions, reference
 from .streaming import windows as streaming_windows
 
@@ -17,6 +17,7 @@ _MODULES = [
     reference,
     extensions,
     text,
+    decontam,
     dedup,
     minhash,
     simhash,
@@ -26,6 +27,7 @@ _MODULES = [
     media,
     grouped,
     asof,
+    rangejoin,
 ]
 
 

@@ -92,3 +92,21 @@ def test_q18_topk_fused_no_global_sort(spark, sf_dir):
     a = _audit(spark, sf_dir, "q18_large_orders")
     assert a.has_fused_topk
     assert not a.has_cartesian
+
+
+def test_decontam_broadcasts_eval_shingles(spark, sf_dir):
+    """The corpus side must never shuffle its shingles: the (small)
+    eval-set shingle dictionary is broadcast to the scan."""
+    assert "BroadcastHashJoin" in _audit(spark, sf_dir, "decontam_overlap").join_strategies
+
+
+def test_range_join_is_equijoin_not_nested_loop(spark, sf_dir):
+    """Bin-and-replicate must lower the interval condition to a hash-
+    partitioned equi-join; BroadcastNestedLoopJoin/CartesianProduct here
+    means the rewrite regressed to a quadratic plan."""
+    a = _audit(spark, sf_dir, "evt_pairs_in_window")
+    assert not a.has_cartesian
+    assert "BroadcastNestedLoopJoin" not in a.join_strategies
+    assert any(
+        s in a.join_strategies for s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
