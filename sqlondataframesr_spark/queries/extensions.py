@@ -496,8 +496,84 @@ ORDER BY event_type
 """
 
 
+def q20_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation for one region and one year,
+    where the supplier is in the customer's nation — a 6-table join
+    (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region).
+
+    The scale-defining query of the schema. Plan hygiene:
+
+    - the date predicate filters ``orders`` AT THE SCAN (pushed to
+      parquet) before the fact-fact join, cutting the build side ~7×;
+    - nation (25 rows) and region (5) are schema-bounded → broadcast,
+      so the only shuffles are the three fact-side equi-joins
+      (orderkey, custkey, suppkey) — each keyed on the join column,
+      AQE free to reorder/skew-split;
+    - the c_nationkey = s_nationkey condition rides ON the supplier
+      join (composite key), not as a post-filter, so the join output
+      never inflates to per-order supplier fan-out.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    )
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(
+            supp,
+            (F.col("l_suppkey") == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+Q20_ORACLE = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
 QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q20_regional_revenue": q20_regional_revenue,
     "q19_json_props_stats": q19_json_props_stats,
     "q18_large_orders": q18_large_orders,
     "q7_rollup_order_counts": q7_rollup_order_counts,
@@ -514,6 +590,7 @@ QUERIES = {
 
 ORACLES = {
     "q17_small_quantity_revenue": Q17_ORACLE,
+    "q20_regional_revenue": Q20_ORACLE,
     "q18_large_orders": Q18_ORACLE,
     "q19_json_props_stats": Q19_ORACLE,
     "q7_rollup_order_counts": Q7_ORACLE,

@@ -193,6 +193,49 @@ def enriched_by_segment(
     )
 
 
+JOIN_HORIZON = "2 hours"
+
+
+def click_purchase_pairs(events: DataFrame) -> DataFrame:
+    """Stream-stream (self) join: every (click, purchase) pair of the
+    same user with the purchase inside [click, click + 2h).
+
+    Batch and stream run the identical transformation. In streaming
+    mode this is Spark's stateful stream-stream inner join: both sides
+    buffer rows in state, and the **time-range condition plus the
+    watermark** is what makes the state finite — a click older than
+    watermark - 2h can never match a future purchase, so the join
+    operator evicts it. Without the range condition the state would
+    grow forever; that eviction bound is the entire scale story of
+    stream-stream joins.
+
+    Scale (batch): an equi-join keyed on user_id with the range as a
+    residual predicate — one shuffle per side; per-user in-horizon
+    density bounds the output, AQE handles hot users.
+    """
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {JOIN_HORIZON}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("dt_us"),
+    )
+
+
 # --- batch-shaped registry entries (oracle-checked) -----------------
 
 
@@ -276,7 +319,30 @@ ORDER BY user_id, session_start
 """
 
 
+def evt_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return click_purchase_pairs(load_table(spark, sf_dir, "events")).orderBy(
+        "click_id", "purchase_id"
+    )
+
+
+EVT_CLICK_PURCHASE_PAIRS_ORACLE = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS dt_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts < c.ts + INTERVAL 2 HOUR
+ORDER BY click_id, purchase_id
+"""
+
+
 QUERIES = {
+    "evt_click_purchase_pairs": evt_click_purchase_pairs,
     "evt_tumbling_daily": evt_tumbling_daily,
     "evt_sliding_12h": evt_sliding_12h,
     "evt_sessions_1h": evt_sessions_1h,
@@ -284,6 +350,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "evt_click_purchase_pairs": EVT_CLICK_PURCHASE_PAIRS_ORACLE,
     "evt_segment_daily": EVT_SEGMENT_DAILY_ORACLE,
     "evt_tumbling_daily": EVT_TUMBLING_DAILY_ORACLE,
     "evt_sliding_12h": EVT_SLIDING_12H_ORACLE,

@@ -110,3 +110,13 @@ def test_range_join_is_equijoin_not_nested_loop(spark, sf_dir):
     assert any(
         s in a.join_strategies for s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_q20_pushes_date_filter_and_broadcasts_dims(spark, sf_dir):
+    """The 6-table join must read orders pre-filtered at the scan and
+    join nation/region as broadcasts — no shuffle for dimensions whose
+    size is schema-bounded."""
+    a = _audit(spark, sf_dir, "q20_regional_revenue")
+    assert not a.has_cartesian
+    assert a.join_strategies.count("BroadcastHashJoin") >= 2
+    assert any("o_orderdate" in f for f in a.pushed_filters)

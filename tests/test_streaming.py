@@ -95,3 +95,12 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
     )
     got = _run_stream(spark, stream)
     assert not compare_frames(got, batch)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream self-join (click→purchase within 2h): the stateful
+    streaming join's append output must equal the batch join."""
+    batch = W.click_purchase_pairs(load_table(spark, sf_dir, "events"))
+    stream = W.click_purchase_pairs(W.with_watermark(W.stream_events(spark, sf_dir)))
+    got = _run_stream(spark, stream, mode="append")
+    assert not compare_frames(got, batch)
