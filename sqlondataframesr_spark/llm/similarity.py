@@ -440,7 +440,86 @@ ORDER BY vec_a, vec_b
 """
 
 
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column:
+    per-vector scale = 127 / max|x|, q_i = floor(x_i * scale + 0.5)
+    (explicit floor(+0.5): identical half-up rounding on every engine,
+    no round()-mode divergence). The standard storage/serving
+    compression for vector indexes — 4x smaller than float32, and the
+    int8 dot product is what SIMD ANN kernels consume.
+
+    Pure map over the scan: no shuffle, no UDF — transform/array_max
+    run inside codegen. Emits the quantized vector, its per-vector
+    scale (to dequantize) and the quantization error (max abs diff
+    after round-trip) so a pipeline can gate on quality.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    return (
+        v.withColumn("maxabs", F.expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn(
+            "scale",
+            F.when(F.col("maxabs") > 0, F.lit(127.0) / F.col("maxabs")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "q_emb",
+            F.expr("transform(v, x -> cast(floor(x * scale + 0.5d) as int))"),
+        )
+        .withColumn(
+            "max_err",
+            F.when(F.col("scale") > 0,
+                   F.round(
+                       F.expr(
+                           "array_max(transform(zip_with(v, q_emb,"
+                           " (x, q) -> abs(x - q / scale)), e -> e))"
+                       ),
+                       6,
+                   )).otherwise(F.lit(0.0)),
+        )
+        .select("vec_id", "q_emb", F.round("scale", 6).alias("scale"), "max_err")
+        .orderBy("vec_id")
+    )
+
+
+EMB_QUANTIZE_INT8_ORACLE = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS maxabs
+  FROM v
+),
+sc AS (
+  SELECT vec_id, v,
+         CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale
+  FROM s
+),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS q_emb
+  FROM sc
+)
+SELECT vec_id, q_emb, ROUND(scale, 6) AS scale,
+       CASE WHEN scale > 0
+            THEN ROUND(list_max(list_transform(
+                   list_zip(v, q_emb),
+                   p -> abs(p[1] - p[2] / scale))), 6)
+            ELSE 0.0 END AS max_err
+FROM q
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
+    "emb_quantize_int8": emb_quantize_int8,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -449,6 +528,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_quantize_int8": EMB_QUANTIZE_INT8_ORACLE,
     "ann_cosine_topk": ANN_COSINE_TOPK_ORACLE,
     "ann_lsh_topk": ANN_LSH_TOPK_ORACLE,
     "ann_ivf_topk": ANN_IVF_TOPK_ORACLE,

@@ -315,7 +315,93 @@ SELECT doc_id, term, tf, df, score FROM r WHERE rnk = 1 ORDER BY doc_id
 """
 
 
+#: chunking geometry: 64-token windows advancing by 48 (16-token overlap)
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into 64-token
+    chunks with 16-token overlap, one output row per chunk with its
+    token count and content hash. The step every pre-training pipeline
+    runs between cleaning and tokenization (sequence packing,
+    llm/sampling.pack_token_budget, then consumes the chunks).
+
+    Implementation is pure JVM expression work — tokenize once, compute
+    the chunk-start offsets as ``sequence(0, n_extra) * stride``, then
+    ``posexplode`` and slice. No UDF, no shuffle at all: chunking is a
+    flat map over the corpus scan, which is exactly what you want when
+    the input is 100 TB (the only wide operation anywhere downstream is
+    whatever consumes the chunks).
+
+    A document shorter than one window yields exactly one (short)
+    chunk; the final chunk keeps the tail (may be shorter than 64).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+    ).withColumn("n", F.size("w"))
+    # number of extra windows beyond the first: ceil((n - 64)/48) via ints
+    toks = toks.withColumn(
+        "n_extra",
+        F.when(
+            F.col("n") > CHUNK_TOKENS,
+            F.expr(f"(n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE}"),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "w",
+            "n",
+            F.posexplode(
+                F.expr(f"transform(sequence(0, n_extra), i -> i * {CHUNK_STRIDE})")
+            ).alias("chunk_id", "start"),
+        )
+        .withColumn("chunk", F.expr(f"slice(w, start + 1, {CHUNK_TOKENS})"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+TEXT_CHUNKS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+geo AS (
+  SELECT doc_id, w, n,
+         CASE WHEN n > {CHUNK_TOKENS}
+              THEN (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+              ELSE 0 END AS n_extra
+  FROM toks
+),
+ks AS (
+  SELECT doc_id, w, unnest(range(0, n_extra + 1)) AS k FROM geo
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(k AS BIGINT) AS chunk_id,
+         list_slice(w, CAST(k AS INT) * {CHUNK_STRIDE} + 1,
+                       CAST(k AS INT) * {CHUNK_STRIDE} + {CHUNK_TOKENS}) AS chunk
+  FROM ks
+)
+SELECT doc_id, chunk_id,
+       CAST(len(chunk) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
+    "text_chunks": text_chunks,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "lang_id_stopword": lang_id_stopword,
@@ -325,6 +411,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_chunks": TEXT_CHUNKS_ORACLE,
     "text_token_stats": TEXT_TOKEN_STATS_ORACLE,
     "text_quality_score": TEXT_QUALITY_SCORE_ORACLE,
     "lang_id_stopword": LANG_ID_ORACLE,

@@ -571,9 +571,73 @@ ORDER BY revenue DESC
 """
 
 
+def q21_trailing_window_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based moving aggregate: per user, the trailing-7-day event
+    value sum and count at each event — a RANGE frame (event-time
+    interval), not a ROWS frame (q10): peers are defined by timestamp
+    distance, so gaps and bursts change the frame size.
+
+    The frame rides on integer epoch-microseconds on both engines, so
+    frame membership is bit-exactly identical. One shuffle on user_id;
+    within a partition Spark evaluates the sliding frame
+    incrementally — O(n) per user, not O(n * frame)."""
+    ev = load_table(spark, sf_dir, "events")
+    seven_days_us = 7 * 86400 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-seven_days_us, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("trail_7d_value"),
+        F.count(F.lit(1)).over(w).alias("trail_7d_n"),
+    ).orderBy("event_id")
+
+
+Q21_ORACLE = """
+SELECT user_id, event_id, ts,
+       ROUND(SUM(value) OVER w, 2) AS trail_7d_value,
+       COUNT(*) OVER w AS trail_7d_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def q22_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates per event_type: HyperLogLog++ distinct
+    users and t-digest-style value percentiles. THE scale substitutes
+    for exact COUNT(DISTINCT)/percentile (q15/q11 keep the exact
+    forms): fixed-size mergeable sketches, one map-side pass + one
+    tiny merge shuffle, no per-key value sets — at 100 TB the exact
+    forms shuffle the whole column, these shuffle kilobytes.
+
+    No DuckDB oracle (sketch internals are engine-specific — driver
+    records a rows-only check); tests/test_operators.py bounds both
+    against the exact answers instead.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias(
+                "value_p50_p90_p99"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q20_regional_revenue": q20_regional_revenue,
+    "q21_trailing_window_value": q21_trailing_window_value,
+    "q22_approx_sketches": q22_approx_sketches,
     "q19_json_props_stats": q19_json_props_stats,
     "q18_large_orders": q18_large_orders,
     "q7_rollup_order_counts": q7_rollup_order_counts,
@@ -591,6 +655,7 @@ QUERIES = {
 ORACLES = {
     "q17_small_quantity_revenue": Q17_ORACLE,
     "q20_regional_revenue": Q20_ORACLE,
+    "q21_trailing_window_value": Q21_ORACLE,
     "q18_large_orders": Q18_ORACLE,
     "q19_json_props_stats": Q19_ORACLE,
     "q7_rollup_order_counts": Q7_ORACLE,

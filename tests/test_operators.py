@@ -80,3 +80,34 @@ def test_asof_join_semantics(spark):
 
     with pytest.raises(ValueError, match="rename"):
         asof_join(left, right.withColumnRenamed("val", "tag"), ["k"], "t", "t")
+
+
+def test_approx_sketches_bounded_by_exact(spark, sf_dir):
+    """HLL distinct within 5% of exact; approx percentiles must be
+    actual data values bracketing the exact rank reasonably."""
+    from pyspark.sql import functions as F
+    from sqlondataframesr_spark.catalog import load_table
+    from sqlondataframesr_spark.queries.extensions import q22_approx_sketches
+
+    got = {r.event_type: r for r in q22_approx_sketches(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact_users = {
+        r.event_type: r.n_users
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .collect()
+    }
+    values: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        values.setdefault(r.event_type, []).append(r.value)
+    assert set(got) == set(exact_users)
+    for et, row in got.items():
+        assert abs(row.approx_users - exact_users[et]) <= max(2, 0.05 * exact_users[et])
+        vs = sorted(values[et])
+        # each approx percentile must be a real data value whose true
+        # rank is within 5% of the target quantile
+        for approx_p, q in zip(row.value_p50_p90_p99, (0.5, 0.9, 0.99)):
+            assert approx_p in values[et]
+            lo = sum(1 for v in vs if v < approx_p) / len(vs)
+            hi = sum(1 for v in vs if v <= approx_p) / len(vs)
+            assert lo - 0.05 <= q <= hi + 0.05
