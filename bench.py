@@ -42,7 +42,6 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="bench")
 
-    queries = sorted(registry.queries().items())
     # like-for-like vs BASELINE.md = the SIX transposed reference tasks
     ref_names = {
         "q1_yearly_top_order",
@@ -53,6 +52,23 @@ def main() -> None:
         "q6_distinct_suppliers_of_qualifying_brands",
     }
     is_ref = ref_names.__contains__
+
+    # Time the six baseline-comparable queries FIRST, in a fresh JVM,
+    # so heap/GC state left by the (heavier) extension operators can't
+    # leak into the headline medians; extensions follow alphabetically.
+    queries = sorted(
+        registry.queries().items(), key=lambda kv: (not is_ref(kv[0]), kv[0])
+    )
+
+    # Global JVM warm-up: a fresh JVM spends the first few actions
+    # JIT-compiling Spark's codegen/shuffle machinery, which would land
+    # entirely on whichever queries run first. Run the headline six
+    # once untimed (plus their per-query warm-up below) so every timed
+    # run executes against a hot JVM — the BASELINE.md protocol times
+    # warm engines too (microbenchmark reuses loaded R sessions).
+    for name, fn in queries:
+        if is_ref(name):
+            fn(spark, sf_dir).toPandas()
 
     timings: dict[str, float] = {}
     for name, fn in queries:
