@@ -670,4 +670,53 @@ ORACLES = {
     "q16_pivot_status_by_priority": Q16_ORACLE,
 }
 
-SPARK_SQL: dict[str, str] = {}
+# Spark-SQL forms (internal N-version, tests/test_reference_queries.py
+# checks fluent ≡ SQL). Where the fluent form hand-picks a strategy,
+# the SQL form deliberately uses the *declarative* construct instead —
+# NOT EXISTS for the anti join (q9), a correlated scalar subquery for
+# q17 — so the check proves Catalyst's rewrite (RewritePredicateSubquery
+# / decorrelation) lands on the same results as the explicit plan.
+SPARK_SQL: dict[str, str] = {
+    "q7_rollup_order_counts": Q7_ORACLE,
+    "q9_anti_recent_customers": Q9_ORACLE,
+    "q12_set_intersect": Q12_ORACLE,
+    "q13_set_except": Q13_ORACLE,
+    "q14_outer_join_spend_tiers": Q14_ORACLE,
+    "q17_small_quantity_revenue": """
+SELECT p.p_brand,
+       COUNT(*) AS n_items,
+       ROUND(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0D / 7.0D, 2)
+         AS avg_yearly
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity < (
+  SELECT 0.2 * (SUM(l2.l_quantity) / COUNT(*))
+  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+""",
+    "q18_large_orders": Q18_ORACLE,
+    "q8_union_all_parties": Q8_ORACLE,
+    "q10_running_totals": Q10_ORACLE,
+    "q16_pivot_status_by_priority": Q16_ORACLE,
+    "q19_json_props_stats": """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(get_json_object(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    "q20_regional_revenue": Q20_ORACLE,
+    "q21_trailing_window_value": """
+SELECT user_id, event_id, ts,
+       ROUND(SUM(value) OVER w, 2) AS trail_7d_value,
+       COUNT(*) OVER w AS trail_7d_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+}
