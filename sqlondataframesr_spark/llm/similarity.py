@@ -286,6 +286,103 @@ SELECT label, n, [{comps}] AS centroid FROM g ORDER BY label
 EMB_LABEL_CENTROID_ORACLE = _centroid_oracle()
 
 
+#: k-means trainer: clusters and unrolled Lloyd iterations
+KM_K = 8
+KM_ITERS = 3
+
+
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF codebook: KM_ITERS unrolled Lloyd iterations of
+    spherical k-means (cosine assignment) over the embedding column,
+    returning (c_id, n, centroid). Plugs directly into
+    :func:`ann_ivf_topk`'s assignment plan — this is the "real
+    pipeline would plug trained centroids in" path made concrete.
+
+    The iterative-algorithm pattern on Spark: per iteration one
+    broadcast of the K tiny centroid rows against the scan (assignment
+    — no shuffle of the corpus), then ONE hash aggregate keyed on the
+    cluster id for the centroid update (the explode-free 64-column
+    integer-micros mean of :func:`emb_label_centroid`). State between
+    iterations is K rows; ``localCheckpoint`` pins each round so the
+    lazy plan doesn't grow K*ITERS deep. At 100 TB each iteration is
+    one corpus scan + one 8-group aggregate — bandwidth-bound, no
+    quadratic term anywhere.
+
+    Deterministic across engines: init = first K vectors by id,
+    assignment on 6-dp-rounded cosine with id tie-break, means from
+    exact integer-micros sums — the DuckDB oracle replays the
+    identical unrolled iterations.
+    """
+    vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    cent = vec.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.lit(1).alias("n"),
+    )
+    sums = [
+        F.sum(F.expr(f"cast(round(v[{i}] * 1000000) as bigint)")).alias(f"s{i}")
+        for i in range(DIM)
+    ]
+    comps = [
+        F.round(F.col(f"s{i}") / (F.col("n") * F.lit(1000000.0)), 6)
+        for i in range(DIM)
+    ]
+    for _ in range(KM_ITERS):
+        assigned = _assign_lists(vec, cent.select("c_id", "cv", "cn"), "vec_id")
+        g = (
+            vec.join(assigned, "vec_id")
+            .groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+        )
+        cent = (
+            g.select(F.col("list_id").alias("c_id"), "n", F.array(*comps).alias("cv"))
+            .withColumn("cn", F.expr(V.l2_norm("cv")))
+            .localCheckpoint(eager=False)
+        )
+    return cent.select("c_id", "n", F.col("cv").alias("centroid")).orderBy("c_id")
+
+
+def _kmeans_oracle() -> str:
+    sums = ",\n         ".join(
+        f"SUM(CAST(round(v[{i + 1}] * 1000000) AS BIGINT)) AS s{i}" for i in range(DIM)
+    )
+    comps = ", ".join(f"ROUND(s{i} / (n * 1000000.0), 6)" for i in range(DIM))
+    parts = [
+        f"vec AS ({_VEC_SQL})",
+        f"c0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vec WHERE vec_id < {KM_K})",
+    ]
+    for it in range(KM_ITERS):
+        cos = _COS_DUCK.format(
+            a="vec.v", b=f"c{it}.cv", na="vec.nrm", nb=f"c{it}.cn"
+        )
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, c_id AS list_id FROM (
+    SELECT vec.vec_id, c{it}.c_id,
+           row_number() OVER (PARTITION BY vec.vec_id
+                              ORDER BY {cos} DESC, c{it}.c_id) AS arnk
+    FROM vec CROSS JOIN c{it}) WHERE arnk = 1)"""
+        )
+        parts.append(
+            f"""g{it} AS (
+  SELECT list_id, COUNT(*) AS n,
+         {sums}
+  FROM vec JOIN a{it} USING (vec_id) GROUP BY list_id)"""
+        )
+        parts.append(
+            f"""c{it + 1} AS (
+  SELECT list_id AS c_id, n, [{comps}] AS cv,
+         sqrt(list_sum(list_transform([{comps}], x -> x * x))) AS cn
+  FROM g{it})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT c_id, n, cv AS centroid FROM c{KM_ITERS} ORDER BY c_id"
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup vector pairs: band collision then exact cosine >= 0.4."""
     # vec feeds three branches (bands + both sides of the score join)
@@ -518,7 +615,12 @@ ORDER BY vec_id
 """
 
 
+# built here, after _VEC_SQL/_COS_DUCK exist (the builder reads both)
+KMEANS_TRAIN_ORACLE = _kmeans_oracle()
+
+
 QUERIES = {
+    "kmeans_train": kmeans_train,
     "emb_quantize_int8": emb_quantize_int8,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -528,6 +630,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kmeans_train": KMEANS_TRAIN_ORACLE,
     "emb_quantize_int8": EMB_QUANTIZE_INT8_ORACLE,
     "ann_cosine_topk": ANN_COSINE_TOPK_ORACLE,
     "ann_lsh_topk": ANN_LSH_TOPK_ORACLE,

@@ -157,3 +157,33 @@ def test_dedup_clusters_partition_and_contain_pairs(spark, sf_dir):
         assert cid <= doc_id
         assert sizes[cid] == csize
         assert clusters[cid][0] == cid  # representative is its own label
+
+
+def test_kmeans_improves_assignment_quality(spark, sf_dir):
+    """Trained centroids must (a) partition the corpus and (b) give a
+    mean assignment cosine no worse than the untrained (first-K-ids)
+    codebook — Lloyd iterations cannot degrade the objective."""
+    from pyspark.sql import functions as F
+    from sqlondataframesr_spark.llm import similarity as S
+
+    vec = S._vectors(spark, sf_dir).localCheckpoint(eager=False)
+    n_vecs = vec.count()
+    trained = S.kmeans_train(spark, sf_dir).collect()
+    assert sum(r.n for r in trained) == n_vecs
+    assert len(trained) <= S.KM_K
+
+    def mean_best_cos(cent_df):
+        scored = vec.join(F.broadcast(cent_df)).select(
+            "vec_id",
+            F.expr(S._COS.format(a="v", b="cv", na="nrm", nb="cn")).alias("c"),
+        )
+        best = scored.groupBy("vec_id").agg(F.max("c").alias("b"))
+        return best.agg(F.avg("b")).collect()[0][0]
+
+    init = vec.filter(F.col("vec_id") < S.KM_K).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    spark_trained = spark.createDataFrame(
+        [(r.c_id, r.centroid) for r in trained], "c_id long, cv array<double>"
+    ).withColumn("cn", F.expr(S.V.l2_norm("cv")))
+    assert mean_best_cos(spark_trained) >= mean_best_cos(init) - 1e-9
