@@ -128,6 +128,57 @@ def sample_frames(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     raise NotImplementedError("sampling body not implemented")  # pragma: no cover
 
 
+#: frame-sampling geometry: synthetic fps and per-doc duration
+FPS = 25
+_DURATION_S = "1 + doc_id % 30"
+
+
+def mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling PLAN for the video rows: one output row per
+    to-be-decoded frame (doc_id, frame_idx, t_ms) at 1 frame/second.
+    This is the metadata half of :func:`sample_frames` — compute WHICH
+    frames to decode as pure column expressions (sequence + explode,
+    no payload read, no UDF), then feed the (doc_id, frame_idx) list
+    to the Arrow decode stage. At 100 TB the planning pass never
+    touches payload bytes: columnar parquet means the binary column
+    is not even read (ReadSchema excludes it).
+
+    Duration is derived deterministically from doc_id (no real
+    containers in the testdata); a real table carries duration_s as
+    probed metadata and the identical plan applies.
+    """
+    media = media_frame(spark, sf_dir).filter(F.col("media_type") == "video")
+    return (
+        media.withColumn("duration_s", F.expr(_DURATION_S).cast("int"))
+        .select(
+            "doc_id",
+            "duration_s",
+            F.explode(F.expr("sequence(0, duration_s - 1)")).alias("sec"),
+        )
+        .select(
+            "doc_id",
+            (F.col("sec") * FPS).cast("long").alias("frame_idx"),
+            (F.col("sec") * 1000).cast("long").alias("t_ms"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+MM_FRAME_PLAN_ORACLE = f"""
+WITH vids AS (
+  SELECT doc_id, CAST({_DURATION_S} AS INT) AS duration_s
+  FROM documents
+  WHERE ({_MEDIA_TYPE}) = 'video'
+),
+secs AS (SELECT doc_id, unnest(range(0, duration_s)) AS sec FROM vids)
+SELECT doc_id,
+       CAST(sec * {FPS} AS BIGINT) AS frame_idx,
+       CAST(sec * 1000 AS BIGINT) AS t_ms
+FROM secs
+ORDER BY doc_id, frame_idx
+"""
+
+
 MM_MEDIA_CHECKSUM_ORACLE = f"""
 SELECT doc_id,
        {_MEDIA_TYPE.replace("doc_id", "doc_id")} AS media_type,
@@ -142,6 +193,7 @@ ORDER BY doc_id
 
 QUERIES = {
     "mm_media_checksum": mm_media_checksum,
+    "mm_frame_plan": mm_frame_plan,
     # mapInPandas featurizer: not SQL-expressible in DuckDB (byte-level
     # blob iteration) → rows-only driver check; pytest pins the values.
     "mm_byte_histogram": mm_byte_histogram,
@@ -149,6 +201,7 @@ QUERIES = {
 
 ORACLES = {
     "mm_media_checksum": MM_MEDIA_CHECKSUM_ORACLE,
+    "mm_frame_plan": MM_FRAME_PLAN_ORACLE,
 }
 
 SPARK_SQL: dict[str, str] = {}

@@ -120,3 +120,9 @@ def test_q20_pushes_date_filter_and_broadcasts_dims(spark, sf_dir):
     assert not a.has_cartesian
     assert a.join_strategies.count("BroadcastHashJoin") >= 2
     assert any("o_orderdate" in f for f in a.pushed_filters)
+
+
+def test_frame_plan_never_reads_payload(spark, sf_dir):
+    """The frame-sampling plan is metadata-only: column pruning must
+    drop the payload (text) column from the parquet scan entirely."""
+    assert "text" not in _audit(spark, sf_dir, "mm_frame_plan").scan_columns()
