@@ -633,11 +633,96 @@ def q22_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q23_cube_order_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE(status, priority) + GROUPING() markers: the full
+    2^2 subtotal lattice in one pass (q7 covers ROLLUP's prefix
+    lattice). Spark expands grouping sets map-side — one shuffle, same
+    as the plain aggregate; grouping_id disambiguates real NULLs from
+    subtotal rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+Q23_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
+def q24_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function battery (LIKE, regexp, substr, concat,
+    upper/lower, trim-pad, position) — SURVEY.md §2.7 lists all of
+    these as "NOT present" in the reference; any migrating user needs
+    them week one. Pure map over the scan — every function here is
+    codegen'd JVM-side, zero shuffles before the final aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_row = cust.select(
+        "c_custkey",
+        F.col("c_name").like("%001%").alias("has_001"),
+        F.regexp_extract("c_name", r"(\d+)$", 1).cast("bigint").alias("name_num"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.concat_ws("/", "c_mktsegment", F.upper(F.col("c_name"))).alias("tag"),
+        F.length(F.trim(F.col("c_mktsegment"))).alias("seg_len"),
+        F.instr("c_name", "#").cast("int").alias("hash_pos"),
+    )
+    return (
+        per_row.groupBy("seg_len")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("has_001").cast("long")).alias("n_001"),
+            F.sum("name_num").alias("sum_name_num"),
+            F.min("prefix8").alias("min_prefix"),
+            F.max("tag").alias("max_tag"),
+            F.max("hash_pos").alias("max_hash_pos"),
+        )
+        .orderBy("seg_len")
+    )
+
+
+Q24_ORACLE = """
+WITH per_row AS (
+  SELECT c_custkey,
+         c_name LIKE '%001%' AS has_001,
+         TRY_CAST(regexp_extract(c_name, '(\\d+)$', 1) AS BIGINT) AS name_num,
+         substring(c_name, 1, 8) AS prefix8,
+         concat_ws('/', c_mktsegment, upper(c_name)) AS tag,
+         length(trim(c_mktsegment)) AS seg_len,
+         CAST(instr(c_name, '#') AS INT) AS hash_pos
+  FROM customer
+)
+SELECT seg_len,
+       COUNT(*) AS n,
+       SUM(CAST(has_001 AS BIGINT)) AS n_001,
+       SUM(name_num) AS sum_name_num,
+       MIN(prefix8) AS min_prefix,
+       MAX(tag) AS max_tag,
+       MAX(hash_pos) AS max_hash_pos
+FROM per_row
+GROUP BY seg_len
+ORDER BY seg_len
+"""
+
+
 QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q20_regional_revenue": q20_regional_revenue,
     "q21_trailing_window_value": q21_trailing_window_value,
     "q22_approx_sketches": q22_approx_sketches,
+    "q23_cube_order_matrix": q23_cube_order_matrix,
+    "q24_string_functions": q24_string_functions,
     "q19_json_props_stats": q19_json_props_stats,
     "q18_large_orders": q18_large_orders,
     "q7_rollup_order_counts": q7_rollup_order_counts,
@@ -656,6 +741,8 @@ ORACLES = {
     "q17_small_quantity_revenue": Q17_ORACLE,
     "q20_regional_revenue": Q20_ORACLE,
     "q21_trailing_window_value": Q21_ORACLE,
+    "q23_cube_order_matrix": Q23_ORACLE,
+    "q24_string_functions": Q24_ORACLE,
     "q18_large_orders": Q18_ORACLE,
     "q19_json_props_stats": Q19_ORACLE,
     "q7_rollup_order_counts": Q7_ORACLE,

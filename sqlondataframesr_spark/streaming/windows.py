@@ -236,6 +236,27 @@ def click_purchase_pairs(events: DataFrame) -> DataFrame:
     )
 
 
+def write_stream_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Durable file sink: append-mode parquet with a checkpoint.
+
+    The checkpoint (WAL + source offsets + operator state) is what
+    makes the pipeline exactly-once across restarts: on recovery the
+    query resumes from the last committed offsets and the sink's
+    transaction log ignores already-committed files. At scale the sink
+    partitions by event-time date (``partitionBy`` on the writer) so
+    downstream scans prune; kept unpartitioned here because testdata
+    spans a handful of days. Returns the started StreamingQuery.
+    """
+    return (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # --- batch-shaped registry entries (oracle-checked) -----------------
 
 

@@ -104,3 +104,32 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     stream = W.click_purchase_pairs(W.with_watermark(W.stream_events(spark, sf_dir)))
     got = _run_stream(spark, stream, mode="append")
     assert not compare_frames(got, batch)
+
+
+def test_parquet_sink_roundtrip_and_restart_is_noop(spark, sf_dir, tmp_path):
+    """Streamed dedup written to a checkpointed parquet sink must equal
+    the batch distinct; re-running against the same checkpoint commits
+    nothing new (exactly-once on restart)."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = W.write_stream_parquet(
+            W.dedup_stream(W.stream_events(spark, sf_dir)).select(
+                "event_id", "user_id", "value"
+            ),
+            out,
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = spark.read.parquet(out)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .dropDuplicates(["event_id"])
+    )
+    assert not compare_frames(got, batch)
+    run()  # restart from the same checkpoint: no new data, no new rows
+    assert spark.read.parquet(out).count() == batch.count()
