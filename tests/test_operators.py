@@ -111,3 +111,27 @@ def test_approx_sketches_bounded_by_exact(spark, sf_dir):
             lo = sum(1 for v in vs if v < approx_p) / len(vs)
             hi = sum(1 for v in vs if v <= approx_p) / len(vs)
             assert lo - 0.05 <= q <= hi + 0.05
+
+
+def test_udtf_equals_declarative_split(spark, sf_dir):
+    """The Python UDTF path must produce exactly the rows of the
+    codegen explode(split(...)) form — same N-version discipline,
+    across UDF-class boundaries instead of engines."""
+    from pyspark.sql import functions as F
+    from sqlondataframesr_spark.catalog import load_table
+    from sqlondataframesr_spark.check import compare_frames
+    from sqlondataframesr_spark.operators.udtf import doc_sentence_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    declarative = (
+        docs.select("doc_id", F.posexplode(F.split("text", "\\. ")).alias("i", "s"))
+        .filter(F.col("s") != "")
+        .select("doc_id", F.length("s").alias("sent_len"), "i")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.max("sent_len").alias("max_sent_len"),
+            F.min_by("sent_len", "i").alias("first_sent_len"),
+        )
+    )
+    assert not compare_frames(doc_sentence_stats(spark, sf_dir), declarative)
