@@ -400,8 +400,83 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics — the filter that catches
+    boilerplate/spam that exact-dedup misses (degenerate docs repeat
+    internally, not across the corpus): token count, distinct count,
+    the dominant term and its frequency, repetition_ratio (top term
+    share) and distinct_ratio (type-token ratio).
+
+    Two keyed shuffles, both partial-aggregated map-side: (doc, term)
+    term frequencies, then per-doc rollup carrying the argmax term via
+    max_by — never a window over exploded tokens (whose per-doc
+    partitions would serialize the hot path).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("tf").alias("top_tf"),
+            # highest tf; lexicographically smallest term on ties — the
+            # struct trick needs an orderable negation, so use max_by
+            # twice: tf then reversed term is not orderable for strings,
+            # hence min_by over (-tf, term) struct.
+            F.expr("min_by(term, struct(-tf, term))").alias("top_term"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "top_term",
+            "top_tf",
+            F.round(F.col("top_tf") / F.col("n_tokens"), 6).alias("repetition_ratio"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term != '' GROUP BY doc_id, term
+),
+rolled AS (
+  SELECT doc_id,
+         SUM(tf) AS n_tokens,
+         COUNT(*) AS n_distinct,
+         MAX(tf) AS top_tf
+  FROM tf GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, term AS top_term
+  FROM (SELECT doc_id, term,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
+        FROM tf)
+  WHERE rn = 1
+)
+SELECT r.doc_id, r.n_tokens, r.n_distinct, t.top_term, r.top_tf,
+       ROUND(CAST(r.top_tf AS DOUBLE) / r.n_tokens, 6) AS repetition_ratio,
+       ROUND(CAST(r.n_distinct AS DOUBLE) / r.n_tokens, 6) AS distinct_ratio
+FROM rolled r JOIN top t USING (doc_id)
+ORDER BY r.doc_id
+"""
+
+
 QUERIES = {
     "text_chunks": text_chunks,
+    "text_repetition": text_repetition,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "lang_id_stopword": lang_id_stopword,
@@ -412,6 +487,7 @@ QUERIES = {
 
 ORACLES = {
     "text_chunks": TEXT_CHUNKS_ORACLE,
+    "text_repetition": TEXT_REPETITION_ORACLE,
     "text_token_stats": TEXT_TOKEN_STATS_ORACLE,
     "text_quality_score": TEXT_QUALITY_SCORE_ORACLE,
     "lang_id_stopword": LANG_ID_ORACLE,
