@@ -35,15 +35,14 @@ WINDOW_S = 600
 _WINDOW_US = WINDOW_S * 1_000_000
 
 
-def evt_pairs_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All unordered pairs of same-user events with |Δts| <= 600 s, as
-    (user_id, event_a < event_b, dt_us = ts_b - ts_a in microseconds).
-    Integer microseconds end-to-end: bit-exact across engines.
-    """
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "user_id", F.unix_micros("ts").alias("us"))
-        .withColumn("bin", F.expr(f"us div {_WINDOW_US}"))  # integer div: no double rounding
+def pairs_in_window(ev: DataFrame, window_us: int) -> DataFrame:
+    """Bin-and-replicate interval self-join over (event_id, user_id,
+    us): all unordered same-user pairs with |Δus| <= window_us, as
+    (user_id, event_a < event_b, dt_us). See the module docstring for
+    the rewrite; property-tested against the naive quadratic join in
+    tests/test_properties.py."""
+    ev = ev.withColumn(
+        "bin", F.expr(f"us div {window_us}")  # integer div: no double rounding
     )
     left = ev.select(
         F.col("event_id").alias("id_a"),
@@ -62,7 +61,7 @@ def evt_pairs_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("u_a") == F.col("u_b"))
         & (F.col("key") == F.col("key_b"))
         & (F.col("id_a") != F.col("id_b"))
-        & (F.abs(F.col("us_a") - F.col("us_b")) <= F.lit(_WINDOW_US)),
+        & (F.abs(F.col("us_a") - F.col("us_b")) <= F.lit(window_us)),
     )
     return (
         hits.select(
@@ -76,6 +75,15 @@ def evt_pairs_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("event_a", "event_b")
     )
+
+
+def evt_pairs_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All unordered pairs of same-user events with |Δts| <= 600 s.
+    Integer microseconds end-to-end: bit-exact across engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    return pairs_in_window(ev, _WINDOW_US)
 
 
 EVT_PAIRS_IN_WINDOW_ORACLE = f"""

@@ -57,3 +57,40 @@ def test_argmax_forms_agree(spark, rows):
     )
     via_maxby = argmax_maxby(df, ["key"], "measure", payload=["id"], tiebreak="id")
     assert not compare_frames(via_maxby.select("key", "measure", "id"), via_window)
+
+
+PAIR_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # user_id (few users -> dense pairs)
+        st.integers(min_value=0, max_value=500),   # us (timestamps near bin edges)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=PAIR_ROWS, window=st.integers(min_value=1, max_value=120))
+@_SETTINGS
+def test_bin_replicate_range_join_equals_naive(spark, rows, window):
+    """The bin-and-replicate rewrite must equal the naive quadratic
+    |Δt| <= W self-join for EVERY input and window — including pairs
+    straddling bin boundaries (the case the replication exists for)."""
+    from sqlondataframesr_spark.operators.rangejoin import pairs_in_window
+
+    ev = spark.createDataFrame(
+        [(i, u, us) for i, (u, us) in enumerate(rows)],
+        "event_id long, user_id long, us long",
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    naive = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.abs(F.col("a.us") - F.col("b.us")) <= window),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("event_a"),
+        F.col("b.event_id").alias("event_b"),
+        (F.col("b.us") - F.col("a.us")).alias("dt_us"),
+    )
+    assert not compare_frames(pairs_in_window(ev, window), naive)
