@@ -94,3 +94,52 @@ def test_bin_replicate_range_join_equals_naive(spark, rows, window):
         (F.col("b.us") - F.col("a.us")).alias("dt_us"),
     )
     assert not compare_frames(pairs_in_window(ev, window), naive)
+
+
+ASOF_LEFT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # key
+        st.integers(min_value=0, max_value=60),   # t
+    ),
+    min_size=1,
+    max_size=15,
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # key
+        st.integers(min_value=0, max_value=60),   # t
+        st.integers(min_value=-99, max_value=99), # val
+    ),
+    min_size=0,
+    max_size=15,
+    unique_by=lambda r: (r[0], r[1]),  # right unique per (key, t): asof contract
+)
+
+
+@given(lrows=ASOF_LEFT, rrows=ASOF_RIGHT)
+@_SETTINGS
+def test_asof_union_window_equals_naive(spark, lrows, rrows):
+    """The single-shuffle union-window as-of join must equal the naive
+    inequality-join + argmax spelling for every input, including equal
+    timestamps (inclusive match) and keys with no preceding row."""
+    from sqlondataframesr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], "k int, t int, lid int"
+    )
+    right = spark.createDataFrame(rrows, "k int, t int, val int")
+
+    got = asof_join(left, right, ["k"], "t", "t")
+
+    l, r = left.alias("l"), right.alias("r")
+    cand = l.join(
+        r, (F.col("l.k") == F.col("r.k")) & (F.col("r.t") <= F.col("l.t")), "left"
+    ).select(
+        F.col("l.k").alias("k"), F.col("l.t").alias("t"), "lid",
+        F.col("r.t").alias("rt"), "val",
+    )
+    naive = (
+        cand.groupBy("k", "t", "lid")
+        .agg(F.expr("max_by(val, rt)").alias("val"))
+    )
+    assert not compare_frames(got.select("k", "t", "lid", "val"), naive)
