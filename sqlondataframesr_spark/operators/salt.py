@@ -52,3 +52,50 @@ def salted_join(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return fact_s.join(dim_s, [*keys, SALT_COL], how).drop(SALT_COL)
+
+
+def two_phase_count_distinct(
+    df: DataFrame, keys: list[str], value: str
+) -> DataFrame:
+    """Exact COUNT(DISTINCT value) per key, as two cheap aggregates.
+
+    A direct ``countDistinct`` keeps a per-key value SET through the
+    shuffle — map-side partials barely reduce, and a hot key
+    concentrates its whole value universe on one reducer. The standard
+    scale rewrite:
+
+    1. ``groupBy(keys, value)`` — dedup rides a shuffle keyed on
+       (key, VALUE), so a hot key's values spread across the cluster
+       (the value acts as a natural salt);
+    2. ``groupBy(keys).count()`` — counting the now-distinct rows; the
+       second shuffle carries one row per (key, value), already tiny.
+
+    Identical output to ``countDistinct`` (tested); use when keys are
+    few/hot and values are many. For merely-approximate needs,
+    ``approx_count_distinct`` (q22) beats both.
+    """
+    return (
+        df.groupBy(*keys, value)
+        .agg(F.lit(1))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(f"n_distinct_{value}"))
+    )
+
+
+def evt_distinct_users_2phase(spark, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    return two_phase_count_distinct(
+        load_table(spark, sf_dir, "events"), ["event_type"], "user_id"
+    ).orderBy("event_type")
+
+
+EVT_DISTINCT_USERS_2PHASE_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES = {"evt_distinct_users_2phase": evt_distinct_users_2phase}
+ORACLES = {"evt_distinct_users_2phase": EVT_DISTINCT_USERS_2PHASE_ORACLE}
+SPARK_SQL = {"evt_distinct_users_2phase": EVT_DISTINCT_USERS_2PHASE_ORACLE}

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .llm import decontam, dedup, minhash, sampling, simhash, similarity, text
 from .multimodal import media
-from .operators import asof, grouped, rangejoin, udtf
+from .operators import asof, grouped, rangejoin, salt, udtf
 from .queries import extensions, reference
 from .streaming import windows as streaming_windows
 
@@ -28,6 +28,7 @@ _MODULES = [
     grouped,
     asof,
     rangejoin,
+    salt,
     udtf,
 ]
 

@@ -135,3 +135,18 @@ def test_udtf_equals_declarative_split(spark, sf_dir):
         )
     )
     assert not compare_frames(doc_sentence_stats(spark, sf_dir), declarative)
+
+
+def test_two_phase_count_distinct_equals_builtin(spark, sf_dir):
+    """The two-phase rewrite must equal countDistinct exactly."""
+    from pyspark.sql import functions as F
+    from sqlondataframesr_spark.catalog import load_table
+    from sqlondataframesr_spark.check import compare_frames
+    from sqlondataframesr_spark.operators.salt import two_phase_count_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    got = two_phase_count_distinct(ev, ["event_type"], "user_id")
+    ref = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct_user_id")
+    )
+    assert not compare_frames(got, ref)
