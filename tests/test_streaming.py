@@ -133,3 +133,24 @@ def test_parquet_sink_roundtrip_and_restart_is_noop(spark, sf_dir, tmp_path):
     assert not compare_frames(got, batch)
     run()  # restart from the same checkpoint: no new data, no new rows
     assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_windowed_agg_correct_across_micro_batches(spark, sf_dir, tmp_path):
+    """Incrementalization, not just one-shot: split the source into 4
+    files and force one file per micro-batch — the final state of the
+    windowed aggregate must still equal the batch result (state merges
+    across batches, late rows update earlier windows)."""
+    src = str(tmp_path / "events_split")
+    batch_events = load_table(spark, sf_dir, "events")
+    # write the raw int64-nanos shape the stream source expects
+    spark.read.schema(W.EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet") \
+        .repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(W.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = W.tumbling(W.with_watermark(W._canon_ts(stream)))
+    got = _run_stream(spark, agg)
+    assert not compare_frames(got, W.tumbling(batch_events))
