@@ -304,4 +304,7 @@ ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
 }
 
-SPARK_SQL: dict[str, str] = {}
+# Spark-SQL N-version forms (fluent ≡ SQL, tests/test_reference_queries.py)
+SPARK_SQL: dict[str, str] = {
+    "dedup_exact": DEDUP_EXACT_ORACLE,  # dialect-neutral: valid in both engines
+}

@@ -378,4 +378,32 @@ ORACLES = {
     "evt_sessions_1h": EVT_SESSIONS_1H_ORACLE,
 }
 
-SPARK_SQL: dict[str, str] = {}
+# Spark-SQL N-version forms — the SQL spelling of event-time windows
+# (GROUP BY window(...)) against the fluent F.window plan.
+SPARK_SQL: dict[str, str] = {
+    "evt_tumbling_daily": """
+SELECT w.window.start AS ws, w.event_type, w.n_events, w.total_value
+FROM (
+  SELECT window, event_type,
+         COUNT(*) AS n_events,
+         ROUND(SUM(value), 2) AS total_value
+  FROM events
+  GROUP BY window(ts, '1 day'), event_type
+) w
+ORDER BY ws, event_type
+""",
+    "evt_click_purchase_pairs": """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       unix_micros(p.ts) - unix_micros(c.ts) AS dt_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts < c.ts + INTERVAL 2 HOURS
+ORDER BY click_id, purchase_id
+""",
+}
