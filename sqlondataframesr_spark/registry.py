@@ -7,7 +7,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .llm import decontam, dedup, minhash, sampling, simhash, similarity, text
+from .llm import decontam, dedup, minhash, pipeline, sampling, simhash, similarity, text
 from .multimodal import media
 from .operators import asof, grouped, rangejoin, salt, udtf
 from .queries import extensions, reference
@@ -23,6 +23,7 @@ _MODULES = [
     simhash,
     similarity,
     sampling,
+    pipeline,
     streaming_windows,
     media,
     grouped,
