@@ -716,6 +716,99 @@ ORDER BY seg_len
 """
 
 
+def q25_full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates (per-nation rich-customer vs
+    rich-supplier counts): nations appearing on either side survive
+    with zero-filled gaps — completes the join-type matrix (inner /
+    left / semi / anti elsewhere). Both sides pre-aggregate to one row
+    per nation before the join, so the full-outer shuffle moves tiny
+    relations regardless of fact size."""
+    rich_c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > RICH_BAL)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_customers"))
+    )
+    rich_s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > RICH_BAL)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    return (
+        rich_c.join(rich_s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_rich_customers", F.lit(0)).alias("n_rich_customers"),
+            F.coalesce("n_rich_suppliers", F.lit(0)).alias("n_rich_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+Q25_ORACLE = f"""
+WITH rc AS (
+  SELECT c_nationkey AS nationkey, COUNT(*) AS n_rich_customers
+  FROM customer WHERE c_acctbal > {RICH_BAL} GROUP BY 1
+),
+rs AS (
+  SELECT s_nationkey AS nationkey, COUNT(*) AS n_rich_suppliers
+  FROM supplier WHERE s_acctbal > {RICH_BAL} GROUP BY 1
+)
+SELECT COALESCE(rc.nationkey, rs.nationkey) AS nationkey,
+       COALESCE(n_rich_customers, 0) AS n_rich_customers,
+       COALESCE(n_rich_suppliers, 0) AS n_rich_suppliers
+FROM rc FULL OUTER JOIN rs USING (nationkey)
+ORDER BY nationkey
+"""
+
+
+def q26_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG over event-time: per user, the gap to the previous event,
+    rolled up to (n_events, mean/max gap). Completes the window-
+    function family (ranking → argmax ops, frames → q10/q21, offset
+    functions → here). Gaps ride integer microseconds (exact); the
+    mean is derived from the exact sum, one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("us"), F.col("event_id"))
+    gaps = (
+        ev.select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+    )
+    return (
+        gaps.filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").alias("total_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .withColumn(
+            "mean_gap_us", F.round(F.col("total_gap_us") / F.col("n_gaps"), 2)
+        )
+        .orderBy("user_id")
+    )
+
+
+Q26_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_gaps,
+       SUM(gap_us) AS total_gap_us,
+       MAX(gap_us) AS max_gap_us,
+       ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*), 2) AS mean_gap_us
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q20_regional_revenue": q20_regional_revenue,
@@ -723,6 +816,8 @@ QUERIES = {
     "q22_approx_sketches": q22_approx_sketches,
     "q23_cube_order_matrix": q23_cube_order_matrix,
     "q24_string_functions": q24_string_functions,
+    "q25_full_outer_nation_balance": q25_full_outer_nation_balance,
+    "q26_event_gaps": q26_event_gaps,
     "q19_json_props_stats": q19_json_props_stats,
     "q18_large_orders": q18_large_orders,
     "q7_rollup_order_counts": q7_rollup_order_counts,
@@ -743,6 +838,8 @@ ORACLES = {
     "q21_trailing_window_value": Q21_ORACLE,
     "q23_cube_order_matrix": Q23_ORACLE,
     "q24_string_functions": Q24_ORACLE,
+    "q25_full_outer_nation_balance": Q25_ORACLE,
+    "q26_event_gaps": Q26_ORACLE,
     "q18_large_orders": Q18_ORACLE,
     "q19_json_props_stats": Q19_ORACLE,
     "q7_rollup_order_counts": Q7_ORACLE,
