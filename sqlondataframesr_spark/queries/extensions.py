@@ -809,7 +809,57 @@ ORDER BY user_id
 """
 
 
+def q27_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel: users whose FIRST view precedes their first
+    click, which precedes their first purchase. One conditional
+    aggregate per user (min ts per stage, same single shuffle), then
+    a global rollup — the standard funnel shape without any join or
+    self-union of the event stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+
+    def first_of(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("us")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_viewed"),
+        F.sum(
+            (F.col("t_view") < F.col("t_click")).cast("long")
+        ).alias("n_view_then_click"),
+        F.sum(
+            (
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase"))
+            ).cast("long")
+        ).alias("n_full_funnel"),
+    )
+
+
+Q27_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CAST(t_view IS NOT NULL AS BIGINT)) AS n_viewed,
+       SUM(CAST(t_view < t_click AS BIGINT)) AS n_view_then_click,
+       SUM(CAST(t_view < t_click AND t_click < t_purchase AS BIGINT)) AS n_full_funnel
+FROM per_user
+"""
+
+
 QUERIES = {
+    "q27_event_funnel": q27_event_funnel,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q20_regional_revenue": q20_regional_revenue,
     "q21_trailing_window_value": q21_trailing_window_value,
@@ -840,6 +890,7 @@ ORACLES = {
     "q24_string_functions": Q24_ORACLE,
     "q25_full_outer_nation_balance": Q25_ORACLE,
     "q26_event_gaps": Q26_ORACLE,
+    "q27_event_funnel": Q27_ORACLE,
     "q18_large_orders": Q18_ORACLE,
     "q19_json_props_stats": Q19_ORACLE,
     "q7_rollup_order_counts": Q7_ORACLE,
