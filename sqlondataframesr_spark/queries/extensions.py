@@ -945,6 +945,9 @@ GROUP BY event_type
 ORDER BY event_type
 """,
     "q20_regional_revenue": Q20_ORACLE,
+    "q25_full_outer_nation_balance": Q25_ORACLE,
+    "q26_event_gaps": Q26_ORACLE.replace("epoch_us(ts)", "unix_micros(ts)"),
+    "q27_event_funnel": Q27_ORACLE.replace("epoch_us(ts)", "unix_micros(ts)"),
     "q21_trailing_window_value": """
 SELECT user_id, event_id, ts,
        ROUND(SUM(value) OVER w, 2) AS trail_7d_value,
