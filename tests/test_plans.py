@@ -126,3 +126,17 @@ def test_frame_plan_never_reads_payload(spark, sf_dir):
     """The frame-sampling plan is metadata-only: column pruning must
     drop the payload (text) column from the parquet scan entirely."""
     assert "text" not in _audit(spark, sf_dir, "mm_frame_plan").scan_columns()
+
+
+def test_kmeans_never_shuffle_joins_the_corpus(spark, sf_dir):
+    """Every Lloyd iteration joins the scan against broadcast
+    centroids — a SortMergeJoin here means the corpus is being
+    shuffled per iteration."""
+    a = _audit(spark, sf_dir, "kmeans_train")
+    assert "SortMergeJoin" not in a.join_strategies
+
+
+def test_pipeline_gates_are_not_cartesian(spark, sf_dir):
+    """The composed training-set pipeline must stay a semi-join chain
+    on doc_id — no cartesian anywhere in the composition."""
+    assert not _audit(spark, sf_dir, "pipeline_training_set").has_cartesian
