@@ -858,8 +858,56 @@ FROM per_user
 """
 
 
+BUCKET_W = 25_000.0
+
+
+def q28_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bucket = floor(x / w),
+    count + share per bucket. The binning is a map-side expression (no
+    width_bucket dependency — floor division is dialect-neutral), so
+    the histogram costs one tiny keyed shuffle; the share divides by a
+    scalar subquery-free windowed total (sum over all buckets)."""
+    orders = load_table(spark, sf_dir, "orders")
+    hist = (
+        orders.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / F.lit(BUCKET_W)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    total = Window.partitionBy()
+    return (
+        hist.withColumn(
+            "share", F.round(F.col("n_orders") / F.sum("n_orders").over(total), 6)
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * BUCKET_W).alias("bucket_lo"),
+            "n_orders",
+            "share",
+        )
+        .orderBy("bucket")
+    )
+
+
+Q28_ORACLE = f"""
+WITH hist AS (
+  SELECT CAST(floor(o_totalprice / {BUCKET_W}) AS BIGINT) AS bucket,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT bucket,
+       bucket * {BUCKET_W} AS bucket_lo,
+       n_orders,
+       ROUND(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 6) AS share
+FROM hist
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "q27_event_funnel": q27_event_funnel,
+    "q28_price_histogram": q28_price_histogram,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q20_regional_revenue": q20_regional_revenue,
     "q21_trailing_window_value": q21_trailing_window_value,
@@ -891,6 +939,7 @@ ORACLES = {
     "q25_full_outer_nation_balance": Q25_ORACLE,
     "q26_event_gaps": Q26_ORACLE,
     "q27_event_funnel": Q27_ORACLE,
+    "q28_price_histogram": Q28_ORACLE,
     "q18_large_orders": Q18_ORACLE,
     "q19_json_props_stats": Q19_ORACLE,
     "q7_rollup_order_counts": Q7_ORACLE,
