@@ -1,0 +1,57 @@
+"""Decompose q4's cost within one session: full query vs no-sort vs
+agg-only, under the winning bench conf."""
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F  # noqa: E402
+
+from sqlondataframesr_spark.catalog import load_table  # noqa: E402
+from sqlondataframesr_spark.queries.reference import q4_price_spread  # noqa: E402
+from sqlondataframesr_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = get_spark(app_name="tune-q4")
+spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+
+
+def agg_only(spark, sf_dir):
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.max("l_extendedprice").alias("max_price"),
+            F.min(
+                F.when(F.col("l_linenumber") == 1, F.col("l_extendedprice"))
+            ).alias("first_price"),
+        )
+        .filter(F.col("first_price").isNotNull())
+        .withColumn("price_spread", F.col("max_price") - F.col("first_price"))
+        .filter(F.col("price_spread") > 1000)
+    )
+
+
+def no_sort(spark, sf_dir):
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    spread = agg_only(spark, sf_dir)
+    return spread.join(orders, F.col("l_orderkey") == orders.o_orderkey).select(
+        "o_orderkey", "o_orderpriority", "max_price", "first_price", "price_spread"
+    )
+
+
+variants = {"full": q4_price_spread, "no_sort": no_sort, "agg_only": agg_only}
+for name, fn in variants.items():
+    fn(spark, SF).toPandas()
+for name, fn in variants.items():
+    fn(spark, SF).toPandas()
+    s = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        fn(spark, SF).toPandas()
+        s.append(time.perf_counter() - t0)
+    print(name, round(statistics.median(s), 3), [round(x, 3) for x in s], flush=True)
+spark.stop()

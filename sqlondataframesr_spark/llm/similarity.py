@@ -252,7 +252,13 @@ def emb_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: each component is quantized to integer micros
     (round(x*1e6)) BEFORE summing, so partial-aggregation order cannot
     perturb the sum — both engines produce the identical integer, and
-    the final mean is one exact-input double division."""
+    the final mean is one exact-input double division.
+
+    Output: the centroid is serialized as a comma-joined string of
+    per-component integer micros (``centroid_us``) so result rows are
+    hashable/sortable by any harness; ``round(mean*1e6)`` is exact on
+    both engines because the 6-dp mean times 1e6 is within 1 ulp of an
+    integer."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "label", F.expr(V.to_double("embedding")).alias("v")
     )
@@ -261,17 +267,26 @@ def emb_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(DIM)
     ]
     g = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"), *sums)
-    centroid = F.array(
-        *[F.round(F.col(f"s{i}") / (F.col("n") * F.lit(1000000.0)), 6) for i in range(DIM)]
-    )
-    return g.select("label", "n", centroid.alias("centroid")).orderBy("label")
+    comps_us = [
+        F.expr(
+            f"cast(round(round(s{i} / (n * 1000000.0), 6) * 1000000.0) as bigint)"
+        ).cast("string")
+        for i in range(DIM)
+    ]
+    return g.select(
+        "label", "n", F.concat_ws(",", *comps_us).alias("centroid_us")
+    ).orderBy("label")
 
 
 def _centroid_oracle() -> str:
     sums = ",\n       ".join(
         f"SUM(CAST(round(v[{i + 1}] * 1000000) AS BIGINT)) AS s{i}" for i in range(DIM)
     )
-    comps = ", ".join(f"ROUND(s{i} / (n * 1000000.0), 6)" for i in range(DIM))
+    comps = ", ".join(
+        f"CAST(CAST(round(round(s{i} / (n * 1000000.0), 6) * 1000000.0) AS BIGINT)"
+        " AS VARCHAR)"
+        for i in range(DIM)
+    )
     return f"""
 WITH e AS (SELECT label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
 g AS (
@@ -279,7 +294,7 @@ g AS (
        {sums}
   FROM e GROUP BY label
 )
-SELECT label, n, [{comps}] AS centroid FROM g ORDER BY label
+SELECT label, n, concat_ws(',', {comps}) AS centroid_us FROM g ORDER BY label
 """
 
 
@@ -340,7 +355,13 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("cn", F.expr(V.l2_norm("cv")))
             .localCheckpoint(eager=False)
         )
-    return cent.select("c_id", "n", F.col("cv").alias("centroid")).orderBy("c_id")
+    # serialize the centroid as comma-joined integer micros — harness-
+    # hashable, and round(x*1e6) of a 6-dp component is engine-exact
+    cent_us = F.expr(
+        "array_join(transform(cv,"
+        " x -> cast(cast(round(x * 1000000.0) as bigint) as string)), ',')"
+    )
+    return cent.select("c_id", "n", cent_us.alias("centroid_us")).orderBy("c_id")
 
 
 def _kmeans_oracle() -> str:
@@ -376,10 +397,15 @@ def _kmeans_oracle() -> str:
          sqrt(list_sum(list_transform([{comps}], x -> x * x))) AS cn
   FROM g{it})"""
         )
+    cent_us = (
+        "array_to_string(list_transform(cv,"
+        " x -> CAST(CAST(round(x * 1000000.0) AS BIGINT) AS VARCHAR)), ',')"
+    )
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"\nSELECT c_id, n, cv AS centroid FROM c{KM_ITERS} ORDER BY c_id"
+        + f"\nSELECT c_id, n, {cent_us} AS centroid_us"
+        + f" FROM c{KM_ITERS} ORDER BY c_id"
     )
 
 
@@ -578,7 +604,16 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                        6,
                    )).otherwise(F.lit(0.0)),
         )
-        .select("vec_id", "q_emb", F.round("scale", 6).alias("scale"), "max_err")
+        .select(
+            "vec_id",
+            # int8 codes serialize losslessly as a comma-joined string —
+            # keeps harness rows hashable without array cells
+            F.expr(
+                "array_join(transform(q_emb, x -> cast(x as string)), ',')"
+            ).alias("q_emb_str"),
+            F.round("scale", 6).alias("scale"),
+            "max_err",
+        )
         .orderBy("vec_id")
     )
 
@@ -604,7 +639,9 @@ q AS (
          list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS q_emb
   FROM sc
 )
-SELECT vec_id, q_emb, ROUND(scale, 6) AS scale,
+SELECT vec_id,
+       array_to_string(list_transform(q_emb, x -> CAST(x AS VARCHAR)), ',') AS q_emb_str,
+       ROUND(scale, 6) AS scale,
        CASE WHEN scale > 0
             THEN ROUND(list_max(list_transform(
                    list_zip(v, q_emb),

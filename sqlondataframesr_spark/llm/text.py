@@ -454,7 +454,7 @@ tf AS (
 ),
 rolled AS (
   SELECT doc_id,
-         SUM(tf) AS n_tokens,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
          COUNT(*) AS n_distinct,
          MAX(tf) AS top_tf
   FROM tf GROUP BY doc_id

@@ -30,6 +30,7 @@ same way any window would be.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import StructField, StructType
 
 from ..catalog import load_table
 
@@ -55,19 +56,26 @@ def asof_join(
     if clash:
         raise ValueError(f"rename right-side columns before asof_join: {clash}")
 
+    # The right payload travels as ONE struct so the window back-fill is
+    # atomic: a matched right row with a NULL in one payload column can
+    # never mix that column from an older right row (a per-column
+    # last(ignorenulls) would tear payloads that way).
+    rp_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in rpay]
+    )
     l_tagged = left.select(
         *on,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
         *lpay,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rpay],
+        F.lit(None).cast(rp_type).alias("__rp"),
     )
     r_tagged = right.select(
         *on,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
-        *rpay,
+        F.struct(*rpay).alias("__rp"),
     )
     w = (
         Window.partitionBy(*on)
@@ -79,10 +87,13 @@ def asof_join(
         "__t",
         "__side",
         *lpay,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rpay],
+        F.last("__rp", ignorenulls=True).over(w).alias("__rp"),
     )
     return filled.filter(F.col("__side") == 1).select(
-        *on, F.col("__t").alias(left_time), *lpay, *rpay
+        *on,
+        F.col("__t").alias(left_time),
+        *lpay,
+        *[F.col(f"__rp.{c}").alias(c) for c in rpay],
     )
 
 

@@ -70,12 +70,15 @@ def two_phase_count_distinct(
     2. ``groupBy(keys).count()`` — counting the now-distinct rows; the
        second shuffle carries one row per (key, value), already tiny.
 
-    Identical output to ``countDistinct`` (tested); use when keys are
-    few/hot and values are many. For merely-approximate needs,
-    ``approx_count_distinct`` (q22) beats both.
+    Identical output to ``countDistinct`` (tested): NULL values are
+    dropped before the first aggregate, matching COUNT(DISTINCT)'s
+    NULL-skipping semantics. Use when keys are few/hot and values are
+    many. For merely-approximate needs, ``approx_count_distinct``
+    (q22) beats both.
     """
     return (
-        df.groupBy(*keys, value)
+        df.filter(F.col(value).isNotNull())
+        .groupBy(*keys, value)
         .agg(F.lit(1))
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias(f"n_distinct_{value}"))

@@ -356,8 +356,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the per-part average is one keyed shuffle on l_partkey and
     the join back to lineitem reuses that same key — with AQE the
-    exchange is shared, not repeated. The part-dimension join is a
-    broadcast (part is ~0.2% of lineitem). The reference never uses
+    exchange is shared, not repeated. ``part`` grows with SF, so it is
+    NOT hint-broadcast (hints are reserved for schema-bounded
+    nation/region); AQE broadcasts it at runtime whenever the
+    projected two columns actually fit. The reference never uses
     scalar subqueries; SURVEY.md §2.4 "derived table" is the nearest
     construct (RDataFramesSQL.Rmd:290-297)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -368,7 +370,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = (
         lineitem.join(per_part, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
     )
     return (
         small.groupBy("p_brand")
@@ -416,9 +418,13 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     it explicitly lets us reuse the aggregate's columns (sum_qty) in
     the output without a second scan of lineitem.
 
-    Scale: one shuffle on l_orderkey for the aggregate; the surviving
-    key set (top ~1%) broadcasts to orders; customer is a broadcast
-    dim. Top-20 lowers to TakeOrderedAndProject — no global sort."""
+    Scale: one shuffle on l_orderkey for the aggregate. NO broadcast
+    hints: ``big`` (~1% of orders) and ``customer`` both grow with SF
+    — a pinned broadcast that fits at sf0.1 OOMs executors at 100×.
+    AQE sees the real post-filter sizes at runtime and picks broadcast
+    exactly when they fit (catalog.py documents the schema-bounded-
+    only hint policy; tests/test_plans.py enforces it repo-wide).
+    Top-20 lowers to TakeOrderedAndProject — no global sort."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -428,8 +434,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > BIG_ORDER_QTY)
     )
     return (
-        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -487,7 +493,7 @@ def q19_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q19_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -619,15 +625,25 @@ def q22_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     No DuckDB oracle (sketch internals are engine-specific — driver
     records a rows-only check); tests/test_operators.py bounds both
     against the exact answers instead.
+
+    The three percentiles are emitted as scalar columns (not one
+    array) so downstream harnesses can sort/hash rows without
+    array-typed cells.
     """
     ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
     return (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias(
-                "value_p50_p90_p99"
-            ),
+            pct.alias("_pct"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("_pct")[0].alias("value_p50"),
+            F.col("_pct")[1].alias("value_p90"),
+            F.col("_pct")[2].alias("value_p99"),
         )
         .orderBy("event_type")
     )
@@ -705,8 +721,8 @@ WITH per_row AS (
 )
 SELECT seg_len,
        COUNT(*) AS n,
-       SUM(CAST(has_001 AS BIGINT)) AS n_001,
-       SUM(name_num) AS sum_name_num,
+       CAST(SUM(CAST(has_001 AS BIGINT)) AS BIGINT) AS n_001,
+       CAST(SUM(name_num) AS BIGINT) AS sum_name_num,
        MIN(prefix8) AS min_prefix,
        MAX(tag) AS max_tag,
        MAX(hash_pos) AS max_hash_pos
@@ -799,7 +815,7 @@ WITH gaps AS (
 )
 SELECT user_id,
        COUNT(*) AS n_gaps,
-       SUM(gap_us) AS total_gap_us,
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
        MAX(gap_us) AS max_gap_us,
        ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*), 2) AS mean_gap_us
 FROM gaps
@@ -851,9 +867,9 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-       SUM(CAST(t_view IS NOT NULL AS BIGINT)) AS n_viewed,
-       SUM(CAST(t_view < t_click AS BIGINT)) AS n_view_then_click,
-       SUM(CAST(t_view < t_click AND t_click < t_purchase AS BIGINT)) AS n_full_funnel
+       CAST(SUM(CAST(t_view IS NOT NULL AS BIGINT)) AS BIGINT) AS n_viewed,
+       CAST(SUM(CAST(t_view < t_click AS BIGINT)) AS BIGINT) AS n_view_then_click,
+       CAST(SUM(CAST(t_view < t_click AND t_click < t_purchase AS BIGINT)) AS BIGINT) AS n_full_funnel
 FROM per_user
 """
 
@@ -897,7 +913,7 @@ WITH hist AS (
   FROM orders GROUP BY 1
 )
 SELECT bucket,
-       bucket * {BUCKET_W} AS bucket_lo,
+       CAST(bucket * {BUCKET_W} AS DOUBLE) AS bucket_lo,
        n_orders,
        ROUND(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 6) AS share
 FROM hist

@@ -260,13 +260,17 @@ def q4_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_linenumber") == 1, F.col("l_extendedprice"))
         ).alias("first_price"),
     )
-    joined = (
+    # the spread filter references only aggregate columns, so it is
+    # applied BEFORE the orders join — the join probes with the ~3% of
+    # orders that survive, and AQE sees a broadcast-sized build side at
+    # runtime (no hint: the surviving set grows with SF)
+    spread = (
         per_order.filter(F.col("first_price").isNotNull())
-        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .withColumn("price_spread", F.col("max_price") - F.col("first_price"))
+        .filter(F.col("price_spread") > 1000)  # alias-in-WHERE, inlined
     )
     return (
-        joined.filter(F.col("price_spread") > 1000)  # alias-in-WHERE, inlined
+        spread.join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .select("o_orderkey", "o_orderpriority", "max_price", "first_price", "price_spread")
         .orderBy(F.col("price_spread").desc(), F.col("o_orderkey").asc())
     )
@@ -366,9 +370,14 @@ def q6_distinct_suppliers_of_qualifying_brands(
 
     Scale: the qualifying-brand set is tiny (<= 25 brands) and the
     semi-join against part broadcasts it; nation (25 rows, fixed at
-    any SF) is broadcast explicitly. lineitem is filtered by the
-    semi-joined partkeys before touching supplier, and DISTINCT runs
-    on the already-projected narrow columns.
+    any SF) is broadcast explicitly. The DISTINCT is pushed all the
+    way down to the bare ``l_suppkey`` BEFORE the supplier join —
+    s_suppkey is supplier's key, so joining the deduped key set
+    against supplier (then nation) cannot reintroduce duplicates, and
+    the dedup shuffle carries one bigint per surviving lineitem row
+    instead of four wide columns per joined row. ``part`` feeds the
+    semi-join projected to its two used columns, so the parquet scan
+    reads nothing else.
     """
     part = load_table(spark, sf_dir, "part")
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -382,13 +391,25 @@ def q6_distinct_suppliers_of_qualifying_brands(
         .filter((F.col("cnt") >= 2) & F.col("avg_price").between(905.0, 952.0))
         .select("p_brand")
     )
-    qualifying_parts = part.join(F.broadcast(brands), "p_brand", "left_semi")
+    qualifying_parts = (
+        part.select("p_partkey", "p_brand")
+        .join(F.broadcast(brands), "p_brand", "left_semi")
+        .select("p_partkey")
+    )
+    supp_keys = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(
+            qualifying_parts,
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
     return (
-        lineitem.join(qualifying_parts, lineitem.l_partkey == qualifying_parts.p_partkey, "left_semi")
-        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        supp_keys.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .select("s_suppkey", "s_name", "n_name", "s_acctbal")
-        .distinct()
         .orderBy("s_suppkey")
     )
 

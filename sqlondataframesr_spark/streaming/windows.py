@@ -84,8 +84,16 @@ def _stream_dir(sf_dir: str) -> str:
     d = os.path.join(tempfile.gettempdir(), "sqlondataframesr_stream", tag)
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    target = f"{sf_dir}/events.parquet"
+    # lexists (not exists) so a dangling symlink is detected and
+    # replaced; tolerate a concurrent session winning the race
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(target):
+        os.unlink(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass
     return d
 
 
@@ -170,15 +178,18 @@ def enriched_by_segment(
     static side per micro-batch and the join is stateless (only the
     downstream window agg keeps state).
 
-    Scale: the dimension is broadcast — the 100 TB fact stream never
-    shuffles for the join; the windowed agg is one keyed shuffle on
+    Scale: ``customer`` grows with SF, so no pinned broadcast hint —
+    the planner broadcasts the two projected columns whenever its size
+    estimate fits (the projection is what makes that likely); past the
+    threshold the join degrades to a per-batch shuffle instead of an
+    executor OOM. The windowed agg is one keyed shuffle on
     (window x segment) with map-side partials.
     """
     dim = customer.select(
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
     )
     return (
-        events.join(F.broadcast(dim), "user_id")
+        events.join(dim, "user_id")
         .groupBy(F.window("ts", width).alias("w"), "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -184,6 +184,10 @@ def test_kmeans_improves_assignment_quality(spark, sf_dir):
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
     spark_trained = spark.createDataFrame(
-        [(r.c_id, r.centroid) for r in trained], "c_id long, cv array<double>"
+        [
+            (r.c_id, [int(t) / 1e6 for t in r.centroid_us.split(",")])
+            for r in trained
+        ],
+        "c_id long, cv array<double>",
     ).withColumn("cn", F.expr(S.V.l2_norm("cv")))
     assert mean_best_cos(spark_trained) >= mean_best_cos(init) - 1e-9

@@ -106,7 +106,8 @@ def test_approx_sketches_bounded_by_exact(spark, sf_dir):
         vs = sorted(values[et])
         # each approx percentile must be a real data value whose true
         # rank is within 5% of the target quantile
-        for approx_p, q in zip(row.value_p50_p90_p99, (0.5, 0.9, 0.99)):
+        approx_pcts = (row.value_p50, row.value_p90, row.value_p99)
+        for approx_p, q in zip(approx_pcts, (0.5, 0.9, 0.99)):
             assert approx_p in values[et]
             lo = sum(1 for v in vs if v < approx_p) / len(vs)
             hi = sum(1 for v in vs if v <= approx_p) / len(vs)

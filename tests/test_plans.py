@@ -140,3 +140,30 @@ def test_pipeline_gates_are_not_cartesian(spark, sf_dir):
     """The composed training-set pipeline must stay a semi-join chain
     on doc_id — no cartesian anywhere in the composition."""
     assert not _audit(spark, sf_dir, "pipeline_training_set").has_cartesian
+
+
+def test_no_broadcast_hint_on_sf_growing_tables():
+    """Broadcast HINTS are reserved for relations whose size is bounded
+    by the schema (nation: 25 rows, region: 5) or by a constant
+    (query sets, centroids, eval shingles). A pinned F.broadcast() on a
+    table that grows with SF works at sf0.1 and OOMs executors at
+    100x — AQE must make that call from runtime sizes instead. This
+    guard statically scans the package for F.broadcast(<raw SF-growing
+    table>) so the q18-style regression cannot come back."""
+    import re
+    from pathlib import Path
+
+    import sqlondataframesr_spark as pkg
+
+    sf_growing = {
+        "part", "customer", "orders", "lineitem", "supplier",
+        "events", "documents", "embeddings", "big", "vec", "emb",
+    }
+    offenders = []
+    for py in Path(pkg.__path__[0]).rglob("*.py"):
+        src = py.read_text()
+        for m in re.finditer(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)", src):
+            if m.group(1) in sf_growing:
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(f"{py.name}:{line} F.broadcast({m.group(1)})")
+    assert not offenders, f"scale-unsafe broadcast hints: {offenders}"
