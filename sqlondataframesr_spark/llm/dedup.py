@@ -157,6 +157,150 @@ ORDER BY doc_a, doc_b
 """
 
 
+#: document-frequency cap for the capped inverted index: shingles in
+#: more than this many documents never generate candidate pairs
+SHINGLE_DF_CAP = 10
+
+
+def _jaccard_pairs_capped(
+    docs: DataFrame, cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
+    """Near-dup pairs via a document-frequency-capped inverted index.
+
+    The exact inverted-index join (:func:`_jaccard_pairs`) pays
+    sum-over-shingles of df^2 — a boilerplate shingle shared by 10^5
+    docs alone contributes 10^10 pre-aggregation rows. The survivable
+    form is candidate-generation/verification:
+
+    1. **candidates** come only from shingles with document frequency
+       <= ``cap`` — the pair blow-up is bounded by cap * (postings
+       list), linear in corpus size for fixed cap;
+    2. **verification is exact on the full shingle sets**: the docs
+       appearing in any candidate pair are semi-joined back to their
+       full shingle arrays and true Jaccard comes from
+       ``array_intersect`` — so n_common includes hot shingles even
+       though they never generated candidates. The cap narrows WHERE
+       we look, never WHAT we compute.
+
+    Plan shape (one real shuffle beyond shingling): postings shuffle
+    once on the shingle for the DF count; the rare filter, the
+    per-shingle pair expansion (``collect_list`` bounded by the cap,
+    pairs generated map-side from the <=cap-element list) and the
+    candidate distinct all ride that same partitioning. Verification
+    touches only candidate docs' arrays — linear in candidates.
+
+    Recall contract (deterministic, oracle-replicated): a qualifying
+    pair is missed only if EVERY shingle it shares is hot (df > cap).
+    At Jaccard >= 0.8 near-dups share most of their (mostly rare)
+    shingles, so in practice the miss set is boilerplate-only pairs —
+    exactly the pairs a training-data pipeline wants judged by content,
+    not template.
+    """
+    shingled = _with_shingles(docs).localCheckpoint(eager=False)
+    exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
+    # ONE shuffle on the shingle: count df AND keep the (bounded) doc
+    # list in the same aggregate. The size guard inside collect_list's
+    # consumer is safe because the filter on df runs first — a hot
+    # shingle's list is dropped before pair expansion. (collect_list
+    # does buffer the hot list during the aggregate; at corpus scale
+    # swap in a df-only first pass + co-partitioned re-aggregate if a
+    # single posting list could exceed executor memory.)
+    per_shingle = exploded.groupBy("s").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("ds"),
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)), y ->"
+        " struct(x AS doc_a, y AS doc_b))))"
+    )
+    # cand feeds THREE plan branches (both cand_docs legs + the verify
+    # join) — checkpoint, or the per-shingle aggregate recomputes per
+    # branch (measured 2-4x the whole query's cost)
+    cand = (
+        per_shingle.filter(F.col("df") <= cap)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # exact verify: full shingle arrays, but ONLY for candidate docs
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_sh = shingled.join(cand_docs, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
+    sha = cand_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = cand_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (
+                    F.size("sh_a") + F.size("sh_b") - F.col("n_common")
+                ).cast("double"),
+                6,
+            ),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of :func:`dedup_ngram_jaccard`: candidate
+    pairs from a DF-capped inverted index, exact Jaccard verification
+    on the candidates (see :func:`_jaccard_pairs_capped`). At test
+    scale the corpus has no shingle hotter than the cap, so this
+    provably returns the identical pair set as the exact operator —
+    the DuckDB oracle replicates the capped algorithm, not the ideal
+    answer, so the cap's recall semantics are themselves under test."""
+    return _jaccard_pairs_capped(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+DEDUP_NGRAM_JACCARD_CAPPED_ORACLE = f"""
+WITH s AS ({_SHINGLES_SQL}),
+e AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+rare AS (SELECT sh FROM e GROUP BY sh HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
+p AS (SELECT e.doc_id, e.sh FROM e JOIN rare USING (sh)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN e ea ON ea.doc_id = c.doc_a
+  JOIN e eb ON eb.doc_id = c.doc_b AND eb.sh = ea.sh
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT cm.doc_a, cm.doc_b, cm.n_common,
+         len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM common cm
+  JOIN s sa ON sa.doc_id = cm.doc_a
+  JOIN s sb ON sb.doc_id = cm.doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE), 6)
+         AS jaccard
+FROM verified
+WHERE ROUND(CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE), 6)
+      >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components of the duplicate graph
     (edges = identical text OR word-3-shingle Jaccard >= 0.8), with
@@ -207,8 +351,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
+    # Min-label propagation with driver round-trips HALVED: the
+    # convergence count is only taken every second round (dup graphs
+    # converge in 1-2 rounds, so the common case is ONE count job that
+    # materializes two propagation rounds in a single lineage, instead
+    # of an eager checkpoint + count per round). Checkpoints stay lazy;
+    # the count is what materializes them.
     labels = reps.select(F.col("rep").alias("node"), F.col("rep").alias("label"))
-    for _ in range(20):  # cap >> real dup-graph diameter
+    max_rounds = 20  # cap >> real dup-graph diameter
+    for rnd in range(1, max_rounds + 1):
         msg = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node2"))
@@ -220,16 +371,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
             )
-            .localCheckpoint()  # eager: cuts lineage and lets us count
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        converged = False
+        if rnd % 2 == 0 or rnd == max_rounds:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            converged = changed == 0
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
 
     member_label = fp.join(reps.select("fp", "rep"), "fp").join(
@@ -295,12 +449,14 @@ ORDER BY c.doc_id
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_ORACLE,
+    "dedup_ngram_jaccard_capped": DEDUP_NGRAM_JACCARD_CAPPED_ORACLE,
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
 }
 

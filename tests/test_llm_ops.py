@@ -16,6 +16,54 @@ def test_dedup_ngram_finds_planted_near_dups(spark, sf_dir):
     assert all(r["doc_a"] < r["doc_b"] for r in pairs)
 
 
+def test_capped_jaccard_drops_boilerplate_keeps_near_dups(spark):
+    """On a boilerplate-heavy corpus the DF cap must (a) still find the
+    genuine near-dup pair through its rare shingles, (b) generate ZERO
+    candidates from the hot boilerplate shingles — the quadratic term
+    the cap exists to kill — and (c) agree with the exact operator's
+    final answer, since verification is exact on full shingle sets."""
+    boiler = "the terms of service apply to all users of this web site"
+    rows = [
+        (i, f"{boiler} unique content piece number {i} with extras {i * 7} {i * 13}")
+        for i in range(30)
+    ]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {(r.doc_a, r.doc_b) for r in dedup._jaccard_pairs(df).collect()}
+    capped = {
+        (r.doc_a, r.doc_b) for r in dedup._jaccard_pairs_capped(df, cap=10).collect()
+    }
+    assert (100, 101) in capped
+    assert capped == exact  # exact verify: the cap changed cost, not truth
+
+    # candidate bound: every boilerplate shingle has df=30 > cap, so the
+    # rare-postings self-join must produce exactly the ONE genuine pair
+    shingled = dedup._with_shingles(df)
+    exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
+    rare = (
+        exploded.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 10)
+        .select("s")
+    )
+    posting = exploded.join(rare, "s")
+    n_cand = (
+        posting.alias("a")
+        .join(
+            posting.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand == 1
+
+
 def test_lang_id_deterministic_tiebreak(spark, sf_dir):
     out = text.lang_id_stopword(spark, sf_dir)
     # predicted_lang is only ever a known code or 'und'
