@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
-from .dedup import _SHINGLES_SQL, _with_shingles
+from .dedup import _SHINGLES_SPARK_SQL, _SHINGLES_SQL, _with_shingles
 
 #: flag a training doc when >= this fraction of its 3-shingles appear in the eval set
 CONTAM_THRESHOLD = 0.2
@@ -114,4 +114,37 @@ ORDER BY d.doc_id
 
 QUERIES = {"decontam_overlap": decontam_overlap}
 ORACLES = {"decontam_overlap": DECONTAM_OVERLAP_ORACLE}
-SPARK_SQL: dict[str, str] = {}
+
+#: Spark-SQL ratio expression (shared by overlap_ratio and contaminated)
+_RATIO_SPARK = """CASE WHEN COALESCE(sz.n_shingles, 0) > 0
+            THEN ROUND(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
+                       / CAST(sz.n_shingles AS DOUBLE), 6)
+            ELSE 0.0D END"""
+
+# Spark-SQL N-version form (fluent ≡ SQL, tests/test_reference_queries.py)
+SPARK_SQL: dict[str, str] = {
+    "decontam_overlap": f"""
+WITH s AS ({_SHINGLES_SPARK_SQL}),
+eval_sh AS (
+  SELECT DISTINCT sx FROM (SELECT explode(sh) AS sx FROM s
+                           WHERE doc_id % {EVAL_MOD} = 0)
+),
+train AS (SELECT doc_id, sh FROM s WHERE doc_id % {EVAL_MOD} != 0),
+train_e AS (SELECT doc_id, explode(sh) AS sx FROM train),
+overlap AS (
+  SELECT t.doc_id, COUNT(1) AS n_overlap
+  FROM train_e t JOIN eval_sh e ON t.sx = e.sx
+  GROUP BY t.doc_id
+),
+sizes AS (SELECT doc_id, size(sh) AS n_shingles FROM train)
+SELECT d.doc_id,
+       CAST(COALESCE(sz.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       {_RATIO_SPARK} AS overlap_ratio,
+       ({_RATIO_SPARK}) >= {CONTAM_THRESHOLD}D AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {EVAL_MOD} != 0) d
+LEFT JOIN sizes sz USING (doc_id)
+LEFT JOIN overlap o USING (doc_id)
+ORDER BY d.doc_id
+""",
+}

@@ -52,6 +52,16 @@ _SHINGLES_SQL = """
   WHERE len(w) >= 3
 """
 
+#: Spark-dialect twin of _SHINGLES_SQL (shared by the SPARK_SQL dual
+#: forms here and in llm/minhash.py / llm/decontam.py)
+_SHINGLES_SPARK_SQL = """
+  SELECT doc_id,
+         array_distinct(transform(sequence(0, size(w) - 3),
+                        i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+  FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
+  WHERE size(w) >= 3
+"""
+
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup decision table: one row per distinct text, with the
@@ -460,7 +470,61 @@ ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
 }
 
-# Spark-SQL N-version forms (fluent ≡ SQL, tests/test_reference_queries.py)
+# Spark-SQL N-version forms (fluent ≡ SQL, tests/test_reference_queries.py).
+# dedup_clusters has no SQL twin: its min-label propagation loop is
+# iterative (the oracle uses WITH RECURSIVE, which Spark SQL lacks).
 SPARK_SQL: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_ORACLE,  # dialect-neutral: valid in both engines
+    "dedup_ngram_jaccard": f"""
+WITH s AS ({_SHINGLES_SPARK_SQL}),
+e AS (SELECT doc_id, explode(sh) AS sx FROM s),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS n_common
+  FROM e a JOIN e b ON a.sx = b.sx AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, size(sh) AS n_sh FROM s),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(cast(n_common as double)
+               / cast(sa.n_sh + sb.n_sh - n_common as double), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM jac
+WHERE jaccard >= {JACCARD_THRESHOLD}D
+ORDER BY doc_a, doc_b
+""",
+    "dedup_ngram_jaccard_capped": f"""
+WITH s AS ({_SHINGLES_SPARK_SQL}),
+e AS (SELECT doc_id, explode(sh) AS sx FROM s),
+rare AS (SELECT sx FROM e GROUP BY sx HAVING COUNT(1) <= {SHINGLE_DF_CAP}),
+p AS (SELECT e.doc_id, e.sx FROM e JOIN rare USING (sx)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM p a JOIN p b ON a.sx = b.sx AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(1) AS n_common
+  FROM cand c
+  JOIN e ea ON ea.doc_id = c.doc_a
+  JOIN e eb ON eb.doc_id = c.doc_b AND eb.sx = ea.sx
+  GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT cm.doc_a, cm.doc_b, cm.n_common,
+         size(sa.sh) AS na, size(sb.sh) AS nb
+  FROM common cm
+  JOIN s sa ON sa.doc_id = cm.doc_a
+  JOIN s sb ON sb.doc_id = cm.doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE), 6)
+         AS jaccard
+FROM verified
+WHERE ROUND(CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE), 6)
+      >= {JACCARD_THRESHOLD}D
+ORDER BY doc_a, doc_b
+""",
 }

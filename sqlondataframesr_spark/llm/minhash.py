@@ -40,7 +40,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
-from .dedup import _SHINGLES_SQL, _with_shingles
+from .dedup import _SHINGLES_SPARK_SQL, _SHINGLES_SQL, _with_shingles
 
 #: K signature positions = BANDS * ROWS_PER_BAND
 NUM_PERM = 12
@@ -178,4 +178,42 @@ ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_ORACLE,
 }
 
-SPARK_SQL: dict[str, str] = {}
+# Spark-SQL N-version form (fluent ≡ SQL, tests/test_reference_queries.py)
+SPARK_SQL: dict[str, str] = {
+    "dedup_minhash_lsh": f"""
+WITH s AS ({_SHINGLES_SPARK_SQL}),
+sigt AS (
+  SELECT doc_id,
+         transform({_PERMS_SPARK}, p -> aggregate(
+           transform(sh, x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint)),
+           bigint({P}),
+           (acc, h) -> least(acc, (element_at(p, 1) * h + element_at(p, 2)) % {P})))
+           AS sig
+  FROM s
+),
+bands AS (
+  SELECT doc_id, b AS band,
+         concat_ws(',', transform(slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}),
+                                  x -> cast(x as string))) AS bkey
+  FROM sigt LATERAL VIEW explode(sequence(0, {BANDS - 1})) t AS b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(cast(size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y),
+                                v -> v)) as double) / {float(NUM_PERM)}D, 6)
+           AS est_jaccard
+  FROM cand c
+  JOIN sigt sa ON sa.doc_id = c.doc_a
+  JOIN sigt sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard
+FROM est
+WHERE est_jaccard >= {EST_THRESHOLD}D
+ORDER BY doc_a, doc_b
+""",
+}

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
+from . import decontam as _decontam_mod, text as _text_mod
 from .decontam import DECONTAM_OVERLAP_ORACLE, decontam_overlap
 from .dedup import DEDUP_EXACT_ORACLE, dedup_exact
 from .text import (
@@ -102,4 +103,38 @@ ORDER BY d.source
 
 QUERIES = {"pipeline_training_set": pipeline_training_set}
 ORACLES = {"pipeline_training_set": PIPELINE_TRAINING_SET_ORACLE}
-SPARK_SQL: dict[str, str] = {}
+
+# Spark-SQL N-version form: composed from the STAGE duals exactly the
+# way the DuckDB oracle composes the stage oracles — the SQL pipeline
+# is the SQL stages chained, not a re-derivation.
+SPARK_SQL: dict[str, str] = {
+    "pipeline_training_set": f"""
+WITH keepers AS (
+  SELECT keep_id AS doc_id FROM ({DEDUP_EXACT_ORACLE})
+),
+quality AS (
+  SELECT doc_id FROM ({_text_mod.SPARK_SQL["text_repetition"]})
+  WHERE n_tokens >= {MIN_TOKENS} AND distinct_ratio >= {MIN_DISTINCT_RATIO}D
+),
+clean AS (
+  SELECT doc_id FROM ({_decontam_mod.SPARK_SQL["decontam_overlap"]})
+  WHERE NOT contaminated
+),
+kept AS (
+  SELECT k.doc_id FROM keepers k
+  JOIN quality USING (doc_id)
+  JOIN clean USING (doc_id)
+),
+chunks AS (
+  SELECT * FROM ({_text_mod.SPARK_SQL["text_chunks"]}) c
+  WHERE c.doc_id IN (SELECT doc_id FROM kept)
+)
+SELECT d.source,
+       COUNT(DISTINCT c.doc_id) AS n_docs,
+       COUNT(1) AS n_chunks,
+       SUM(c.n_chunk_tokens) AS n_tokens
+FROM chunks c JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+""",
+}

@@ -166,4 +166,34 @@ ORACLES = {
     "pack_token_budget": PACK_TOKEN_BUDGET_ORACLE,
 }
 
-SPARK_SQL: dict[str, str] = {}
+# Spark-SQL N-version forms (fluent ≡ SQL, tests/test_reference_queries.py)
+SPARK_SQL: dict[str, str] = {
+    "sample_hash_split": f"""
+SELECT doc_id, lang,
+       {_BUCKET_SPARK} AS bucket,
+       CASE WHEN {_BUCKET_SPARK} < {TRAIN_PCT} THEN 'train'
+            WHEN {_BUCKET_SPARK} < {VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    # dialect-neutral: the oracle text parses identically in Spark SQL
+    "sample_stratified_topn": SAMPLE_STRATIFIED_TOPN_ORACLE,
+    "pack_token_budget": f"""
+WITH toks AS (
+  SELECT doc_id, lang, size(split(text, ' ')) AS n_tokens FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks
+)
+SELECT lang,
+       floor((cum_tokens - n_tokens) / {PACK_BUDGET}) AS bin_id,
+       row_number() OVER (
+            PARTITION BY lang, floor((cum_tokens - n_tokens) / {PACK_BUDGET})
+            ORDER BY doc_id) AS bin_pos,
+       doc_id, n_tokens, cum_tokens
+FROM cum
+""",
+}

@@ -228,4 +228,40 @@ ORACLES = {
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
 }
 
-SPARK_SQL: dict[str, str] = {}
+#: Spark-SQL mirror of the fingerprint CTE (same _HS_SPARK/_half_expr
+#: text the fluent form compiles — N versions share constants, not paths)
+_FP_SPARK_SQL = f"""
+  SELECT doc_id,
+         {_half_expr(1)} AS fp_hi,
+         {_half_expr(2)} AS fp_lo,
+         size(hs) AS n_tokens
+  FROM (SELECT doc_id, {_HS_SPARK} AS hs FROM documents)
+"""
+
+# Spark-SQL N-version forms (fluent ≡ SQL, tests/test_reference_queries.py).
+# dedup_simhash's SQL twin uses the direct doc-level block join (same
+# answer as the fluent group-compressed plan — the compression is a
+# performance rewrite, which is exactly what N-version testing pins).
+SPARK_SQL: dict[str, str] = {
+    "simhash_fingerprint": f"""
+WITH fp AS ({_FP_SPARK_SQL})
+SELECT doc_id, fp_hi, fp_lo, n_tokens FROM fp ORDER BY doc_id
+""",
+    "dedup_simhash": f"""
+WITH fp AS ({_FP_SPARK_SQL}),
+blocks AS (
+  SELECT doc_id, fp_hi, fp_lo, b AS blk,
+         shiftright(IF(b < 2, fp_hi, fp_lo), IF(b % 2 = 0, 16, 0)) & 65535 AS bkey
+  FROM fp LATERAL VIEW explode(sequence(0, {BLOCKS - 1})) t AS b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(a.fp_hi ^ b.fp_hi) + bit_count(a.fp_lo ^ b.fp_lo) AS hamming
+  FROM blocks a
+  JOIN blocks b ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  WHERE bit_count(a.fp_hi ^ b.fp_hi) + bit_count(a.fp_lo ^ b.fp_lo)
+        <= {HAMMING_MAX}
+)
+SELECT doc_a, doc_b, hamming FROM cand ORDER BY doc_a, doc_b
+""",
+}

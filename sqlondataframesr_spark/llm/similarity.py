@@ -676,4 +676,227 @@ ORACLES = {
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_ORACLE,
 }
 
-SPARK_SQL: dict[str, str] = {}
+# ---------------------------------------------------------------------------
+# Spark-SQL N-version forms (fluent ≡ SQL, tests/test_reference_queries.py).
+# Same discipline as the reference's N implementations per task
+# (RDataFramesSQL.Rmd:40-53): each fluent builder above gets a SQL
+# sibling run through spark.sql() on the registered views. The shared
+# CTE blocks mirror _VEC_SQL/_SIG_SQL/_BANDS_SQL in Spark dialect, and
+# the literal hyperplane matrix is the SAME _PLANES_SPARK string the
+# fluent form compiles — the N versions share constants, not code paths.
+# ---------------------------------------------------------------------------
+
+_VEC_SPARK_SQL = """
+  SELECT vec_id, v, sqrt(aggregate(v, 0D, (a, x) -> a + x * x)) AS nrm
+  FROM (SELECT vec_id, transform(embedding, x -> cast(x as double)) AS v
+        FROM embeddings)
+"""
+
+_SIG_SPARK_SQL = f"""
+  SELECT vec_id,
+         concat_ws('', transform({_PLANES_SPARK},
+           p -> IF(aggregate(zip_with(p, v, (w, x) -> w * x), 0D,
+                             (a, x) -> a + x) >= 0, '1', '0'))) AS sig
+  FROM vec
+"""
+
+_BANDS_SPARK_SQL = f"""
+  SELECT vec_id, b AS band,
+         substring(sig, b * {BAND_BITS} + 1, {BAND_BITS}) AS bkey
+  FROM sigt LATERAL VIEW explode(sequence(0, {BANDS - 1})) t AS b
+"""
+
+_TOPK_TAIL_SPARK = f"""
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= {TOP_K} ORDER BY q_id, rnk
+"""
+
+
+def _centroid_spark_sql() -> str:
+    sums = ",\n       ".join(
+        f"SUM(cast(round(v[{i}] * 1000000) as bigint)) AS s{i}" for i in range(DIM)
+    )
+    comps = ", ".join(
+        f"cast(cast(round(round(s{i} / (n * 1000000.0), 6) * 1000000.0) as bigint)"
+        " as string)"
+        for i in range(DIM)
+    )
+    return f"""
+WITH e AS (SELECT label, transform(embedding, x -> cast(x as double)) AS v
+           FROM embeddings),
+g AS (
+  SELECT label, COUNT(1) AS n,
+       {sums}
+  FROM e GROUP BY label
+)
+SELECT label, n, concat_ws(',', {comps}) AS centroid_us FROM g ORDER BY label
+"""
+
+
+def _kmeans_spark_sql() -> str:
+    sums = ",\n         ".join(
+        f"SUM(cast(round(v[{i}] * 1000000) as bigint)) AS s{i}" for i in range(DIM)
+    )
+    comps = ", ".join(f"round(s{i} / (n * 1000000.0D), 6)" for i in range(DIM))
+    parts = [
+        f"vec AS ({_VEC_SPARK_SQL})",
+        f"c0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vec"
+        f" WHERE vec_id < {KM_K})",
+    ]
+    for it in range(KM_ITERS):
+        cos = _COS.format(a="vec.v", b=f"c{it}.cv", na="vec.nrm", nb=f"c{it}.cn")
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, c_id AS list_id FROM (
+    SELECT vec.vec_id, c{it}.c_id,
+           row_number() OVER (PARTITION BY vec.vec_id
+                              ORDER BY {cos} DESC, c{it}.c_id) AS arnk
+    FROM vec CROSS JOIN c{it}) WHERE arnk = 1)"""
+        )
+        parts.append(
+            f"""g{it} AS (
+  SELECT list_id, COUNT(1) AS n,
+         {sums}
+  FROM vec JOIN a{it} USING (vec_id) GROUP BY list_id)"""
+        )
+        parts.append(
+            f"""c{it + 1} AS (
+  SELECT list_id AS c_id, n, array({comps}) AS cv,
+         sqrt(aggregate(array({comps}), 0D, (a, x) -> a + x * x)) AS cn
+  FROM g{it})"""
+        )
+    cent_us = (
+        "array_join(transform(cv,"
+        " x -> cast(cast(round(x * 1000000.0) as bigint) as string)), ',')"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT c_id, n, {cent_us} AS centroid_us"
+        + f" FROM c{KM_ITERS} ORDER BY c_id"
+    )
+
+
+SPARK_SQL: dict[str, str] = {
+    "ann_cosine_topk": f"""
+WITH vec AS ({_VEC_SPARK_SQL}),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='q.v', b='c.v', na='q.nrm', nb='c.nrm')} AS cosine
+  FROM vec q JOIN vec c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+{_TOPK_TAIL_SPARK}
+""",
+    "ann_lsh_topk": f"""
+WITH vec AS ({_VEC_SPARK_SQL}),
+sigt AS ({_SIG_SPARK_SQL}),
+bands AS ({_BANDS_SPARK_SQL}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+  FROM bands q JOIN bands c
+    ON q.band = c.band AND q.bkey = c.bkey AND c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         {_COS.format(a='q.v', b='c.v', na='q.nrm', nb='c.nrm')} AS cosine
+  FROM cand
+  JOIN vec q ON q.vec_id = cand.q_id
+  JOIN vec c ON c.vec_id = cand.neighbor_id
+),
+{_TOPK_TAIL_SPARK}
+""",
+    "ann_ivf_topk": f"""
+WITH vec AS ({_VEC_SPARK_SQL}),
+cent AS (
+  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vec WHERE vec_id < {NLIST}
+),
+asg_scored AS (
+  SELECT vec.vec_id, cent.c_id,
+         {_COS.format(a='vec.v', b='cent.cv', na='vec.nrm', nb='cent.cn')} AS ccos
+  FROM vec CROSS JOIN cent
+),
+asg AS (
+  SELECT vec_id, c_id AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, c_id) AS arnk
+        FROM asg_scored)
+  WHERE arnk = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, c_id AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, c_id) AS prnk
+        FROM asg_scored WHERE vec_id < {N_QUERIES})
+  WHERE prnk <= {NPROBE}
+),
+cand AS (
+  SELECT probes.q_id, asg.vec_id AS neighbor_id
+  FROM asg JOIN probes USING (list_id)
+  WHERE asg.vec_id != probes.q_id
+),
+scored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         {_COS.format(a='q.v', b='c.v', na='q.nrm', nb='c.nrm')} AS cosine
+  FROM cand
+  JOIN vec q ON q.vec_id = cand.q_id
+  JOIN vec c ON c.vec_id = cand.neighbor_id
+),
+{_TOPK_TAIL_SPARK}
+""",
+    "dedup_embedding_cosine": f"""
+WITH vec AS ({_VEC_SPARK_SQL}),
+sigt AS ({_SIG_SPARK_SQL}),
+bands AS ({_BANDS_SPARK_SQL}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT cand.vec_a, cand.vec_b,
+         {_COS.format(a='va.v', b='vb.v', na='va.nrm', nb='vb.nrm')} AS cosine
+  FROM cand
+  JOIN vec va ON va.vec_id = cand.vec_a
+  JOIN vec vb ON vb.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored
+WHERE cosine >= {COS_THRESHOLD}D
+ORDER BY vec_a, vec_b
+""",
+    "emb_label_centroid": _centroid_spark_sql(),
+    "kmeans_train": _kmeans_spark_sql(),
+    "emb_quantize_int8": """
+WITH vv AS (
+  SELECT vec_id, transform(embedding, x -> cast(x as double)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v, array_max(transform(v, x -> abs(x))) AS maxabs FROM vv
+),
+sc AS (
+  SELECT vec_id, v,
+         CASE WHEN maxabs > 0 THEN 127.0D / maxabs ELSE 0.0D END AS scale
+  FROM s
+),
+q AS (
+  SELECT vec_id, v, scale,
+         transform(v, x -> cast(floor(x * scale + 0.5D) as int)) AS q_emb
+  FROM sc
+)
+SELECT vec_id,
+       array_join(transform(q_emb, x -> cast(x as string)), ',') AS q_emb_str,
+       round(scale, 6) AS scale,
+       CASE WHEN scale > 0
+            THEN round(array_max(transform(zip_with(v, q_emb,
+                   (x, qq) -> abs(x - qq / scale)), e -> e)), 6)
+            ELSE 0.0D END AS max_err
+FROM q
+ORDER BY vec_id
+""",
+}

@@ -496,4 +496,151 @@ ORACLES = {
     "text_tfidf_top_term": TEXT_TFIDF_ORACLE,
 }
 
-SPARK_SQL: dict[str, str] = {}
+def _lang_id_spark_sql() -> str:
+    """Spark-dialect twin of :func:`_lang_id_oracle` — same right-fold
+    CASE chain, Spark's lambda/array functions instead of DuckDB's
+    list comprehensions."""
+    langs = list(LANG_STOPWORDS)
+    score_exprs = ",\n       ".join(
+        "size(filter(w, t -> array_contains(array("
+        + ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+        + f"), t))) AS score_{lang}"
+        for lang in langs
+    )
+    pred = "'und'"
+    best = "0"
+    for lang in reversed(langs):
+        pred = (
+            f"CASE WHEN score_{lang} > 0 THEN "
+            f"(CASE WHEN score_{lang} >= {best} THEN '{lang}' ELSE {pred} END) "
+            f"ELSE {pred} END"
+        )
+        best = f"greatest({best}, score_{lang})"
+    return f"""
+WITH t AS (SELECT doc_id, lang, split(text, ' ') AS w FROM documents),
+scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+       {score_exprs}
+  FROM t
+)
+SELECT doc_id, labeled_lang, {', '.join('score_' + lang for lang in langs)},
+       {pred} AS predicted_lang
+FROM scored
+"""
+
+
+_EN_ARRAY_SPARK = (
+    "array(" + ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"]) + ")"
+)
+
+# Spark-SQL N-version forms (fluent ≡ SQL, tests/test_reference_queries.py).
+# The reference's defining discipline is N implementations of every task
+# compared for equality (RDataFramesSQL.Rmd:40-53); these are the SQL
+# siblings of the fluent builders above, run through spark.sql() against
+# the same registered views.
+SPARK_SQL: dict[str, str] = {
+    "text_token_stats": """
+SELECT doc_id, lang,
+       length(text) AS n_chars_actual,
+       size(split(text, ' ')) AS n_tokens,
+       size(array_distinct(split(text, ' '))) AS n_unique_tokens,
+       CAST(length(text) - size(split(text, ' ')) + 1 AS DOUBLE)
+         / CAST(size(split(text, ' ')) AS DOUBLE) AS avg_token_len
+FROM documents
+""",
+    "text_quality_score": f"""
+WITH t AS (SELECT doc_id, source, text, split(text, ' ') AS w FROM documents)
+SELECT doc_id, source,
+       ROUND(CAST(size(array_distinct(w)) AS DOUBLE) / CAST(size(w) AS DOUBLE), 6)
+         AS type_token_ratio,
+       ROUND(CAST(size(filter(w, t -> array_contains({_EN_ARRAY_SPARK}, t))) AS DOUBLE)
+             / CAST(size(w) AS DOUBLE), 6) AS stopword_ratio,
+       ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE), 6) AS digit_ratio
+FROM t
+""",
+    "lang_id_stopword": _lang_id_spark_sql(),
+    "doc_fingerprint": """
+WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id,
+         array_distinct(transform(sequence(0, size(w) - 3),
+                        i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+  FROM t WHERE size(w) >= 3
+)
+SELECT doc_id,
+       array_min(transform(sh, x -> md5(x))) AS fingerprint,
+       size(sh) AS n_shingles
+FROM s
+""",
+    "text_top_terms": """
+WITH t AS (SELECT doc_id, array_distinct(split(text, ' ')) AS w FROM documents),
+e AS (SELECT doc_id, explode(w) AS term FROM t),
+c AS (SELECT term, COUNT(1) AS doc_freq FROM e GROUP BY term),
+r AS (SELECT term, doc_freq,
+             row_number() OVER (ORDER BY doc_freq DESC, term) AS rnk
+      FROM c)
+SELECT term, doc_freq, rnk FROM r WHERE rnk <= 20 ORDER BY rnk
+""",
+    "text_tfidf_top_term": """
+WITH tok AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(1) AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(1) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         ROUND((CAST(tf.tf AS DOUBLE)
+                / CAST(SUM(tf.tf) OVER (PARTITION BY tf.doc_id) AS DOUBLE))
+               * ln((CAST(n_docs AS DOUBLE) + 1) / (CAST(df AS DOUBLE) + 1)), 6)
+           AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+               AS rnk
+      FROM scored)
+SELECT doc_id, term, tf, df, score FROM r WHERE rnk = 1 ORDER BY doc_id
+""",
+    "text_chunks": f"""
+WITH toks AS (
+  SELECT doc_id, split(text, ' ') AS w, size(split(text, ' ')) AS n FROM documents
+),
+geo AS (
+  SELECT doc_id, w, n,
+         CASE WHEN n > {CHUNK_TOKENS}
+              THEN (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE}
+              ELSE 0 END AS n_extra
+  FROM toks
+),
+ks AS (
+  SELECT doc_id, w, chunk_id, start
+  FROM geo
+  LATERAL VIEW posexplode(transform(sequence(0, n_extra),
+                                    i -> i * {CHUNK_STRIDE}))
+    t AS chunk_id, start
+),
+chunks AS (
+  SELECT doc_id, chunk_id, slice(w, start + 1, {CHUNK_TOKENS}) AS chunk FROM ks
+)
+SELECT doc_id, chunk_id,
+       size(chunk) AS n_chunk_tokens,
+       md5(concat_ws(' ', chunk)) AS chunk_hash
+FROM chunks
+ORDER BY doc_id, chunk_id
+""",
+    "text_repetition": """
+WITH tf AS (
+  SELECT doc_id, term, COUNT(1) AS tf
+  FROM (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents)
+  WHERE term != ''
+  GROUP BY doc_id, term
+)
+SELECT doc_id,
+       SUM(tf) AS n_tokens,
+       COUNT(1) AS n_distinct,
+       min_by(term, struct(-tf, term)) AS top_term,
+       MAX(tf) AS top_tf,
+       ROUND(MAX(tf) / SUM(tf), 6) AS repetition_ratio,
+       ROUND(COUNT(1) / SUM(tf), 6) AS distinct_ratio
+FROM tf GROUP BY doc_id ORDER BY doc_id
+""",
+}

@@ -131,4 +131,27 @@ ORDER BY c.user_id, c.ts
 
 QUERIES = {"evt_asof_attribution": evt_asof_attribution}
 ORACLES = {"evt_asof_attribution": EVT_ASOF_ORACLE}
-SPARK_SQL: dict[str, str] = {}
+
+# Spark-SQL N-version form: the textbook correlated spelling (left join
+# on ts <= ts + per-left argmax) — the form whose O(|L| x |R|)-per-key
+# blow-up the union-window operator above exists to avoid. Keeping it
+# as the dual pins the SEMANTICS with an independent plan; it is not a
+# production path.
+SPARK_SQL: dict[str, str] = {
+    "evt_asof_attribution": """
+WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS p_ts, event_id AS purchase_event_id,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.user_id, c.ts, c.event_id, p.purchase_event_id, p.purchase_value,
+         row_number() OVER (PARTITION BY c.user_id, c.event_id
+                            ORDER BY p.p_ts DESC NULLS LAST,
+                                     p.purchase_event_id DESC) AS rn
+  FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.p_ts <= c.ts
+)
+SELECT user_id, ts, event_id, purchase_event_id, purchase_value
+FROM j WHERE rn = 1
+ORDER BY user_id, ts
+""",
+}

@@ -95,4 +95,18 @@ ORACLES = {
     "pandas_source_stats": PANDAS_SOURCE_STATS_ORACLE,
 }
 
-SPARK_SQL: dict[str, str] = {}
+# Spark-SQL N-version form: the built-in-aggregate twin of the pandas
+# closure — exactly the "expressible in SQL" property that makes the
+# Arrow path oracle-checkable (module docstring).
+SPARK_SQL: dict[str, str] = {
+    "pandas_source_stats": """
+SELECT source,
+       COUNT(1) AS n_docs,
+       CAST(percentile(n_chars, 0.5D) AS DOUBLE) AS median_chars,
+       MAX(n_chars) AS max_chars,
+       min_by(doc_id, struct(-n_chars, doc_id)) AS argmax_doc
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+}

@@ -102,4 +102,21 @@ ORDER BY event_a, event_b
 
 QUERIES = {"evt_pairs_in_window": evt_pairs_in_window}
 ORACLES = {"evt_pairs_in_window": EVT_PAIRS_IN_WINDOW_ORACLE}
-SPARK_SQL: dict[str, str] = {}
+
+# Spark-SQL N-version form: the naive inequality self-join the
+# bin-and-replicate operator rewrites away — an independent plan that
+# pins the semantics (fine at sf0.01; quadratic per user at scale).
+SPARK_SQL: dict[str, str] = {
+    "evt_pairs_in_window": f"""
+SELECT a.user_id,
+       a.event_id AS event_a,
+       b.event_id AS event_b,
+       unix_micros(b.ts) - unix_micros(a.ts) AS dt_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(unix_micros(b.ts) - unix_micros(a.ts)) <= {_WINDOW_US}
+ORDER BY event_a, event_b
+""",
+}

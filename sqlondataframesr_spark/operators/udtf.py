@@ -83,4 +83,25 @@ ORDER BY doc_id
 
 QUERIES = {"doc_sentence_stats": doc_sentence_stats}
 ORACLES = {"doc_sentence_stats": DOC_SENTENCE_STATS_ORACLE}
-SPARK_SQL: dict[str, str] = {}
+
+# Spark-SQL N-version form: posexplode(split) replaces the Python UDTF
+# — same enumeration (index over ALL '. '-parts, empties dropped after)
+SPARK_SQL: dict[str, str] = {
+    "doc_sentence_stats": """
+WITH sent AS (
+  SELECT doc_id, sent_idx, s
+  FROM documents
+  LATERAL VIEW posexplode(split(text, '\\\\. ')) t AS sent_idx, s
+),
+kept AS (
+  SELECT doc_id, sent_idx, length(s) AS sent_len FROM sent WHERE s != ''
+)
+SELECT doc_id,
+       COUNT(1) AS n_sentences,
+       MAX(sent_len) AS max_sent_len,
+       min_by(sent_len, sent_idx) AS first_sent_len
+FROM kept
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+}

@@ -1022,4 +1022,47 @@ WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts)
              RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """,
+    "q11_quantity_quantiles": """
+SELECT l_returnflag,
+       percentile(l_quantity, 0.25) AS p25,
+       percentile(l_quantity, 0.50) AS p50,
+       percentile(l_quantity, 0.75) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    # dialect-neutral: the oracle text parses identically in Spark SQL
+    "q15_lineitem_stats": Q15_ORACLE,
+    "q23_cube_order_matrix": Q23_ORACLE,
+    # Spark string literals C-escape backslashes ('\d' -> 'd'); DuckDB
+    # keeps them — double the regex backslash for the Spark parse
+    "q24_string_functions": Q24_ORACLE.replace("(\\d+)$", "(\\\\d+)$"),
+    # same engine on both sides, so the sketch internals agree exactly —
+    # the SQL twin pins the fluent plan even though no DuckDB oracle can
+    "q22_approx_sketches": """
+WITH g AS (
+  SELECT event_type,
+         approx_count_distinct(user_id, 0.02) AS approx_users,
+         percentile_approx(value, array(0.5D, 0.9D, 0.99D), 10000) AS pct
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, approx_users,
+       pct[0] AS value_p50, pct[1] AS value_p90, pct[2] AS value_p99
+FROM g
+ORDER BY event_type
+""",
+    "q28_price_histogram": f"""
+WITH hist AS (
+  SELECT CAST(floor(o_totalprice / {BUCKET_W}D) AS BIGINT) AS bucket,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT bucket,
+       CAST(bucket * {BUCKET_W}D AS DOUBLE) AS bucket_lo,
+       n_orders,
+       ROUND(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 6) AS share
+FROM hist
+ORDER BY bucket
+""",
 }

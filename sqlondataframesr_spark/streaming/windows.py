@@ -417,4 +417,38 @@ JOIN events p
  AND p.ts < c.ts + INTERVAL 2 HOURS
 ORDER BY click_id, purchase_id
 """,
+    "evt_sliding_12h": """
+SELECT w.window.start AS ws, w.n_events, w.total_value
+FROM (
+  SELECT window, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+  FROM events
+  GROUP BY window(ts, '1 day', '12 hours')
+) w
+ORDER BY ws
+""",
+    "evt_sessions_1h": """
+SELECT w.user_id,
+       w.session_window.start AS session_start,
+       w.session_window.end AS session_end,
+       w.n_events, w.total_value
+FROM (
+  SELECT session_window, user_id,
+         COUNT(*) AS n_events,
+         ROUND(SUM(value), 2) AS total_value
+  FROM events
+  GROUP BY session_window(ts, '1 hour'), user_id
+) w
+ORDER BY user_id, session_start
+""",
+    "evt_segment_daily": """
+SELECT w.window.start AS ws, w.segment, w.n_events, w.total_value
+FROM (
+  SELECT window, c.c_mktsegment AS segment,
+         COUNT(*) AS n_events,
+         ROUND(SUM(e.value), 2) AS total_value
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY window(e.ts, '1 day'), c.c_mktsegment
+) w
+ORDER BY ws, segment
+""",
 }
