@@ -10,11 +10,13 @@ transform is either
   featurize/resize family) — batch-at-a-time numpy, never row-at-a-time
   Python.
 
-The decode step itself needs codec libraries (Pillow / ffmpeg / soundfile)
-that are NOT in this environment, so it is stubbed behind
-``NotImplementedError`` with a deterministic fake used by tests — the
+Standards codec libraries (Pillow / ffmpeg / soundfile) are NOT in
+this environment, so the decode step speaks a SYNTHETIC pure-numpy
+grayscale format ("SIMG", see ``encode_gray``/``_decode_gray``) with a
+deterministic byte-tiling fallback for arbitrary payloads — a real
+codec drops into the same ``mapInPandas`` body without touching the
 Spark-side plumbing (schema, UDF signature, Arrow batch shape,
-partition-preserving map) is real and tested.
+partition-preserving map), all of which is real and tested.
 
 Since the driver testdata has no binary table, :func:`media_frame`
 manufactures one deterministically from ``documents`` (payload =
@@ -99,33 +101,184 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_histogram(media_frame(spark, sf_dir)).orderBy("doc_id")
 
 
-# --- stubbed decoders (codec libs not installed here) ----------------
+# --- decoders --------------------------------------------------------
+#
+# The environment has no codec libraries (Pillow / ffmpeg), so the
+# wire format here is a SYNTHETIC grayscale codec ("SIMG"), pure numpy:
+# magic + big-endian uint16 dims + raw row-major uint8 pixels. It is a
+# real (lossless, round-trippable) format — what it is NOT is a
+# standards codec; swap `_decode_gray` for PIL.Image.open in a real
+# deployment and every Spark-side piece (schema, Arrow batching,
+# partition-preserving map) stays identical. Payloads without the
+# magic decode via deterministic byte-tiling to the metadata dims, so
+# the operators also run over arbitrary binary columns (e.g. the
+# documents-derived payloads of :func:`media_frame`).
+
+_SIMG_MAGIC = b"SIMG"
+_SIMG_HEADER = 8  # magic + uint16 width + uint16 height
+
+
+def encode_gray(arr) -> bytes:
+    """uint8 (h, w) ndarray → SIMG bytes (the test/round-trip side)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    return (
+        _SIMG_MAGIC
+        + int(w).to_bytes(2, "big")
+        + int(h).to_bytes(2, "big")
+        + a.tobytes()
+    )
+
+
+def _decode_gray(payload: bytes, width: int, height: int):
+    """bytes → uint8 (h, w) pixel array. SIMG payloads parse exactly
+    (their embedded dims win); anything else byte-tiles to (height,
+    width) — deterministic, so both a test and an oracle can replay it."""
+    import numpy as np
+
+    if payload[: len(_SIMG_MAGIC)] == _SIMG_MAGIC:
+        w = int.from_bytes(payload[4:6], "big")
+        h = int.from_bytes(payload[6:8], "big")
+        px = np.frombuffer(payload, np.uint8, count=w * h, offset=_SIMG_HEADER)
+        return px.reshape(h, w)
+    n = int(width) * int(height)
+    src = np.frombuffer(payload, np.uint8)
+    if src.size == 0:
+        return np.zeros((int(height), int(width)), np.uint8)
+    reps = -(-n // src.size)  # ceil
+    return np.tile(src, reps)[:n].reshape(int(height), int(width))
 
 
 def decode_image(media: DataFrame) -> DataFrame:
-    """STUB: real image decode needs Pillow/opencv (not in this
-    environment). The schema and mapInPandas shape are what a real
-    implementation would use."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - always taken here
-        raise NotImplementedError(
-            "image decode requires Pillow; install it and implement the "
-            "mapInPandas body (payload → ndarray → features)"
-        ) from exc
-    raise NotImplementedError("decode body not implemented")  # pragma: no cover
+    """Decode + featurize the image payloads: (doc_id, width, height,
+    mean_luma, std_luma, nonzero_frac) via Arrow-batched mapInPandas.
+
+    Partition-local (no shuffle); payload bytes cross the Arrow
+    boundary once per batch. Dims come from the decoded pixels, so an
+    SIMG payload reports its TRUE embedded size even when the metadata
+    columns disagree — decode is the source of truth, as with a real
+    codec."""
+    out_schema = (
+        "doc_id long, width int, height int, "
+        "mean_luma double, std_luma double, nonzero_frac double"
+    )
+
+    # nested so cloudpickle ships it by value (executors of an external
+    # driver have no import path to this package)
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        magic, header = b"SIMG", 8
+
+        def pixels(payload, width, height):
+            if payload[:4] == magic:
+                w = int.from_bytes(payload[4:6], "big")
+                h = int.from_bytes(payload[6:8], "big")
+                return np.frombuffer(
+                    payload, np.uint8, count=w * h, offset=header
+                ).reshape(h, w)
+            n = int(width) * int(height)
+            src = np.frombuffer(payload, np.uint8)
+            if src.size == 0:
+                return np.zeros((int(height), int(width)), np.uint8)
+            return np.tile(src, -(-n // src.size))[:n].reshape(
+                int(height), int(width)
+            )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, width, height in zip(
+                pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                px = pixels(bytes(payload), width, height)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "mean_luma": round(float(px.mean()), 6),
+                        "std_luma": round(float(px.std()), 6),
+                        "nonzero_frac": round(float((px > 0).mean()), 6),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload", "width", "height").mapInPandas(
+        _decode, out_schema
+    )
 
 
 def sample_frames(media: DataFrame, every_s: float = 1.0) -> DataFrame:
-    """STUB: video frame sampling needs ffmpeg bindings."""
-    try:
-        import av  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - always taken here
-        raise NotImplementedError(
-            "frame sampling requires PyAV/ffmpeg; the operator contract is "
-            "payload → exploded (doc_id, frame_idx, frame_png binary) rows"
-        ) from exc
-    raise NotImplementedError("sampling body not implemented")  # pragma: no cover
+    """Sample one frame every ``every_s`` seconds from each video
+    payload: (doc_id, frame_idx, t_ms, n_frame_bytes, frame_md5).
+
+    ``media`` must carry ``duration_s`` (probed metadata in a real
+    table; :func:`mm_sample_frames` derives it the same way as
+    :func:`mm_frame_plan`). Frame f is the payload byte-rotation by
+    ``f * FPS`` tiled to (height, width) — the synthetic stand-in for
+    a GOP seek+decode; deterministic, so tests replay it bit-for-bit.
+    The map is partition-local: frames of one video never cross
+    executors, which is the property a real ffmpeg stage needs too
+    (decode state is per-container)."""
+    out_schema = (
+        "doc_id long, frame_idx long, t_ms long, "
+        "n_frame_bytes int, frame_md5 string"
+    )
+    step = max(1, int(round(every_s * 1)))  # seconds per sampled frame
+
+    def _sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, width, height, duration_s in zip(
+                pdf["doc_id"], pdf["payload"], pdf["width"],
+                pdf["height"], pdf["duration_s"],
+            ):
+                src = np.frombuffer(bytes(payload), np.uint8)
+                n = int(width) * int(height)
+                for sec in range(0, int(duration_s), step):
+                    if src.size == 0:
+                        frame = np.zeros(n, np.uint8)
+                    else:
+                        rot = np.roll(src, -(sec * FPS) % src.size)
+                        frame = np.tile(rot, -(-n // rot.size))[:n]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": sec * FPS,
+                            "t_ms": sec * 1000,
+                            "n_frame_bytes": n,
+                            "frame_md5": hashlib.md5(frame.tobytes()).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select(
+        "doc_id", "payload", "width", "height", "duration_s"
+    ).mapInPandas(_sample, out_schema)
+
+
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode features for the image-typed rows (rows-only driver
+    check; tests/test_multimodal.py pins values against local numpy)."""
+    media = media_frame(spark, sf_dir).filter(F.col("media_type") == "image")
+    return decode_image(media).orderBy("doc_id")
+
+
+def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled frames for the video rows, 1 frame/s (rows-only driver
+    check; frame hashes pinned by pytest against local numpy)."""
+    media = media_frame(spark, sf_dir).filter(
+        F.col("media_type") == "video"
+    ).withColumn("duration_s", F.expr(_DURATION_S).cast("int"))
+    return sample_frames(media, every_s=1.0).orderBy("doc_id", "frame_idx")
 
 
 #: frame-sampling geometry: synthetic fps and per-doc duration
@@ -194,9 +347,11 @@ ORDER BY doc_id
 QUERIES = {
     "mm_media_checksum": mm_media_checksum,
     "mm_frame_plan": mm_frame_plan,
-    # mapInPandas featurizer: not SQL-expressible in DuckDB (byte-level
+    # mapInPandas stages: not SQL-expressible in DuckDB (byte-level
     # blob iteration) → rows-only driver check; pytest pins the values.
     "mm_byte_histogram": mm_byte_histogram,
+    "mm_image_decode": mm_image_decode,
+    "mm_sample_frames": mm_sample_frames,
 }
 
 ORACLES = {
@@ -204,4 +359,33 @@ ORACLES = {
     "mm_frame_plan": MM_FRAME_PLAN_ORACLE,
 }
 
-SPARK_SQL: dict[str, str] = {}
+# Spark-SQL N-version forms for the metadata/plan queries (the
+# mapInPandas featurizer has no SQL spelling — byte-level blob work)
+SPARK_SQL: dict[str, str] = {
+    "mm_media_checksum": f"""
+SELECT doc_id,
+       {_MEDIA_TYPE} AS media_type,
+       length(encode(text, 'UTF-8')) AS n_bytes,
+       md5(encode(text, 'UTF-8')) AS payload_md5,
+       CAST(32 + n_chars % 480 AS INT) AS width,
+       CAST(32 + (n_chars * 7) % 480 AS INT) AS height
+FROM documents
+ORDER BY doc_id
+""",
+    "mm_frame_plan": f"""
+WITH vids AS (
+  SELECT doc_id, CAST({_DURATION_S} AS INT) AS duration_s
+  FROM documents
+  WHERE ({_MEDIA_TYPE}) = 'video'
+),
+secs AS (
+  SELECT doc_id, explode(sequence(0, duration_s - 1)) AS sec
+  FROM vids
+)
+SELECT doc_id,
+       CAST(sec * {FPS} AS BIGINT) AS frame_idx,
+       CAST(sec * 1000 AS BIGINT) AS t_ms
+FROM secs
+ORDER BY doc_id, frame_idx
+""",
+}

@@ -1,5 +1,5 @@
 """Multimodal plumbing tests: binary columns, Arrow-batched featurize,
-stubbed decoders."""
+synthetic codec round-trips."""
 
 from __future__ import annotations
 
@@ -53,9 +53,83 @@ def test_checksum_is_md5_of_text(spark, sf_dir):
         assert got[doc_id] == hashlib.md5(text.encode()).hexdigest()
 
 
-def test_decoders_are_stubbed(spark, sf_dir):
-    media = M.media_frame(spark, sf_dir)
-    with pytest.raises(NotImplementedError):
-        M.decode_image(media)
-    with pytest.raises(NotImplementedError):
-        M.sample_frames(media)
+def test_simg_codec_round_trip():
+    """encode_gray → _decode_gray is lossless, and the embedded dims
+    win over (wrong) metadata dims."""
+    import numpy as np
+
+    rng_free = (np.arange(7 * 5, dtype=np.uint8) * 31 + 3) % 256
+    img = rng_free.reshape(7, 5)
+    payload = M.encode_gray(img)
+    out = M._decode_gray(payload, width=999, height=999)
+    assert out.shape == (7, 5)
+    assert (out == img).all()
+
+
+def test_decode_image_matches_local_numpy(spark, sf_dir):
+    """Spark decode features == local numpy over the same payloads,
+    for both the SIMG path and the tiling fallback."""
+    import numpy as np
+
+    media = M.media_frame(spark, sf_dir).filter("media_type = 'image'")
+    local = {
+        r["doc_id"]: (bytes(r["payload"]), r["width"], r["height"])
+        for r in media.limit(10).collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in M.decode_image(media).collect()
+        if r["doc_id"] in local
+    }
+    assert len(got) == len(local)
+    for doc_id, (payload, w, h) in local.items():
+        px = M._decode_gray(payload, w, h)
+        r = got[doc_id]
+        assert (r["height"], r["width"]) == px.shape
+        assert r["mean_luma"] == pytest.approx(round(float(px.mean()), 6))
+        assert r["std_luma"] == pytest.approx(round(float(px.std()), 6))
+        assert r["nonzero_frac"] == pytest.approx(
+            round(float((px > 0).mean()), 6)
+        )
+
+    # SIMG round-trip through the Spark operator: true dims reported
+    img = (np.arange(12, dtype=np.uint8)).reshape(3, 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(M.encode_gray(img)), 999, 999)],
+        "doc_id long, payload binary, width int, height int",
+    )
+    row = M.decode_image(df).collect()[0]
+    assert (row["width"], row["height"]) == (4, 3)
+    assert row["mean_luma"] == pytest.approx(round(float(img.mean()), 6))
+
+
+def test_sample_frames_matches_plan_and_local_hashes(spark, sf_dir):
+    """Frame count per video == its duration (the mm_frame_plan
+    contract), and frame hashes replay locally bit-for-bit."""
+    import hashlib as hl
+
+    import numpy as np
+
+    frames = M.mm_sample_frames(spark, sf_dir)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in frames.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
+    }
+    plan = {
+        r["doc_id"]: r["n"]
+        for r in M.mm_frame_plan(spark, sf_dir)
+        .groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_doc == plan
+
+    media = M.media_frame(spark, sf_dir).filter("media_type = 'video'")
+    r0 = media.orderBy("doc_id").first()
+    src = np.frombuffer(bytes(r0["payload"]), np.uint8)
+    n = r0["width"] * r0["height"]
+    rot = np.roll(src, 0)
+    frame0 = np.tile(rot, -(-n // rot.size))[:n]
+    got0 = (
+        frames.filter(f"doc_id = {r0['doc_id']} and frame_idx = 0").collect()[0]
+    )
+    assert got0["n_frame_bytes"] == n
+    assert got0["frame_md5"] == hl.md5(frame0.tobytes()).hexdigest()
