@@ -207,17 +207,29 @@ def _jaccard_pairs_capped(
     not template.
     """
     shingled = _with_shingles(docs).localCheckpoint(eager=False)
-    exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
-    # ONE shuffle on the shingle: count df AND keep the (bounded) doc
-    # list in the same aggregate. The size guard inside collect_list's
-    # consumer is safe because the filter on df runs first — a hot
-    # shingle's list is dropped before pair expansion. (collect_list
-    # does buffer the hot list during the aggregate; at corpus scale
-    # swap in a df-only first pass + co-partitioned re-aggregate if a
-    # single posting list could exceed executor memory.)
-    per_shingle = exploded.groupBy("s").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("ds"),
+    # exploded feeds the df count AND the rare-postings re-aggregate —
+    # checkpoint so shingling+explode runs once
+    exploded = shingled.select(
+        "doc_id", F.explode("sh").alias("s")
+    ).localCheckpoint(eager=False)
+    # TWO passes over the postings, both shuffled on the shingle:
+    # (1) df count only — fixed-width aggregation state, hot shingles
+    # cost 8 bytes; (2) collect the doc list ONLY for rare shingles
+    # (semi-join first), so no postings list longer than the cap is
+    # ever buffered. A single-pass count+collect_list aggregate was
+    # measured ~10x slower at sf0.1: the hot (boilerplate) shingles'
+    # full postings lists dominate the aggregation state even though
+    # the df filter drops them immediately after.
+    rare = (
+        exploded.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= cap)
+        .select("s")
+    )
+    per_shingle = (
+        exploded.join(rare, "s", "left_semi")
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
     )
     pair_expr = (
         "flatten(transform(ds, (x, i) ->"
@@ -228,10 +240,31 @@ def _jaccard_pairs_capped(
     # join) — checkpoint, or the per-shingle aggregate recomputes per
     # branch (measured 2-4x the whole query's cost)
     cand = (
-        per_shingle.filter(F.col("df") <= cap)
+        per_shingle
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # Size-compatibility prefilter — EXACT: jaccard(A,B) <= min(|A|,|B|)
+    # / max(|A|,|B|), so any pair with a size ratio under the threshold
+    # can never qualify. On a template-heavy corpus this drops most
+    # candidates (sf0.1: 436k -> 157k) before the per-pair set
+    # intersection, at the cost of one broadcast of the (doc_id, n_sh)
+    # relation — doc-count-bounded, 12 bytes/doc.
+    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
+    cand = (
+        cand.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
+                                     F.col("n_sh").alias("na"))), "doc_a")
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
+                                     F.col("n_sh").alias("nb"))), "doc_b")
+        .filter(
+            F.least("na", "nb").cast("double")
+            >= F.lit(JACCARD_THRESHOLD) * F.greatest("na", "nb").cast("double")
+        )
+        .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
     # exact verify: full shingle arrays, but ONLY for candidate docs
@@ -307,6 +340,91 @@ SELECT doc_a, doc_b,
 FROM verified
 WHERE ROUND(CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE), 6)
       >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+#: exact-substring window length (tokens) — the classic 13-gram
+#: training-data contamination/dedup criterion
+SUBSTR_K = 13
+
+
+def dedup_substring_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate pairs: documents sharing at least one
+    exact 13-token window, with the shared-window count — the
+    exact-substring criterion used for training-data dedup and
+    benchmark contamination (13-gram overlap), windowed per token.
+
+    Each document emits its distinct 13-gram md5s (map-only codegen —
+    one md5 per window, windows via sequence+slice, no UDF); pairs
+    come from the inverted gram index with one groupBy counting shared
+    grams. A 13-token exact collision is vanishingly rare between
+    genuinely different texts, so — unlike 3-shingles — the postings
+    lists are short except for true duplicates, whose pair blow-up IS
+    the answer. Shared boilerplate beyond that is what the capped
+    3-shingle operator handles; at corpus scale identical docs should
+    be collapsed by dedup_exact before this runs (fingerprint
+    compression, same as dedup_simhash).
+    """
+    return _substring_pairs(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _substring_pairs(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(doc_a < doc_b, n_shared) pairs sharing >= 1 exact k-token window."""
+    # The window expression is TOTAL (IF-guarded): Catalyst can hoist a
+    # generator's child past the row filter, and slice() — unlike array
+    # indexing — throws on an out-of-range start, so sequence(0, n-k)
+    # must never go descending for short docs even though their rows
+    # are filtered out. (The 3-shingle operators survive unguarded only
+    # because w[i] returns NULL instead of raising.)
+    grams = (
+        docs.withColumn("w", F.split(F.col("text"), " "))
+        .filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    f"IF(size(w) >= {k},"
+                    f" transform(sequence(0, size(w) - {k}),"
+                    f"  i -> md5(concat_ws(' ', slice(w, i + 1, {k})))),"
+                    " array())"
+                )
+            ).alias("gr"),
+        )
+    )
+    # e feeds BOTH sides of the self-join — checkpoint, or the window
+    # md5 map (the expensive part: one hash per token window) runs
+    # twice (measured ~2x the query's cost at sf0.1)
+    e = grams.select("doc_id", F.explode("gr").alias("gx")).localCheckpoint(
+        eager=False
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.gx") == F.col("b.gx")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+DEDUP_SUBSTRING_13GRAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+tt AS (SELECT doc_id, w FROM t WHERE len(w) >= {SUBSTR_K}),
+g AS (
+  SELECT doc_id,
+         list_distinct([md5(array_to_string(
+             w[CAST(i AS INT):CAST(i AS INT) + {SUBSTR_K - 1}], ' '))
+           for i in range(1, len(w) - {SUBSTR_K - 2})]) AS gr
+  FROM tt
+),
+e AS (SELECT doc_id, unnest(gr) AS gx FROM g)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM e a JOIN e b ON a.gx = b.gx AND a.doc_id < b.doc_id
+GROUP BY 1, 2
 ORDER BY doc_a, doc_b
 """
 
@@ -460,6 +578,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
+    "dedup_substring_13gram": dedup_substring_13gram,
     "dedup_clusters": dedup_clusters,
 }
 
@@ -467,6 +586,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_ORACLE,
     "dedup_ngram_jaccard_capped": DEDUP_NGRAM_JACCARD_CAPPED_ORACLE,
+    "dedup_substring_13gram": DEDUP_SUBSTRING_13GRAM_ORACLE,
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
 }
 
@@ -525,6 +645,23 @@ SELECT doc_a, doc_b,
 FROM verified
 WHERE ROUND(CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE), 6)
       >= {JACCARD_THRESHOLD}D
+ORDER BY doc_a, doc_b
+""",
+    "dedup_substring_13gram": f"""
+WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+tt AS (SELECT doc_id, w FROM t WHERE size(w) >= {SUBSTR_K}),
+g AS (
+  SELECT doc_id,
+         array_distinct(IF(size(w) >= {SUBSTR_K},
+             transform(sequence(0, size(w) - {SUBSTR_K}),
+               i -> md5(concat_ws(' ', slice(w, i + 1, {SUBSTR_K})))),
+             array())) AS gr
+  FROM tt
+),
+e AS (SELECT doc_id, explode(gr) AS gx FROM g)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS n_shared
+FROM e a JOIN e b ON a.gx = b.gx AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
 ORDER BY doc_a, doc_b
 """,
 }

@@ -474,8 +474,92 @@ ORDER BY r.doc_id
 """
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model score per document: the mean
+    log-probability of the document's tokens under the corpus's own
+    unigram distribution — the cheap statistical stand-in for
+    perplexity-based quality filtering (a KenLM-style gate without an
+    external model: gibberish and rare-token spam score low, fluent
+    boilerplate scores high).
+
+    Determinism across engines: each term's ``ln(ctf/total)`` is
+    rounded to 6 dp and quantized to integer micro-nats BEFORE the
+    per-doc sum, so the sum is exact BIGINT arithmetic (no
+    float-accumulation order anywhere); the final mean is one division
+    of exact integers (the emb_label_centroid trick).
+
+    Scale: same shuffle profile as TF-IDF — tf keyed by (doc, term),
+    corpus term frequencies keyed by term, vocabulary joined back by
+    term as a regular shuffle join (NOT broadcast — web vocabularies
+    are billions of terms); the one-row corpus total is broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = ctf.agg(F.sum("ctf").alias("total"))
+    scored = (
+        tf.join(ctf, "term")
+        .join(F.broadcast(total))
+        .withColumn(
+            "micronats",
+            F.expr(
+                "cast(round(round(ln(cast(ctf as double)"
+                " / cast(total as double)), 6) * 1000000.0) as bigint)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("micronats")).alias("sum_micronats"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("sum_micronats").cast("double")
+                / (F.col("n_tokens") * F.lit(1000000.0)),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_UNIGRAM_LOGPROB_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term != '' GROUP BY doc_id, term
+),
+ctf AS (SELECT term, SUM(tf) AS ctf FROM tf GROUP BY term),
+tot AS (SELECT SUM(ctf) AS total FROM ctf),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(round(round(ln(CAST(ctf.ctf AS DOUBLE)
+              / CAST(tot.total AS DOUBLE)), 6) * 1000000.0) AS BIGINT)
+           AS micronats
+  FROM tf JOIN ctf USING (term) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(tf * micronats) AS DOUBLE)
+             / (SUM(tf) * 1000000.0), 6) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_chunks": text_chunks,
+    "text_unigram_logprob": text_unigram_logprob,
     "text_repetition": text_repetition,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -487,6 +571,7 @@ QUERIES = {
 
 ORACLES = {
     "text_chunks": TEXT_CHUNKS_ORACLE,
+    "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_ORACLE,
     "text_repetition": TEXT_REPETITION_ORACLE,
     "text_token_stats": TEXT_TOKEN_STATS_ORACLE,
     "text_quality_score": TEXT_QUALITY_SCORE_ORACLE,
@@ -642,5 +727,30 @@ SELECT doc_id,
        ROUND(MAX(tf) / SUM(tf), 6) AS repetition_ratio,
        ROUND(COUNT(1) / SUM(tf), 6) AS distinct_ratio
 FROM tf GROUP BY doc_id ORDER BY doc_id
+""",
+    "text_unigram_logprob": """
+WITH tok AS (
+  SELECT doc_id, explode(split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(1) AS tf
+  FROM tok WHERE term != '' GROUP BY doc_id, term
+),
+ctf AS (SELECT term, SUM(tf) AS ctf FROM tf GROUP BY term),
+tot AS (SELECT SUM(ctf) AS total FROM ctf),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(round(round(ln(CAST(ctf.ctf AS DOUBLE)
+              / CAST(tot.total AS DOUBLE)), 6) * 1000000.0) AS BIGINT)
+           AS micronats
+  FROM tf JOIN ctf USING (term) CROSS JOIN tot
+)
+SELECT doc_id,
+       SUM(tf) AS n_tokens,
+       ROUND(CAST(SUM(tf * micronats) AS DOUBLE)
+             / (SUM(tf) * 1000000.0D), 6) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
 """,
 }

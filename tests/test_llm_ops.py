@@ -64,6 +64,38 @@ def test_capped_jaccard_drops_boilerplate_keeps_near_dups(spark):
     assert n_cand == 1
 
 
+def test_substring_13gram_planted_window(spark):
+    """Two docs sharing exactly one 13-token run (and nothing longer)
+    produce one pair with n_shared == 1; unrelated docs never pair."""
+    run = " ".join(f"tok{i}" for i in range(13))
+    rows = [
+        (1, f"alpha prefix {run} omega suffix"),
+        (2, f"different head {run} another tail"),
+        (3, "entirely unrelated words " + " ".join(f"z{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in dedup._substring_pairs(df).collect()
+    }
+    assert pairs == {(1, 2): 1}
+
+
+def test_unigram_logprob_orders_common_above_rare(spark, sf_dir):
+    """Docs made of corpus-common tokens must score higher (less
+    negative) than docs of corpus-rare tokens, and every score is a
+    negative mean log-probability."""
+    out = text.text_unigram_logprob(spark, sf_dir)
+    rows = out.collect()
+    assert all(r["avg_logprob"] < 0 for r in rows)
+    rep = {r["doc_id"]: r for r in text.text_repetition(spark, sf_dir).collect()}
+    # the most repetitive doc's tokens are (by construction) frequent in
+    # the corpus too — it must not be the worst-scoring doc
+    worst = min(rows, key=lambda r: r["avg_logprob"])
+    most_rep = max(rep.values(), key=lambda r: r["repetition_ratio"])
+    assert worst["doc_id"] != most_rep["doc_id"]
+
+
 def test_lang_id_deterministic_tiebreak(spark, sf_dir):
     out = text.lang_id_stopword(spark, sf_dir)
     # predicted_lang is only ever a known code or 'und'
