@@ -29,13 +29,14 @@ for n in REF:
 
 PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
 ADV = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+AQE = "spark.sql.adaptive.enabled"
+SP = "spark.sql.shuffle.partitions"
 for label, confs in [
-    ("warm", {"spark.sql.shuffle.partitions": "32"}),
-    ("p16", {"spark.sql.shuffle.partitions": "16", PF: "true"}),
-    ("p16pf", {"spark.sql.shuffle.partitions": "16", PF: "false"}),
-    ("p32pf", {"spark.sql.shuffle.partitions": "32", PF: "false"}),
-    ("p32pf8m", {"spark.sql.shuffle.partitions": "32", PF: "false", ADV: "8m"}),
-    ("base32b", {"spark.sql.shuffle.partitions": "32", PF: "true", ADV: "64MB"}),
+    ("cur", {SP: "32", PF: "false", ADV: "8m", AQE: "true"}),
+    ("aqeoff32", {SP: "32", AQE: "false"}),
+    ("aqeoff16", {SP: "16", AQE: "false"}),
+    ("aqeoff8", {SP: "8", AQE: "false"}),
+    ("cur2", {SP: "32", PF: "false", ADV: "8m", AQE: "true"}),
 ]:
     for k, v in confs.items():
         spark.conf.set(k, v)

@@ -7,7 +7,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .llm import decontam, dedup, minhash, pipeline, sampling, simhash, similarity, text
+from .llm import (
+    corpus,
+    decontam,
+    dedup,
+    minhash,
+    pipeline,
+    sampling,
+    simhash,
+    similarity,
+    text,
+)
 from .multimodal import media
 from .operators import asof, grouped, rangejoin, salt, udtf
 from .queries import extensions, reference
@@ -23,6 +33,7 @@ _MODULES = [
     simhash,
     similarity,
     sampling,
+    corpus,
     pipeline,
     streaming_windows,
     media,
