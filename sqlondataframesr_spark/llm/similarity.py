@@ -652,12 +652,67 @@ ORDER BY vec_id
 """
 
 
+#: random-projection output dimensionality (Johnson–Lindenstrauss sketch)
+RP_DIMS = 8
+
+#: RP_DIMS x DIM projection matrix, md5-derived like PLANES but in its
+#: own hash namespace so the two matrices are independent
+RP_MATRIX = [
+    [_plane_weight(j, d + 10_000) for d in range(DIM)] for j in range(RP_DIMS)
+]
+
+
+def _rp_terms(j: int, elem: str) -> str:
+    """The j-th projection as an explicit left-to-right double sum —
+    the SAME evaluation order in both engines, so the pre-round value
+    is bit-identical. ``elem`` is the dialect's 1-based element access
+    pattern with ``{i}`` as the index placeholder."""
+    return " + ".join(
+        f"CAST({elem.format(i=i + 1)} AS DOUBLE) * ({c})"
+        for i, c in enumerate(RP_MATRIX[j])
+    )
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction 64 -> RP_DIMS: each
+    output component is a dot product with an md5-derived fixed
+    hyperplane (the Johnson–Lindenstrauss sketch used to cheapen
+    downstream clustering / dedup passes). Components land in separate
+    DOUBLE columns — array-free output, trivially hashable.
+
+    Scale: pure map, zero shuffle; the 64x8 literal matrix lives in
+    the plan (codegen constant-folds it), NOT in a broadcast — nothing
+    to ship, nothing to OOM.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        *[
+            F.expr(f"round({_rp_terms(j, 'element_at(embedding, {i})')}, 5)").alias(
+                f"p{j}"
+            )
+            for j in range(RP_DIMS)
+        ],
+    ).orderBy("vec_id")
+
+
+EMB_RANDOM_PROJECTION_ORACLE = "SELECT vec_id, " + ", ".join(
+    f"round({_rp_terms(j, 'embedding[{i}]')}, 5) AS p{j}" for j in range(RP_DIMS)
+) + " FROM embeddings ORDER BY vec_id"
+
+_RP_SPARK_SQL = "SELECT vec_id, " + ", ".join(
+    f"round({_rp_terms(j, 'element_at(embedding, {i})')}, 5) AS p{j}"
+    for j in range(RP_DIMS)
+) + " FROM embeddings ORDER BY vec_id"
+
+
 # built here, after _VEC_SQL/_COS_DUCK exist (the builder reads both)
 KMEANS_TRAIN_ORACLE = _kmeans_oracle()
 
 
 QUERIES = {
     "kmeans_train": kmeans_train,
+    "emb_random_projection": emb_random_projection,
     "emb_quantize_int8": emb_quantize_int8,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -668,6 +723,7 @@ QUERIES = {
 
 ORACLES = {
     "kmeans_train": KMEANS_TRAIN_ORACLE,
+    "emb_random_projection": EMB_RANDOM_PROJECTION_ORACLE,
     "emb_quantize_int8": EMB_QUANTIZE_INT8_ORACLE,
     "ann_cosine_topk": ANN_COSINE_TOPK_ORACLE,
     "ann_lsh_topk": ANN_LSH_TOPK_ORACLE,
@@ -871,6 +927,7 @@ ORDER BY vec_a, vec_b
 """,
     "emb_label_centroid": _centroid_spark_sql(),
     "kmeans_train": _kmeans_spark_sql(),
+    "emb_random_projection": _RP_SPARK_SQL,
     "emb_quantize_int8": """
 WITH vv AS (
   SELECT vec_id, transform(embedding, x -> cast(x as double)) AS v

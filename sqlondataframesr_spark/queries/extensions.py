@@ -921,6 +921,103 @@ ORDER BY bucket
 """
 
 
+def q29_price_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window battery: ntile(4) / percent_rank / cume_dist over
+    order totals within each priority, summarized per (priority,
+    quartile). The ORDER BY carries o_orderkey as a total-order
+    tie-break so ntile bucket edges are engine-independent.
+
+    Scale: one shuffle keyed by o_orderpriority; each partition sorts
+    locally for the three rank functions (same pass), then the rollup
+    is a second tiny keyed agg. Priorities are few → with a skewed
+    partition the same plan runs per salted sub-key and quartiles
+    merge by count-weighted recombination.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.avg("pr"), 6).alias("avg_pct_rank"),
+            F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+Q29_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+)
+SELECT o_orderpriority, quartile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(avg(pr), 6) AS avg_pct_rank,
+       round(avg(cd), 6) AS avg_cume_dist
+FROM ranked
+GROUP BY o_orderpriority, quartile
+ORDER BY o_orderpriority, quartile
+"""
+
+
+def q30_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts priced above their own brand's average — the classic
+    correlated-scalar-subquery shape. The fluent form is the explicit
+    decorrelated plan (per-brand aggregate joined back); the SQL twin
+    keeps the correlated subquery so the N-version check proves
+    Catalyst's decorrelation reaches the same rows.
+
+    Scale: the brand aggregate is brand-cardinality-sized (tiny), so
+    the join back is an AQE broadcast at any SF; no hint — brand count
+    is data-dependent.
+    """
+    part = load_table(spark, sf_dir, "part")
+    brand_avg = part.groupBy("p_brand").agg(
+        F.avg("p_retailprice").alias("brand_avg_raw")
+    )
+    return (
+        part.join(brand_avg, "p_brand")
+        .filter(F.col("p_retailprice") > F.col("brand_avg_raw"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_retailprice",
+            F.round("brand_avg_raw", 4).alias("brand_avg"),
+            F.round(F.col("p_retailprice") - F.col("brand_avg_raw"), 4).alias(
+                "above_by"
+            ),
+        )
+    )
+
+
+Q30_ORACLE = """
+WITH brand_avg AS (
+  SELECT p_brand, avg(p_retailprice) AS brand_avg_raw FROM part GROUP BY p_brand
+)
+SELECT p_partkey, p.p_brand, p_retailprice,
+       round(brand_avg_raw, 4) AS brand_avg,
+       round(p_retailprice - brand_avg_raw, 4) AS above_by
+FROM part p JOIN brand_avg b ON p.p_brand = b.p_brand
+WHERE p_retailprice > brand_avg_raw
+"""
+
+
 QUERIES = {
     "q27_event_funnel": q27_event_funnel,
     "q28_price_histogram": q28_price_histogram,
@@ -944,9 +1041,13 @@ QUERIES = {
     "q14_outer_join_spend_tiers": q14_outer_join_spend_tiers,
     "q15_lineitem_stats": q15_lineitem_stats,
     "q16_pivot_status_by_priority": q16_pivot_status_by_priority,
+    "q29_price_rank_battery": q29_price_rank_battery,
+    "q30_above_brand_avg": q30_above_brand_avg,
 }
 
 ORACLES = {
+    "q29_price_rank_battery": Q29_ORACLE,
+    "q30_above_brand_avg": Q30_ORACLE,
     "q17_small_quantity_revenue": Q17_ORACLE,
     "q20_regional_revenue": Q20_ORACLE,
     "q21_trailing_window_value": Q21_ORACLE,
@@ -978,6 +1079,20 @@ ORACLES = {
 # / decorrelation) lands on the same results as the explicit plan.
 SPARK_SQL: dict[str, str] = {
     "q7_rollup_order_counts": Q7_ORACLE,
+    # dialect-neutral: the WINDOW clause parses identically in Spark SQL
+    "q29_price_rank_battery": Q29_ORACLE,
+    # the genuinely correlated spelling — proves Catalyst decorrelation
+    # lands on the fluent join-back plan's rows
+    "q30_above_brand_avg": """
+SELECT p_partkey, p_brand, p_retailprice,
+       round((SELECT avg(p2.p_retailprice) FROM part p2
+              WHERE p2.p_brand = p.p_brand), 4) AS brand_avg,
+       round(p_retailprice - (SELECT avg(p2.p_retailprice) FROM part p2
+                              WHERE p2.p_brand = p.p_brand), 4) AS above_by
+FROM part p
+WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_brand = p.p_brand)
+""",
     "q9_anti_recent_customers": Q9_ORACLE,
     "q12_set_intersect": Q12_ORACLE,
     "q13_set_except": Q13_ORACLE,
