@@ -1018,8 +1018,73 @@ WHERE p_retailprice > brand_avg_raw
 """
 
 
+def q31_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted per day-offset thereafter, with the share of the cohort
+    still active. The standard product-analytics rollup (and, for a
+    training corpus, the freshness/decay profile per ingestion batch).
+
+    Scale: active-days dedup first (one shuffle keyed by (user, day) —
+    partial agg kills the raw event volume map-side), then the cohort
+    min is a second keyed agg; the join back is user-keyed. The
+    cohort-size denominator is a window over the already-aggregated
+    matrix (cohorts x offsets rows — tiny at any SF). No window ever
+    touches raw events.
+    """
+    events = load_table(spark, sf_dir, "events")
+    days = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    matrix = (
+        days.join(cohort, "user_id")
+        .groupBy(
+            "cohort_d", F.datediff("d", "cohort_d").cast("long").alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    size = Window.partitionBy("cohort_d")
+    return (
+        matrix.withColumn(
+            "cohort_size",
+            F.max(F.when(F.col("day_offset") == 0, F.col("n_users"))).over(size),
+        )
+        .select(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+            F.round(F.col("n_users") / F.col("cohort_size"), 6).alias("retained_share"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+Q31_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(d) AS cohort_d FROM days GROUP BY user_id
+),
+matrix AS (
+  SELECT cohort_d,
+         CAST(date_diff('day', cohort_d, d) AS BIGINT) AS day_offset,
+         count(DISTINCT days.user_id) AS n_users
+  FROM days JOIN cohort ON days.user_id = cohort.user_id
+  GROUP BY 1, 2
+)
+SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+       day_offset,
+       CAST(n_users AS BIGINT) AS n_users,
+       round(CAST(n_users AS DOUBLE) /
+             MAX(CASE WHEN day_offset = 0 THEN n_users END)
+               OVER (PARTITION BY cohort_d), 6) AS retained_share
+FROM matrix
+ORDER BY cohort_day, day_offset
+"""
+
+
 QUERIES = {
     "q27_event_funnel": q27_event_funnel,
+    "q31_cohort_retention": q31_cohort_retention,
     "q28_price_histogram": q28_price_histogram,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q20_regional_revenue": q20_regional_revenue,
@@ -1048,6 +1113,7 @@ QUERIES = {
 ORACLES = {
     "q29_price_rank_battery": Q29_ORACLE,
     "q30_above_brand_avg": Q30_ORACLE,
+    "q31_cohort_retention": Q31_ORACLE,
     "q17_small_quantity_revenue": Q17_ORACLE,
     "q20_regional_revenue": Q20_ORACLE,
     "q21_trailing_window_value": Q21_ORACLE,
@@ -1081,6 +1147,29 @@ SPARK_SQL: dict[str, str] = {
     "q7_rollup_order_counts": Q7_ORACLE,
     # dialect-neutral: the WINDOW clause parses identically in Spark SQL
     "q29_price_rank_battery": Q29_ORACLE,
+    "q31_cohort_retention": """
+WITH days AS (
+  SELECT DISTINCT user_id, to_date(ts) AS d FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(d) AS cohort_d FROM days GROUP BY user_id
+),
+matrix AS (
+  SELECT cohort_d,
+         CAST(datediff(d, cohort_d) AS BIGINT) AS day_offset,
+         count(DISTINCT days.user_id) AS n_users
+  FROM days JOIN cohort ON days.user_id = cohort.user_id
+  GROUP BY 1, 2
+)
+SELECT date_format(cohort_d, 'yyyy-MM-dd') AS cohort_day,
+       day_offset,
+       n_users,
+       round(CAST(n_users AS DOUBLE) /
+             MAX(CASE WHEN day_offset = 0 THEN n_users END)
+               OVER (PARTITION BY cohort_d), 6) AS retained_share
+FROM matrix
+ORDER BY cohort_day, day_offset
+""",
     # the genuinely correlated spelling — proves Catalyst decorrelation
     # lands on the fluent join-back plan's rows
     "q30_above_brand_avg": """

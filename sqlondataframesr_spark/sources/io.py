@@ -85,6 +85,16 @@ def write_parquet(
     writer.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar at-rest format (Hive ecosystems);
+    same pushdown/pruning machinery as parquet, self-described schema."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def write_csv(
     df: DataFrame, path: str, header: bool = True, mode: str = "error"
 ) -> None:

@@ -70,6 +70,15 @@ def test_register_csv_dir(spark, sf_dir, tmp_path):
     assert len(got) == 5 and all(r["n"] == 5 for r in got)
 
 
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    io.write_orc(nation, path)
+    back = io.read_orc(spark, path)
+    assert back.schema == nation.schema
+    assert sorted(r["n_nationkey"] for r in back.collect()) == list(range(25))
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     """orders ⋈ lineitem both bucketed on the order key: the join must
     run with ZERO exchanges — bucket i joins bucket i directly."""

@@ -168,48 +168,3 @@ def test_no_broadcast_hint_on_sf_growing_tables():
                 offenders.append(f"{py.name}:{line} F.broadcast({m.group(1)})")
     assert not offenders, f"scale-unsafe broadcast hints: {offenders}"
 
-
-def test_bucketed_join_no_shuffle(spark, sf_dir):
-    """Two tables bucketed by the join key into the same bucket count
-    must join with ZERO exchanges — the write-time shuffle is the only
-    one that ever happens. This is the layout contract operators/
-    bucketed.py exists for; if a Spark upgrade or conf change silently
-    reintroduces a query-time shuffle, the co-location story is gone
-    and this fails."""
-    from pyspark.sql import functions as F
-
-    from sqlondataframesr_spark.catalog import load_table
-    from sqlondataframesr_spark.operators.bucketed import (
-        bucketed_equi_join,
-        write_bucketed,
-    )
-
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    write_bucketed(
-        orders.select("o_orderkey", "o_totalprice"),
-        "bkt_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"],
-    )
-    write_bucketed(
-        lineitem.select("l_orderkey", "l_extendedprice"),
-        "bkt_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"],
-    )
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        j = bucketed_equi_join(
-            spark, "bkt_lineitem", "bkt_orders",
-            [F.col("l_orderkey") == F.col("o_orderkey")],
-        )
-        n = j.count()  # materialize so the AQE final plan is inspectable
-        a = audit(j)
-        assert "SortMergeJoin" in a.join_strategies
-        assert a.n_exchanges == 0, a.text
-        plain = lineitem.join(
-            orders, lineitem.l_orderkey == orders.o_orderkey
-        ).count()
-        assert n == plain
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.sql("DROP TABLE IF EXISTS bkt_orders")
-        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
