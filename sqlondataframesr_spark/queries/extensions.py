@@ -1082,9 +1082,134 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q32_unpivot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler via unpivot: melt lineitem's four numeric
+    measures into (metric, value) rows, then one aggregate pass gives
+    the per-column profile (count / distinct / min / max / mean) — the
+    data-quality summary a pipeline runs before trusting a new drop.
+
+    Scale: unpivot is a zero-shuffle row-expansion (k rows per input
+    row inside codegen); the profile is ONE agg shuffle keyed by
+    metric name (k keys total). The distinct count is exact here —
+    at extreme cardinality swap approx_count_distinct (q22 pattern).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = lineitem.unpivot(
+        ids=[], values=cols, variableColumnName="metric", valueColumnName="value"
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("value").alias("n_distinct"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+            F.round(F.avg("value"), 6).alias("avg_v"),
+        )
+        .orderBy("metric")
+    )
+
+
+Q32_ORACLE = """
+WITH melted AS (
+  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT metric,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v,
+       round(avg(value), 6) AS avg_v
+FROM melted
+GROUP BY metric
+ORDER BY metric
+"""
+
+
+def q33_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user daily mean value, re-gridded
+    onto a complete per-user date spine with forward fill over missing
+    days — the resample + ffill step every metrics/training pipeline
+    needs before windowed features.
+
+    Scale: the spine is generated per user with ``sequence(min_day,
+    max_day)`` — row expansion bounded by each user's own span, no
+    global calendar cross join. Forward fill is ``last(v, ignorenulls)``
+    over a user-keyed window — one shuffle, state bounded per user.
+    The spine join is keyed (user, day) and co-partitioned with the
+    daily agg by construction.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(mind, maxd, interval 1 day)")).alias("d"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+            F.col("v").isNull().cast("int").alias("was_missing"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+Q33_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, round(avg(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(d) AS mind, max(d) AS maxd FROM daily GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(mind, maxd, INTERVAL 1 DAY))::DATE AS d
+  FROM bounds
+),
+j AS (
+  SELECT s.user_id, s.d, dl.v
+  FROM spine s LEFT JOIN daily dl ON s.user_id = dl.user_id AND s.d = dl.d
+),
+-- portable forward fill: non-null count up to the row defines islands,
+-- each island holds exactly one non-null value
+g AS (
+  SELECT user_id, d, v,
+         count(v) OVER (PARTITION BY user_id ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM j
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+       max(v) OVER (PARTITION BY user_id, grp) AS v_filled,
+       CAST(v IS NULL AS INT) AS was_missing
+FROM g
+ORDER BY user_id, day
+"""
+
+
 QUERIES = {
     "q27_event_funnel": q27_event_funnel,
     "q31_cohort_retention": q31_cohort_retention,
+    "q32_unpivot_profile": q32_unpivot_profile,
+    "q33_gapfill_daily": q33_gapfill_daily,
     "q28_price_histogram": q28_price_histogram,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q20_regional_revenue": q20_regional_revenue,
@@ -1114,6 +1239,8 @@ ORACLES = {
     "q29_price_rank_battery": Q29_ORACLE,
     "q30_above_brand_avg": Q30_ORACLE,
     "q31_cohort_retention": Q31_ORACLE,
+    "q32_unpivot_profile": Q32_ORACLE,
+    "q33_gapfill_daily": Q33_ORACLE,
     "q17_small_quantity_revenue": Q17_ORACLE,
     "q20_regional_revenue": Q20_ORACLE,
     "q21_trailing_window_value": Q21_ORACLE,
@@ -1169,6 +1296,49 @@ SELECT date_format(cohort_d, 'yyyy-MM-dd') AS cohort_day,
                OVER (PARTITION BY cohort_d), 6) AS retained_share
 FROM matrix
 ORDER BY cohort_day, day_offset
+""",
+    # the SQL twin uses stack() — the dialect spelling of the fluent
+    # .unpivot() API; the N-version check proves they're the same op
+    "q32_unpivot_profile": """
+WITH melted AS (
+  SELECT stack(4,
+               'l_quantity', l_quantity,
+               'l_extendedprice', l_extendedprice,
+               'l_discount', l_discount,
+               'l_tax', l_tax) AS (metric, value)
+  FROM lineitem
+)
+SELECT metric,
+       count(*) AS n_rows,
+       count(DISTINCT value) AS n_distinct,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v,
+       round(avg(value), 6) AS avg_v
+FROM melted
+GROUP BY metric
+ORDER BY metric
+""",
+    "q33_gapfill_daily": """
+WITH daily AS (
+  SELECT user_id, to_date(ts) AS d, round(avg(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, d
+  FROM (SELECT user_id, min(d) AS mind, max(d) AS maxd
+        FROM daily GROUP BY user_id)
+  LATERAL VIEW explode(sequence(mind, maxd, interval 1 day)) t AS d
+),
+j AS (
+  SELECT s.user_id, s.d, dl.v
+  FROM spine s LEFT JOIN daily dl ON s.user_id = dl.user_id AND s.d = dl.d
+)
+SELECT user_id, date_format(d, 'yyyy-MM-dd') AS day,
+       last(v, true) OVER (PARTITION BY user_id ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+       CAST(v IS NULL AS INT) AS was_missing
+FROM j
+ORDER BY user_id, day
 """,
     # the genuinely correlated spelling — proves Catalyst decorrelation
     # lands on the fluent join-back plan's rows
