@@ -246,23 +246,29 @@ def _jaccard_pairs_capped(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    # Size-compatibility prefilter — EXACT: jaccard(A,B) <= min(|A|,|B|)
+    # Size-compatibility prefilter: jaccard(A,B) <= min(|A|,|B|)
     # / max(|A|,|B|), so any pair with a size ratio under the threshold
     # can never qualify. On a template-heavy corpus this drops most
     # candidates (sf0.1: 436k -> 157k) before the per-pair set
-    # intersection, at the cost of one broadcast of the (doc_id, n_sh)
-    # relation — doc-count-bounded, 12 bytes/doc.
+    # intersection. The (doc_id, n_sh) relation grows with the corpus,
+    # so NO pinned broadcast — AQE broadcasts the two-column projection
+    # while it fits and falls back to shuffle when it doesn't (a pinned
+    # hint that fits at sf0.1 OOMs executors at 100x). The threshold
+    # carries 5e-7 slack so the prefilter keeps every pair the final
+    # round(jaccard, 6) >= threshold filter could accept (true jaccard
+    # in [thr - 5e-7, thr) rounds UP to qualify).
     sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
     cand = (
         cand.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
-                                     F.col("n_sh").alias("na"))), "doc_a")
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n_sh").alias("na")), "doc_a")
         .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
-                                     F.col("n_sh").alias("nb"))), "doc_b")
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n_sh").alias("nb")), "doc_b")
         .filter(
             F.least("na", "nb").cast("double")
-            >= F.lit(JACCARD_THRESHOLD) * F.greatest("na", "nb").cast("double")
+            >= F.lit(JACCARD_THRESHOLD - 5e-7)
+            * F.greatest("na", "nb").cast("double")
         )
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)

@@ -27,11 +27,17 @@ def q7_rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass — Spark expands grouping sets map-side; no extra shuffle vs a
     plain two-key aggregate."""
     orders = load_table(spark, sf_dir, "orders")
+    # cent-quantize before SUM: the rollup's grand total sums every
+    # order — a raw double sum's error grows with SF and its order
+    # differs between engines; the bigint cent sum is exact at any SF
     return (
         orders.rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(
+                F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+                .cast("double") / F.lit(100.0), 2
+            ).alias("total_price"),
         )
         .orderBy("o_orderpriority", "o_orderstatus")
     )
@@ -40,7 +46,7 @@ def q7_rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q7_ORACLE = """
 SELECT o_orderpriority, o_orderstatus,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_price
+       ROUND(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_price
 FROM orders
 GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 ORDER BY o_orderpriority, o_orderstatus
@@ -112,15 +118,21 @@ def q10_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).over(w)
+            .cast("double") / F.lit(100.0), 2
+        ).alias("running_total"),
     ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
 
 
+# cent-quantized window sum: DuckDB evaluates window aggregates with a
+# segment tree (different summation order than Spark's incremental
+# running sum) — integer cents make the cumulative value bit-exact
 Q10_ORACLE = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       ROUND(SUM(o_totalprice) OVER (
+       ROUND(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS UNBOUNDED PRECEDING), 2) AS running_total
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0, 2) AS running_total
 FROM orders
 ORDER BY o_custkey, o_orderdate, o_orderkey
 """
@@ -215,19 +227,30 @@ def q14_outer_join_spend_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join (partial-agg map-side), so the outer join shuffles the
     pre-reduced side — never raw orders."""
     cust = load_table(spark, sf_dir, "customer")
+    # total is an exact bigint cent sum — the 400000 tier boundary is a
+    # raw-double comparison otherwise, and a customer whose true spend
+    # is exactly 400000.00 would tier differently per engine
     spend = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("total"))
+        .agg(
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias(
+                "total_cents"
+            )
+        )
     )
     return (
         cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
         .select(
             "c_custkey",
             "c_name",
-            F.round(F.coalesce(F.col("total"), F.lit(0.0)), 2).alias("spend"),
-            F.when(F.col("total").isNull(), "none")
-            .when(F.col("total") > 400000, "high")
+            F.round(
+                F.coalesce(F.col("total_cents"), F.lit(0)).cast("double")
+                / F.lit(100.0),
+                2,
+            ).alias("spend"),
+            F.when(F.col("total_cents").isNull(), "none")
+            .when(F.col("total_cents") > 40000000, "high")
             .otherwise("regular")
             .alias("tier"),
         )
@@ -237,12 +260,12 @@ def q14_outer_join_spend_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q14_ORACLE = """
 SELECT c_custkey, c_name,
-       ROUND(COALESCE(s.total, 0), 2) AS spend,
-       CASE WHEN s.total IS NULL THEN 'none'
-            WHEN s.total > 400000 THEN 'high'
+       ROUND(CAST(COALESCE(s.total_cents, 0) AS DOUBLE) / 100.0, 2) AS spend,
+       CASE WHEN s.total_cents IS NULL THEN 'none'
+            WHEN s.total_cents > 40000000 THEN 'high'
             ELSE 'regular' END AS tier
 FROM customer c
-LEFT JOIN (SELECT o_custkey, SUM(o_totalprice) AS total
+LEFT JOIN (SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
            FROM orders GROUP BY o_custkey) s
   ON c.c_custkey = s.o_custkey
 ORDER BY c_custkey
@@ -550,8 +573,17 @@ def q20_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, F.col("n_regionkey") == region.r_regionkey)
         .groupBy("n_name")
         .agg(
+            # the per-row product is one IEEE multiply (bit-identical
+            # across engines); quantizing IT to cents makes the SUM an
+            # exact bigint — the raw double sum is order-dependent
             F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+                F.sum(
+                    F.expr(
+                        "cast(round(l_extendedprice * (1.0 - l_discount) * 100)"
+                        " as bigint)"
+                    )
+                ).cast("double") / F.lit(100.0),
+                2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -561,7 +593,7 @@ def q20_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q20_ORACLE = """
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       ROUND(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -598,14 +630,20 @@ def q21_trailing_window_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.round(F.sum("value").over(w), 2).alias("trail_7d_value"),
+        # cents before the sliding SUM: DuckDB's segment-tree window
+        # aggregation sums in a different order than Spark's
+        # incremental frame — exact integers make them agree
+        F.round(
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).over(w)
+            .cast("double") / F.lit(100.0), 2
+        ).alias("trail_7d_value"),
         F.count(F.lit(1)).over(w).alias("trail_7d_n"),
     ).orderBy("event_id")
 
 
 Q21_ORACLE = """
 SELECT user_id, event_id, ts,
-       ROUND(SUM(value) OVER w, 2) AS trail_7d_value,
+       ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0, 2) AS trail_7d_value,
        COUNT(*) OVER w AS trail_7d_n
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -948,8 +986,17 @@ def q29_price_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
-            F.round(F.avg("pr"), 6).alias("avg_pct_rank"),
-            F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
+            # pr/cd are per-row-identical doubles across engines, but a
+            # raw AVG sums them in engine-specific order — quantize each
+            # to integer micros so the sum is exact, then divide once
+            F.round(
+                F.sum(F.expr("cast(round(pr * 1e6) as bigint)")).cast("double")
+                / F.count(F.lit(1)) / F.lit(1e6), 6
+            ).alias("avg_pct_rank"),
+            F.round(
+                F.sum(F.expr("cast(round(cd * 1e6) as bigint)")).cast("double")
+                / F.count(F.lit(1)) / F.lit(1e6), 6
+            ).alias("avg_cume_dist"),
         )
         .orderBy("o_orderpriority", "quartile")
     )
@@ -968,8 +1015,8 @@ SELECT o_orderpriority, quartile,
        CAST(count(*) AS BIGINT) AS n,
        round(min(o_totalprice), 2) AS min_price,
        round(max(o_totalprice), 2) AS max_price,
-       round(avg(pr), 6) AS avg_pct_rank,
-       round(avg(cd), 6) AS avg_cume_dist
+       round(CAST(sum(CAST(round(pr * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS avg_pct_rank,
+       round(CAST(sum(CAST(round(cd * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS avg_cume_dist
 FROM ranked
 GROUP BY o_orderpriority, quartile
 ORDER BY o_orderpriority, quartile
@@ -988,33 +1035,42 @@ def q30_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     is data-dependent.
     """
     part = load_table(spark, sf_dir, "part")
+    # p_retailprice is cent-valued, so the brand average is derived
+    # from an EXACT bigint cent sum; every engine then computes the
+    # identical double (sum_cents/100.0/n) and the > filter, the
+    # rounding, and the subtraction all agree bit-for-bit
     brand_avg = part.groupBy("p_brand").agg(
-        F.avg("p_retailprice").alias("brand_avg_raw")
+        F.sum(F.expr("cast(round(p_retailprice * 100) as bigint)")).alias(
+            "sum_cents"
+        ),
+        F.count(F.lit(1)).alias("n_parts"),
     )
+    avg_expr = F.col("sum_cents").cast("double") / F.lit(100.0) / F.col("n_parts")
     return (
         part.join(brand_avg, "p_brand")
-        .filter(F.col("p_retailprice") > F.col("brand_avg_raw"))
+        .filter(F.col("p_retailprice") > avg_expr)
         .select(
             "p_partkey",
             "p_brand",
             "p_retailprice",
-            F.round("brand_avg_raw", 4).alias("brand_avg"),
-            F.round(F.col("p_retailprice") - F.col("brand_avg_raw"), 4).alias(
-                "above_by"
-            ),
+            F.round(avg_expr, 4).alias("brand_avg"),
+            F.round(F.col("p_retailprice") - avg_expr, 4).alias("above_by"),
         )
     )
 
 
 Q30_ORACLE = """
 WITH brand_avg AS (
-  SELECT p_brand, avg(p_retailprice) AS brand_avg_raw FROM part GROUP BY p_brand
+  SELECT p_brand,
+         SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS sum_cents,
+         COUNT(*) AS n_parts
+  FROM part GROUP BY p_brand
 )
 SELECT p_partkey, p.p_brand, p_retailprice,
-       round(brand_avg_raw, 4) AS brand_avg,
-       round(p_retailprice - brand_avg_raw, 4) AS above_by
+       round(CAST(sum_cents AS DOUBLE) / 100.0 / n_parts, 4) AS brand_avg,
+       round(p_retailprice - CAST(sum_cents AS DOUBLE) / 100.0 / n_parts, 4) AS above_by
 FROM part p JOIN brand_avg b ON p.p_brand = b.p_brand
-WHERE p_retailprice > brand_avg_raw
+WHERE p_retailprice > CAST(sum_cents AS DOUBLE) / 100.0 / n_parts
 """
 
 
@@ -1105,7 +1161,14 @@ def q32_unpivot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("value").alias("n_distinct"),
             F.round(F.min("value"), 6).alias("min_v"),
             F.round(F.max("value"), 6).alias("max_v"),
-            F.round(F.avg("value"), 6).alias("avg_v"),
+            # integer-micros mean: a raw avg(double) diverged from the
+            # oracle at the 6th decimal (summation-order nondeterminism,
+            # CORRECTNESS_r02 q32) — quantize per row, sum exact bigints,
+            # divide once
+            F.round(
+                F.sum(F.expr("cast(round(value * 1e6) as bigint)")).cast("double")
+                / F.count(F.lit(1)) / F.lit(1e6), 6
+            ).alias("avg_v"),
         )
         .orderBy("metric")
     )
@@ -1123,7 +1186,7 @@ SELECT metric,
        CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
        round(min(value), 6) AS min_v,
        round(max(value), 6) AS max_v,
-       round(avg(value), 6) AS avg_v
+       round(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS avg_v
 FROM melted
 GROUP BY metric
 ORDER BY metric
@@ -1146,7 +1209,15 @@ def q33_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     daily = (
         events.groupBy("user_id", F.to_date("ts").alias("d"))
-        .agg(F.round(F.avg("value"), 6).alias("v"))
+        .agg(
+            # integer-micros mean (see q32): exact per-group sum, then
+            # one deterministic division — groups are tiny today but the
+            # raw-double avg is the same cross-engine trap at any size
+            F.round(
+                F.sum(F.expr("cast(round(value * 1e6) as bigint)")).cast("double")
+                / F.count(F.lit(1)) / F.lit(1e6), 6
+            ).alias("v")
+        )
     )
     spine = (
         daily.groupBy("user_id")
@@ -1175,7 +1246,8 @@ def q33_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q33_ORACLE = """
 WITH daily AS (
-  SELECT user_id, CAST(ts AS DATE) AS d, round(avg(value), 6) AS v
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         round(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS v
   FROM events GROUP BY 1, 2
 ),
 bounds AS (
@@ -1313,14 +1385,15 @@ SELECT metric,
        count(DISTINCT value) AS n_distinct,
        round(min(value), 6) AS min_v,
        round(max(value), 6) AS max_v,
-       round(avg(value), 6) AS avg_v
+       round(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS avg_v
 FROM melted
 GROUP BY metric
 ORDER BY metric
 """,
     "q33_gapfill_daily": """
 WITH daily AS (
-  SELECT user_id, to_date(ts) AS d, round(avg(value), 6) AS v
+  SELECT user_id, to_date(ts) AS d,
+         round(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS v
   FROM events GROUP BY 1, 2
 ),
 spine AS (
@@ -1341,16 +1414,17 @@ FROM j
 ORDER BY user_id, day
 """,
     # the genuinely correlated spelling — proves Catalyst decorrelation
-    # lands on the fluent join-back plan's rows
+    # lands on the fluent join-back plan's rows; the correlated scalar
+    # is the same exact-cent-sum average as the fluent form
     "q30_above_brand_avg": """
 SELECT p_partkey, p_brand, p_retailprice,
-       round((SELECT avg(p2.p_retailprice) FROM part p2
-              WHERE p2.p_brand = p.p_brand), 4) AS brand_avg,
-       round(p_retailprice - (SELECT avg(p2.p_retailprice) FROM part p2
-                              WHERE p2.p_brand = p.p_brand), 4) AS above_by
+       round((SELECT CAST(sum(CAST(round(p2.p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)
+              FROM part p2 WHERE p2.p_brand = p.p_brand), 4) AS brand_avg,
+       round(p_retailprice - (SELECT CAST(sum(CAST(round(p2.p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)
+                              FROM part p2 WHERE p2.p_brand = p.p_brand), 4) AS above_by
 FROM part p
-WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
-                       WHERE p2.p_brand = p.p_brand)
+WHERE p_retailprice > (SELECT CAST(sum(CAST(round(p2.p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)
+                       FROM part p2 WHERE p2.p_brand = p.p_brand)
 """,
     "q9_anti_recent_customers": Q9_ORACLE,
     "q12_set_intersect": Q12_ORACLE,
@@ -1389,7 +1463,7 @@ ORDER BY event_type
     "q27_event_funnel": Q27_ORACLE.replace("epoch_us(ts)", "unix_micros(ts)"),
     "q21_trailing_window_value": """
 SELECT user_id, event_id, ts,
-       ROUND(SUM(value) OVER w, 2) AS trail_7d_value,
+       ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0, 2) AS trail_7d_value,
        COUNT(*) OVER w AS trail_7d_n
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts)

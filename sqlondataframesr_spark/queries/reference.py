@@ -134,8 +134,17 @@ def q2_top_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window formulation, so the N-version check proves the two
     # strategies equivalent.
     agg = orders.groupBy("o_custkey").agg(
+        # NULL-skipping conditional SUM over exact bigint cents (the
+        # CASE yields NULL for non-'F' rows, which SUM skips in both
+        # engines); a raw double sum is summation-order-nondeterministic
         F.round(
-            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
+            F.sum(
+                F.expr(
+                    "cast(round((case when o_orderstatus = 'F'"
+                    " then o_totalprice end) * 100) as bigint)"
+                )
+            ).cast("double") / F.lit(100.0),
+            2,
         ).alias("finished_spend"),
         F.max("o_totalprice").alias("max_order_price"),
         F.count(F.lit(1)).alias("n_orders"),
@@ -162,7 +171,7 @@ def q2_top_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q2_ORACLE = """
 WITH agg AS (
   SELECT o_custkey,
-         ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS finished_spend,
+         ROUND(CAST(SUM(CAST(round((CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS finished_spend,
          MAX(o_totalprice) AS max_order_price,
          COUNT(*) AS n_orders
   FROM orders GROUP BY o_custkey
@@ -316,7 +325,13 @@ def q5_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
 
     totals = events.groupBy("user_id", "event_type").agg(
-        F.round(F.sum("value"), 2).alias("total_value"),
+        # exact bigint cent sum — total_value drives the top-10 ORDER,
+        # so a summation-order flip could change membership
+        F.round(
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).cast("double")
+            / F.lit(100.0),
+            2,
+        ).alias("total_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
     big = (
@@ -339,7 +354,8 @@ def q5_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q5_ORACLE = """
 WITH totals AS (
   SELECT user_id, event_type,
-         ROUND(SUM(value), 2) AS total_value, COUNT(*) AS n_events
+         ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_value,
+         COUNT(*) AS n_events
   FROM events GROUP BY user_id, event_type
 ), big AS (
   SELECT user_id, event_type, MAX(value) AS max_big_value
@@ -384,11 +400,25 @@ def q6_distinct_suppliers_of_qualifying_brands(
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
 
+    # the HAVING band's average derives from an EXACT bigint cent sum
+    # (p_retailprice is cent-valued), so the BETWEEN comparison is the
+    # same deterministic double in every engine — a raw AVG could
+    # straddle the band edge differently per summation order
     brands = (
         part.filter(F.col("p_size") < 15)
         .groupBy("p_brand")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.avg("p_retailprice").alias("avg_price"))
-        .filter((F.col("cnt") >= 2) & F.col("avg_price").between(905.0, 952.0))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.expr("cast(round(p_retailprice * 100) as bigint)")).alias(
+                "sum_cents"
+            ),
+        )
+        .filter(
+            (F.col("cnt") >= 2)
+            & (
+                F.col("sum_cents").cast("double") / F.lit(100.0) / F.col("cnt")
+            ).between(905.0, 952.0)
+        )
         .select("p_brand")
     )
     qualifying_parts = (
@@ -424,7 +454,9 @@ WHERE l.l_partkey IN (
   WHERE p_brand IN (
     SELECT p_brand FROM part WHERE p_size < 15
     GROUP BY p_brand
-    HAVING COUNT(*) >= 2 AND AVG(p_retailprice) BETWEEN 905.0 AND 952.0
+    HAVING COUNT(*) >= 2
+       AND CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*)
+           BETWEEN 905.0 AND 952.0
   )
 )
 ORDER BY s_suppkey

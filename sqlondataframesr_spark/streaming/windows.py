@@ -119,7 +119,12 @@ def tumbling(events: DataFrame, width: str = TUMBLE_WIDTH) -> DataFrame:
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact bigint cent sum (value is cent-valued) — the raw
+            # double SUM is summation-order-nondeterministic cross-engine
+            F.round(
+                F.sum(F.expr("cast(round(value * 100) as bigint)"))
+                .cast("double") / F.lit(100.0), 2
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("ws"),
@@ -138,7 +143,12 @@ def sliding(
         events.groupBy(F.window("ts", width, slide).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact bigint cent sum (value is cent-valued) — the raw
+            # double SUM is summation-order-nondeterministic cross-engine
+            F.round(
+                F.sum(F.expr("cast(round(value * 100) as bigint)"))
+                .cast("double") / F.lit(100.0), 2
+            ).alias("total_value"),
         )
         .select(F.col("w.start").alias("ws"), "n_events", "total_value")
     )
@@ -151,7 +161,12 @@ def sessionized(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact bigint cent sum (value is cent-valued) — the raw
+            # double SUM is summation-order-nondeterministic cross-engine
+            F.round(
+                F.sum(F.expr("cast(round(value * 100) as bigint)"))
+                .cast("double") / F.lit(100.0), 2
+            ).alias("total_value"),
         )
         .select(
             "user_id",
@@ -193,7 +208,12 @@ def enriched_by_segment(
         .groupBy(F.window("ts", width).alias("w"), "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact bigint cent sum (value is cent-valued) — the raw
+            # double SUM is summation-order-nondeterministic cross-engine
+            F.round(
+                F.sum(F.expr("cast(round(value * 100) as bigint)"))
+                .cast("double") / F.lit(100.0), 2
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("ws"),
@@ -295,7 +315,7 @@ EVT_SEGMENT_DAILY_ORACLE = """
 SELECT time_bucket(INTERVAL '1 day', e.ts) AS ws,
        c.c_mktsegment AS segment,
        COUNT(*) AS n_events,
-       ROUND(SUM(e.value), 2) AS total_value
+       ROUND(CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY ws, segment
 ORDER BY ws, segment
@@ -306,7 +326,7 @@ EVT_TUMBLING_DAILY_ORACLE = """
 SELECT time_bucket(INTERVAL '1 day', ts) AS ws,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_value
 FROM events
 GROUP BY ws, event_type
 ORDER BY ws, event_type
@@ -317,7 +337,7 @@ ORDER BY ws, event_type
 EVT_SLIDING_12H_ORACLE = """
 SELECT time_bucket(INTERVAL '12 hours', ts) - INTERVAL 12 HOURS * t.k AS ws,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_value
 FROM events, range(0, 2) t(k)
 GROUP BY ws
 ORDER BY ws
@@ -344,7 +364,7 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL 1 HOUR AS session_end,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_value
 FROM islands
 GROUP BY user_id, sid
 ORDER BY user_id, session_start
@@ -397,7 +417,7 @@ SELECT w.window.start AS ws, w.event_type, w.n_events, w.total_value
 FROM (
   SELECT window, event_type,
          COUNT(*) AS n_events,
-         ROUND(SUM(value), 2) AS total_value
+         ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_value
   FROM events
   GROUP BY window(ts, '1 day'), event_type
 ) w
@@ -420,7 +440,7 @@ ORDER BY click_id, purchase_id
     "evt_sliding_12h": """
 SELECT w.window.start AS ws, w.n_events, w.total_value
 FROM (
-  SELECT window, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+  SELECT window, COUNT(*) AS n_events, ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_value
   FROM events
   GROUP BY window(ts, '1 day', '12 hours')
 ) w
@@ -434,7 +454,7 @@ SELECT w.user_id,
 FROM (
   SELECT session_window, user_id,
          COUNT(*) AS n_events,
-         ROUND(SUM(value), 2) AS total_value
+         ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_value
   FROM events
   GROUP BY session_window(ts, '1 hour'), user_id
 ) w
@@ -445,7 +465,7 @@ SELECT w.window.start AS ws, w.segment, w.n_events, w.total_value
 FROM (
   SELECT window, c.c_mktsegment AS segment,
          COUNT(*) AS n_events,
-         ROUND(SUM(e.value), 2) AS total_value
+         ROUND(CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_value
   FROM events e JOIN customer c ON e.user_id = c.c_custkey
   GROUP BY window(e.ts, '1 day'), c.c_mktsegment
 ) w
