@@ -489,12 +489,12 @@ FROM documents
 ORDER BY epoch1_key, doc_id
 """,
     "text_bigram_pmi": f"""
-WITH words AS (SELECT split(text, ' ') AS w FROM documents),
+WITH words AS (SELECT w FROM (SELECT split(text, ' ') AS w FROM documents)
+               WHERE size(w) >= 2),
 bg AS (SELECT bgs.a AS a, bgs.b AS b
        FROM words
        LATERAL VIEW explode(transform(sequence(1, size(w) - 1),
-                    i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))) t AS bgs
-       WHERE size(w) >= 2),
+                    i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))) t AS bgs),
 cnt AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
 win AS (SELECT a, b, c_ab,
                SUM(c_ab) OVER () AS n_tot,

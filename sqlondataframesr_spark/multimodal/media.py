@@ -227,7 +227,8 @@ def sample_frames(media: DataFrame, every_s: float = 1.0) -> DataFrame:
         "doc_id long, frame_idx long, t_ms long, "
         "n_frame_bytes int, frame_md5 string"
     )
-    step = max(1, int(round(every_s * 1)))  # seconds per sampled frame
+    if every_s <= 0:
+        raise ValueError(f"every_s must be positive, got {every_s}")
 
     def _sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
@@ -243,17 +244,24 @@ def sample_frames(media: DataFrame, every_s: float = 1.0) -> DataFrame:
             ):
                 src = np.frombuffer(bytes(payload), np.uint8)
                 n = int(width) * int(height)
-                for sec in range(0, int(duration_s), step):
+                # sample times k*every_s (k = 0, 1, ...) strictly below
+                # duration_s — multiplication, not accumulation, so a
+                # fractional every_s (0.5 -> 2 frames/s) neither drifts
+                # nor collapses to whole seconds
+                n_samples = max(0, -(-float(duration_s) // every_s))
+                for k in range(int(n_samples)):
+                    t = k * every_s
+                    frame_idx = int(round(t * FPS))
                     if src.size == 0:
                         frame = np.zeros(n, np.uint8)
                     else:
-                        rot = np.roll(src, -(sec * FPS) % src.size)
+                        rot = np.roll(src, -frame_idx % src.size)
                         frame = np.tile(rot, -(-n // rot.size))[:n]
                     rows.append(
                         {
                             "doc_id": doc_id,
-                            "frame_idx": sec * FPS,
-                            "t_ms": sec * 1000,
+                            "frame_idx": frame_idx,
+                            "t_ms": int(round(t * 1000)),
                             "n_frame_bytes": n,
                             "frame_md5": hashlib.md5(frame.tobytes()).hexdigest(),
                         }
