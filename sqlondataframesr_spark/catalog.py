@@ -43,6 +43,40 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+#: Schema-drift preflight manifest: the canonical dtype every query in
+#: the repo assumes for the columns whose type has drifted (or could)
+#: across testdata-generator versions. Checked post-canonicalization in
+#: :func:`load_table`; a mismatch fails fast with one clear message
+#: instead of 17 scattered DATATYPE_MISMATCH stack traces (round 3's
+#: failure mode, VERDICT r3 item 2).
+EXPECTED_DTYPES: dict[str, dict[str, str]] = {
+    "events": {"ts": "timestamp", "event_id": "bigint", "value": "double"},
+    "orders": {"o_orderdate": "timestamp", "o_totalprice": "double"},
+    "lineitem": {"l_shipdate": "timestamp", "l_quantity": "double"},
+    "documents": {"doc_id": "bigint", "text": "string"},
+    "embeddings": {"embedding": "array<float>"},
+}
+
+
+def _preflight(name: str, df: DataFrame) -> None:
+    expected = EXPECTED_DTYPES.get(name)
+    if not expected:
+        return
+    got = dict(df.dtypes)
+    drift = {
+        col: (want, got.get(col))
+        for col, want in expected.items()
+        if got.get(col) != want
+    }
+    if drift:
+        raise TypeError(
+            f"schema drift in table {name!r}: {drift} (column: (expected, got)). "
+            "The testdata generator changed an encoding the canonicalizer "
+            "does not recognize — teach catalog._canonicalize_ts / "
+            "EXPECTED_DTYPES the new encoding."
+        )
+
+
 #: (applicationId, sf_dir, name) -> DataFrame. Caches the *analyzed
 #: relation* (file listing + schema), not data — Spark still scans
 #: parquet lazily per action. Keyed by applicationId so a stopped
@@ -50,14 +84,29 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 _table_cache: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table, canonicalizing types.
+#: events.ts canonical invariant: a session-TZ ``timestamp`` (micros,
+#: UTC session zone — session.py pins it), matching DuckDB's storage so
+#: differential checks see identical instants. The testdata generator
+#: has shipped ``ts`` under multiple parquet encodings across rounds
+#: (TIMESTAMP(NANOS) read as int64 under nanosAsLong; TIMESTAMP(MICROS)
+#: without UTC adjustment read as TIMESTAMP_NTZ), so canonicalize by the
+#: *arrived type*, not by any one generator version's symptom.
+def _canonicalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        # int64 nanos → micros. Integer division — float division
+        # loses precision at 1e18 nanos.
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dtype == "timestamp_ntz":
+        # Wall-clock micros with no zone: value-preserving cast under
+        # the pinned UTC session timezone.
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    reader rejects; with ``nanosAsLong`` it arrives as int64 nanos and
-    we convert to a microsecond timestamp (exactly what DuckDB stores,
-    so differential checks see identical instants).
-    """
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table, canonicalizing types (see
+    :func:`_canonicalize_ts` for the events.ts invariant)."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _table_cache.get(key)
     if cached is not None:
@@ -70,9 +119,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # confs: apply them and retry once.
         _session.configure(spark)
         df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division — float division loses precision at 1e18 nanos
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = _canonicalize_ts(df)
+    # Belt for conf-less external sessions (inferTimestampNTZ unset):
+    # every wall-clock NTZ column becomes session-TZ timestamp, a
+    # value-preserving cast under the pinned UTC zone.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    _preflight(name, df)
     _table_cache[key] = df
     return df
 

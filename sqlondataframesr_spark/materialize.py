@@ -1,0 +1,56 @@
+"""Materialization choke point for multiply-consumed plan branches.
+
+Several operators compute an expensive intermediate (shingle arrays,
+minhash signatures, normalized vectors) that feeds 2-4 plan branches.
+Without pinning, Catalyst re-derives the subtree per branch and the
+expensive pass runs once per consumer.
+
+Two pinning strategies exist, with different failure semantics:
+
+- ``persist(MEMORY_AND_DISK)`` — keeps lineage. On a real cluster a
+  lost executor's blocks are *recomputed* from the parquet scan;
+  correct at 100 TB with preemptible/spot executors. This is the
+  default here (VERDICT r3 item 7).
+- ``localCheckpoint`` — truncates lineage; blocks die with their
+  executor and the job fails (retry = re-run the query). Only used
+  inside iterative loops (label propagation, Lloyd iterations) where
+  truncation is the point: without it the logical plan grows by one
+  join per round and analysis time dominates. For production clusters
+  the upgrade path is ``sparkContext.setCheckpointDir`` + reliable
+  ``checkpoint()`` per round; at our round counts (<=12, on tables
+  bounded by doc/cluster count) re-run-on-loss is an acceptable
+  retry story and is documented at each call site.
+
+Lifecycle: every pinned frame is registered and released by
+``release_all()``, which the entry points (driver wrapper, bench
+loop, test session teardown) call between queries — so one query's
+cache cannot crowd the next query's working set. ``persist`` entries
+would otherwise live in the CacheManager until session end.
+
+Use as ``df.transform(materialize)`` to keep method-chain style.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark import StorageLevel
+
+_PINNED: list[DataFrame] = []
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Pin a multiply-consumed branch: lazy, lineage-preserving."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED.append(df)
+    return df
+
+
+def release_all() -> None:
+    """Unpersist every frame pinned since the last release (per-query
+    cache scope; safe to call with queries in flight — unpersist only
+    drops the cache, lineage recomputes if a plan is re-executed)."""
+    while _PINNED:
+        try:
+            _PINNED.pop().unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 - session may already be stopped
+            pass

@@ -35,6 +35,12 @@ SQL_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet TIMESTAMP(MICROS) without isAdjustedToUTC would otherwise
+    # read as TIMESTAMP_NTZ (Spark >= 3.4), breaking every unix_micros
+    # call site; read it as session-TZ TIMESTAMP instead. The catalog
+    # layer ALSO canonicalizes ntz -> timestamp by type, so either
+    # defense alone suffices (e.g. under an externally-built session).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

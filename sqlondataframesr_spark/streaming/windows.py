@@ -37,15 +37,8 @@ are identical across engines and across restarts.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
-from ..catalog import load_table
+from ..catalog import _canonicalize_ts, load_table
 
 TUMBLE_WIDTH = "1 day"
 SLIDE_WIDTH = "1 day"
@@ -53,24 +46,21 @@ SLIDE_STEP = "12 hours"
 SESSION_GAP = "1 hour"
 WATERMARK_DELAY = "1 hour"
 
-#: Raw parquet schema for the streaming file source. ``ts`` is stored
-#: as parquet TIMESTAMP(NANOS); under ``nanosAsLong`` it reads as int64.
-EVENTS_RAW_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
+def _raw_events_schema(spark: SparkSession, sf_dir: str):
+    """Schema for the streaming file source, read from the batch
+    parquet footer — NOT pinned. The testdata generator has changed
+    the ts encoding across rounds (int64 nanos, micros-NTZ); a pinned
+    StructType silently mis-reads whichever encoding it wasn't written
+    for, so stream and batch must derive from the same footer and both
+    pass through :func:`sqlondataframesr_spark.catalog._canonicalize_ts`."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def _canon_ts(df: DataFrame) -> DataFrame:
-    """int64-nanos → microsecond timestamp (same instant DuckDB sees)."""
-    if dict(df.dtypes).get("ts") == "bigint":
-        # integer division — float division loses precision at 1e18 nanos
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    """Canonicalize ts to session-TZ timestamp (same instant DuckDB
+    sees); delegates to the catalog's by-type canonicalizer so stream
+    and batch share one invariant."""
+    return _canonicalize_ts(df)
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -100,7 +90,7 @@ def _stream_dir(sf_dir: str) -> str:
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a Structured Streaming file source."""
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_raw_events_schema(spark, sf_dir))
         .format("parquet")
         .load(_stream_dir(sf_dir))
     )

@@ -142,12 +142,14 @@ def test_windowed_agg_correct_across_micro_batches(spark, sf_dir, tmp_path):
     across batches, late rows update earlier windows)."""
     src = str(tmp_path / "events_split")
     batch_events = load_table(spark, sf_dir, "events")
-    # write the raw int64-nanos shape the stream source expects
-    spark.read.schema(W.EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet") \
+    # re-shard the raw parquet (footer-derived schema, whatever the
+    # generator's current ts encoding is) into 4 files
+    raw_schema = W._raw_events_schema(spark, sf_dir)
+    spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet") \
         .repartition(4).write.parquet(src)
 
     stream = (
-        spark.readStream.schema(W.EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
