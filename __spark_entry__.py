@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sqlondataframesr_spark import registry, session as _session  # noqa: E402
+from sqlondataframesr_spark import (  # noqa: E402
+    materialize as _materialize,
+    registry,
+    session as _session,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -36,6 +40,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             _session.configure(spark)  # driver session may lack our confs
+            # drop the previous query's pinned branches (per-query
+            # cache scope — see sqlondataframesr_spark.materialize)
+            _materialize.release_all()
             return fn(spark, sf_dir)
 
         return run

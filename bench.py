@@ -29,6 +29,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sqlondataframesr_spark import registry  # noqa: E402
+from sqlondataframesr_spark.materialize import release_all  # noqa: E402
 from sqlondataframesr_spark.session import get_spark  # noqa: E402
 
 #: reference protocol is microbenchmark(times=5); extensions get 3 to
@@ -87,6 +88,11 @@ def main() -> None:
     default_confs = {k: spark.conf.get(k) for k in ref_confs}
 
     timings: dict[str, float] = {}
+    #: per-query min/median/max over the timed runs — the reference's
+    #: own microbenchmark protocol publishes spread, not just medians
+    #: (RDataFramesSQL.Rmd:139-152), and cross-round drift (e.g.
+    #: minhash 7.6s->13.5s r1->r2) is only diagnosable with spread.
+    spreads: dict[str, dict[str, float]] = {}
     for name, fn in queries:
         for k, v in (ref_confs if is_ref(name) else default_confs).items():
             spark.conf.set(k, v)
@@ -102,6 +108,15 @@ def main() -> None:
             fn(spark, sf_dir).toPandas()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+        spreads[name] = {
+            "min": round(min(samples), 4),
+            "median": timings[name],
+            "max": round(max(samples), 4),
+            "n": len(samples),
+        }
+        # per-query cache scope: drop frames pinned by this query so
+        # one operator's persisted branches can't crowd the next
+        release_all()
 
     ref_total = sum(v for k, v in timings.items() if is_ref(k))
     headline = {
@@ -114,6 +129,7 @@ def main() -> None:
         # baseline-comparable queries only; every extension timing goes
         # to BENCH_DETAILS.json and to the chunked lines above.
         "queries": {k: v for k, v in timings.items() if is_ref(k)},
+        "spreads": {k: v for k, v in spreads.items() if is_ref(k)},
         "sf": sf,
         "n_queries_timed": len(timings),
         "total_all_queries": round(sum(timings.values()), 4),
@@ -122,7 +138,12 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
     )
     with open(details_path, "w") as fh:
-        json.dump({**headline, "queries": timings}, fh, indent=1, sort_keys=True)
+        json.dump(
+            {**headline, "queries": timings, "spreads": spreads},
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
     # chunked per-family detail lines (human/log audit; each line small)
     ext = sorted((k, v) for k, v in timings.items() if not is_ref(k))
     for i in range(0, len(ext), 8):

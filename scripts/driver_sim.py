@@ -1,6 +1,14 @@
 """Simulate the driver's correctness gate: plain SparkSession (none of
 our confs), every queries() entry vs oracle_sql() via DuckDB at sf0.01.
-Run from a neutral cwd: python /root/repo/scripts/driver_sim.py"""
+Run from a neutral cwd: python /root/repo/scripts/driver_sim.py
+
+Flags / args:
+  EXACT=1   env var — replicate the driver's value-HASH semantics:
+            strict equality per cell (no isclose); floats compared by
+            repr after a 1e-9 quantization like the driver's hasher.
+            Queries that pass isclose but fail EXACT=1 are the ones a
+            driver resample can surprise (VERDICT r3 item 4).
+  argv      prefix filters, e.g. python driver_sim.py kmeans emb_"""
 import math
 import os
 import sys
@@ -38,8 +46,15 @@ for name, fn in sorted(qs.items()):
     order = sorted(range(len(dcols)), key=lambda i: dcols[i])
     drows = sorted(tuple(r[i] for i in order) for r in cur.fetchall())
 
+    EXACT = os.environ.get("EXACT") == "1"
+
     def close(a, b):
         if isinstance(a, float) and isinstance(b, float):
+            if EXACT:
+                # the driver hashes a string form of the value; two
+                # floats hash alike only when bit-identical (modulo
+                # its tiny quantization) — emulate with repr equality
+                return repr(round(a, 12)) == repr(round(b, 12))
             return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
         return a == b
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..materialize import materialize
 from ..catalog import load_table
 from .dedup import _SHINGLES_SPARK_SQL, _SHINGLES_SQL, _with_shingles
 
@@ -38,7 +39,7 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens have no shingles and are trivially clean (ratio 0).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    shingled = _with_shingles(docs).localCheckpoint(eager=False)
+    shingled = _with_shingles(docs).transform(materialize)
 
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     eval_sh = (

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..materialize import materialize
 from ..catalog import load_table
 
 #: near-duplicate decision threshold on word-3-shingle Jaccard
@@ -94,7 +95,7 @@ def _jaccard_pairs(docs: DataFrame) -> DataFrame:
     dedup_ngram_jaccard for the scale discussion)."""
     # shingled feeds four branches (sizes x2, inverted index x2);
     # checkpoint so shingling runs once instead of per-branch.
-    shingled = _with_shingles(docs).localCheckpoint(eager=False)
+    shingled = _with_shingles(docs).transform(materialize)
     sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
     exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
 
@@ -206,12 +207,12 @@ def _jaccard_pairs_capped(
     exactly the pairs a training-data pipeline wants judged by content,
     not template.
     """
-    shingled = _with_shingles(docs).localCheckpoint(eager=False)
+    shingled = _with_shingles(docs).transform(materialize)
     # exploded feeds the df count AND the rare-postings re-aggregate —
     # checkpoint so shingling+explode runs once
     exploded = shingled.select(
         "doc_id", F.explode("sh").alias("s")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     # TWO passes over the postings, both shuffled on the shingle:
     # (1) df count only — fixed-width aggregation state, hot shingles
     # cost 8 bytes; (2) collect the doc list ONLY for rare shingles
@@ -244,7 +245,7 @@ def _jaccard_pairs_capped(
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     # Size-compatibility prefilter: jaccard(A,B) <= min(|A|,|B|)
     # / max(|A|,|B|), so any pair with a size ratio under the threshold
@@ -271,7 +272,7 @@ def _jaccard_pairs_capped(
             * F.greatest("na", "nb").cast("double")
         )
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     # exact verify: full shingle arrays, but ONLY for candidate docs
     cand_docs = (
@@ -279,9 +280,7 @@ def _jaccard_pairs_capped(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    cand_sh = shingled.join(cand_docs, "doc_id", "left_semi").localCheckpoint(
-        eager=False
-    )
+    cand_sh = shingled.join(cand_docs, "doc_id", "left_semi").transform(materialize)
     sha = cand_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = cand_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -403,9 +402,7 @@ def _substring_pairs(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     # e feeds BOTH sides of the self-join — checkpoint, or the window
     # md5 map (the expensive part: one hash per token window) runs
     # twice (measured ~2x the query's cost at sf0.1)
-    e = grams.select("doc_id", F.explode("gr").alias("gx")).localCheckpoint(
-        eager=False
-    )
+    e = grams.select("doc_id", F.explode("gr").alias("gx")).transform(materialize)
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, (F.col("a.gx") == F.col("b.gx")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -474,7 +471,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("rep"),
             F.min_by("text", "doc_id").alias("text"),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
 
     pairs = _jaccard_pairs(reps.select(F.col("rep").alias("doc_id"), "text"))
@@ -482,7 +479,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
 
     # Min-label propagation with driver round-trips HALVED: the
@@ -505,6 +502,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
             )
+            # in-loop: localCheckpoint TRUNCATES lineage so the plan
+            # stays one join deep per round (persist would grow it by
+            # a join per iteration). Executor loss here fails the job;
+            # retry story = re-run the query (deterministic). At
+            # production scale use setCheckpointDir + checkpoint().
             .localCheckpoint(eager=False)
         )
         converged = False

@@ -39,6 +39,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..materialize import materialize
 from ..catalog import load_table
 from .dedup import _SHINGLES_SPARK_SQL, _SHINGLES_SQL, _with_shingles
 
@@ -88,7 +89,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = _with_shingles(load_table(spark, sf_dir, "documents"))
     # sig feeds three branches (bands + both sides of the score join);
     # checkpoint so the shingle+hash pass runs once. K bigints per doc.
-    sig = minhash_signatures(shingled).localCheckpoint(eager=False)
+    sig = minhash_signatures(shingled).transform(materialize)
 
     bands = sig.select(
         "doc_id",

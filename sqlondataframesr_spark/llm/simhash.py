@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..materialize import materialize
 from ..catalog import load_table
 
 NUM_BITS = 64
@@ -122,7 +123,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides, the members re-join); without materialization each branch
     # recomputes the full fingerprint scan. It is doc-count-bounded and
     # small (distinct fingerprints only) — checkpoint it once.
-    grp = grp.localCheckpoint(eager=False)
+    grp = grp.transform(materialize)
 
     # pairs inside one fingerprint group: hamming identically 0
     intra = (

@@ -40,6 +40,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..materialize import materialize
 from ..catalog import load_table
 from ..functions import vector as V
 
@@ -144,7 +145,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replicates the bucketing, so the check pins the
     *algorithm*, not ideal-kNN."""
     # vec feeds three branches (bands + query/neighbor score joins)
-    vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    vec = _vectors(spark, sf_dir).transform(materialize)
     bands = _bands(with_signature(vec))
     qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "band", "bkey"
@@ -202,7 +203,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned corpus, so the big side never reshuffles. Recall < 1 by
     design; the oracle replicates the bucketing, pinning the
     algorithm, not ideal-kNN."""
-    vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    vec = _vectors(spark, sf_dir).transform(materialize)
     centroids = vec.filter(F.col("vec_id") < NLIST).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
@@ -328,7 +329,7 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer-micros sums — the DuckDB oracle replays the
     identical unrolled iterations.
     """
-    vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    vec = _vectors(spark, sf_dir).transform(materialize)
     cent = vec.filter(F.col("vec_id") < KM_K).select(
         F.col("vec_id").alias("c_id"),
         F.col("v").alias("cv"),
@@ -353,6 +354,9 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent = (
             g.select(F.col("list_id").alias("c_id"), "n", F.array(*comps).alias("cv"))
             .withColumn("cn", F.expr(V.l2_norm("cv")))
+            # in-loop: localCheckpoint TRUNCATES lineage so the K-row
+            # centroid plan stays flat across Lloyd rounds; loss =>
+            # re-run query. Production: reliable checkpoint() per round.
             .localCheckpoint(eager=False)
         )
     # serialize the centroid as comma-joined integer micros — harness-
@@ -412,7 +416,7 @@ def _kmeans_oracle() -> str:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup vector pairs: band collision then exact cosine >= 0.4."""
     # vec feeds three branches (bands + both sides of the score join)
-    vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    vec = _vectors(spark, sf_dir).transform(materialize)
     bands = _bands(with_signature(vec))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

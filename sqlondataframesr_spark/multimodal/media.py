@@ -232,6 +232,7 @@ def sample_frames(media: DataFrame, every_s: float = 1.0) -> DataFrame:
 
     def _sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
+        import math
 
         import numpy as np
         import pandas as pd
@@ -247,11 +248,24 @@ def sample_frames(media: DataFrame, every_s: float = 1.0) -> DataFrame:
                 # sample times k*every_s (k = 0, 1, ...) strictly below
                 # duration_s — multiplication, not accumulation, so a
                 # fractional every_s (0.5 -> 2 frames/s) neither drifts
-                # nor collapses to whole seconds
-                n_samples = max(0, -(-float(duration_s) // every_s))
+                # nor collapses to whole seconds. Float ceil via
+                # -(-d // e) overcounts when d/e carries binary error
+                # (3 / 0.3 -> 10.000000000000002 -> 11), so round the
+                # quotient to 9 dp before ceiling, and still guard the
+                # loop: no sample may land at/after duration_s.
+                n_samples = max(0, math.ceil(round(float(duration_s) / every_s, 9)))
+                prev_frame_idx = None
                 for k in range(int(n_samples)):
                     t = k * every_s
+                    if t >= float(duration_s):
+                        break
                     frame_idx = int(round(t * FPS))
+                    # sub-frame-interval sampling (every_s < 1/FPS)
+                    # would re-emit the same frame under a new t_ms;
+                    # emit each frame once (first hit wins)
+                    if frame_idx == prev_frame_idx:
+                        continue
+                    prev_frame_idx = frame_idx
                     if src.size == 0:
                         frame = np.zeros(n, np.uint8)
                     else:

@@ -652,39 +652,95 @@ ORDER BY event_id
 """
 
 
-def q22_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates per event_type: HyperLogLog++ distinct
-    users and t-digest-style value percentiles. THE scale substitutes
-    for exact COUNT(DISTINCT)/percentile (q15/q11 keep the exact
-    forms): fixed-size mergeable sketches, one map-side pass + one
-    tiny merge shuffle, no per-key value sets — at 100 TB the exact
-    forms shuffle the whole column, these shuffle kilobytes.
+#: q22 tolerance contract: HLL++ at rsd=0.02 must land within 6% of
+#: exact (3 sigma); percentile_approx at accuracy=10000 must return a
+#: data value whose true rank brackets the target quantile within 2%.
+Q22_HLL_TOL = 0.06
+Q22_RANK_EPS = 0.02
+Q22_PCTS = (0.5, 0.9, 0.99)
 
-    No DuckDB oracle (sketch internals are engine-specific — driver
-    records a rows-only check); tests/test_operators.py bounds both
-    against the exact answers instead.
 
-    The three percentiles are emitted as scalar columns (not one
-    array) so downstream harnesses can sort/hash rows without
-    array-typed cells.
-    """
+def q22_sketch_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch aggregates per event_type: HyperLogLog++ distinct
+    users and GK-summary value percentiles. THE scale substitutes for
+    exact COUNT(DISTINCT)/percentile (q15/q11 keep the exact forms):
+    fixed-size mergeable sketches, one map-side pass + one tiny merge
+    shuffle — at 100 TB the exact forms shuffle the whole column,
+    these shuffle kilobytes. Estimates are engine-specific, so this
+    raw form is bounded in pytest; :func:`q22_approx_sketches` wraps
+    it in a deterministic validation contract the driver CAN hash."""
     ev = load_table(spark, sf_dir, "events")
-    pct = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            pct.alias("_pct"),
-        )
-        .select(
-            "event_type",
-            "approx_users",
-            F.col("_pct")[0].alias("value_p50"),
-            F.col("_pct")[1].alias("value_p90"),
-            F.col("_pct")[2].alias("value_p99"),
-        )
-        .orderBy("event_type")
+    pct = F.percentile_approx("value", list(Q22_PCTS), 10000)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        pct.alias("_pct"),
     )
+
+
+def q22_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy validation with a DETERMINISTIC output contract.
+
+    Raw HLL/percentile estimates differ across engines, so no DuckDB
+    oracle can hash them (r1-r3 carried a ``no_oracle`` row). This
+    emits what IS cross-engine deterministic: the exact per-type
+    counts plus booleans asserting each sketch landed inside its
+    stated tolerance — rank-bracketing for percentiles (tie-robust:
+    frac(<v) <= p <= frac(<=v) within Q22_RANK_EPS) and relative
+    error for HLL. The oracle computes the exact counts and literal
+    TRUEs; a hash match therefore *proves* the sketches met their
+    error bounds on this data. The exact count-distinct companions
+    exist only to judge the sketch — production callers use
+    :func:`q22_sketch_raw` and skip the exact pass."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    g = q22_sketch_raw(spark, sf_dir)
+    # g is |event_type| rows — broadcast; the rank pass is one more
+    # scan + one narrow aggregate, no extra wide shuffle
+    j = ev.join(F.broadcast(g), "event_type")
+    aggs = [
+        F.first("n_events").alias("n_events"),
+        F.first("n_users").alias("n_users"),
+        F.first("approx_users").alias("approx_users"),
+    ]
+    for i in range(len(Q22_PCTS)):
+        aggs.append(
+            F.avg((F.col("value") < F.col("_pct")[i]).cast("double")).alias(f"lt{i}")
+        )
+        aggs.append(
+            F.avg((F.col("value") <= F.col("_pct")[i]).cast("double")).alias(f"le{i}")
+        )
+    checked = j.groupBy("event_type").agg(*aggs)
+    sel = [
+        F.col("event_type"),
+        F.col("n_events"),
+        F.col("n_users"),
+        (
+            F.abs(F.col("approx_users") - F.col("n_users"))
+            <= F.lit(Q22_HLL_TOL) * F.col("n_users")
+        ).alias("hll_ok"),
+    ]
+    for i, p in enumerate(Q22_PCTS):
+        sel.append(
+            (
+                (F.col(f"lt{i}") <= F.lit(p + Q22_RANK_EPS))
+                & (F.col(f"le{i}") >= F.lit(p - Q22_RANK_EPS))
+            ).alias(f"p{str(p).replace('0.', '')}_ok")
+        )
+    return checked.select(*sel).orderBy("event_type")
+
+
+Q22_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       TRUE AS hll_ok, TRUE AS p5_ok, TRUE AS p9_ok, TRUE AS p99_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 def q23_cube_order_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1316,6 +1372,7 @@ ORACLES = {
     "q17_small_quantity_revenue": Q17_ORACLE,
     "q20_regional_revenue": Q20_ORACLE,
     "q21_trailing_window_value": Q21_ORACLE,
+    "q22_approx_sketches": Q22_ORACLE,
     "q23_cube_order_matrix": Q23_ORACLE,
     "q24_string_functions": Q24_ORACLE,
     "q25_full_outer_nation_balance": Q25_ORACLE,
@@ -1486,19 +1543,28 @@ ORDER BY l_returnflag
     # keeps them — double the regex backslash for the Spark parse
     "q24_string_functions": Q24_ORACLE.replace("(\\d+)$", "(\\\\d+)$"),
     # same engine on both sides, so the sketch internals agree exactly —
-    # the SQL twin pins the fluent plan even though no DuckDB oracle can
+    # the SQL twin replays the full validation contract
     "q22_approx_sketches": """
 WITH g AS (
   SELECT event_type,
+         COUNT(*) AS n_events,
+         COUNT(DISTINCT user_id) AS n_users,
          approx_count_distinct(user_id, 0.02) AS approx_users,
          percentile_approx(value, array(0.5D, 0.9D, 0.99D), 10000) AS pct
   FROM events
   GROUP BY event_type
 )
-SELECT event_type, approx_users,
-       pct[0] AS value_p50, pct[1] AS value_p90, pct[2] AS value_p99
-FROM g
-ORDER BY event_type
+SELECT g.event_type, g.n_events, g.n_users,
+       (abs(g.approx_users - g.n_users) <= 0.06 * g.n_users) AS hll_ok,
+       (SUM(IF(e.value < g.pct[0], 1, 0)) / CAST(g.n_events AS DOUBLE) <= 0.52
+        AND SUM(IF(e.value <= g.pct[0], 1, 0)) / CAST(g.n_events AS DOUBLE) >= 0.48) AS p5_ok,
+       (SUM(IF(e.value < g.pct[1], 1, 0)) / CAST(g.n_events AS DOUBLE) <= 0.92
+        AND SUM(IF(e.value <= g.pct[1], 1, 0)) / CAST(g.n_events AS DOUBLE) >= 0.88) AS p9_ok,
+       (SUM(IF(e.value < g.pct[2], 1, 0)) / CAST(g.n_events AS DOUBLE) <= 1.01
+        AND SUM(IF(e.value <= g.pct[2], 1, 0)) / CAST(g.n_events AS DOUBLE) >= 0.97) AS p99_ok
+FROM events e JOIN g USING (event_type)
+GROUP BY g.event_type, g.n_events, g.n_users, g.approx_users, g.pct
+ORDER BY g.event_type
 """,
     "q28_price_histogram": f"""
 WITH hist AS (

@@ -435,3 +435,94 @@ TASKS = {
     "task5_comment_scores": (task5_comment_scores, TASK5_ORACLE),
     "task6_valuable_badges": (task6_valuable_badges, TASK6_ORACLE),
 }
+
+
+# --- driver-gate registration (VERDICT r3 item 6) -------------------
+#
+# The six tasks above are the reference's LITERAL workload; until
+# round 4 they ran only in pytest. The external gate calls
+# queries()[name](spark, sf_dir) and runs oracle_sql()[name] in a
+# DuckDB that has only the star-schema parquet views — so the driver
+# wrappers ignore sf_dir (this workload ships its own schema) and
+# point BOTH engines at one deterministic fixture: byte-stable CSVs
+# (seed pinned, random.Random) generated under the system temp dir,
+# built atomically (generate into a staging dir, os.rename) so a
+# concurrent driver/pytest/bench process never reads a half-written
+# file. The oracle SQL is made self-contained by prefixing CTE views
+# over read_csv_auto of the same CSVs — identical bytes feed both
+# engines, same differential contract as tests/test_stackexchange.py.
+
+
+def fixture_dir() -> str:
+    """Generate (once) and return the shared deterministic fixture."""
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "sqlondataframesr_se_fixture_v1")
+    if not os.path.isdir(d):
+        stage = f"{d}.stage.{os.getpid()}"
+        generate_fixture(stage)
+        try:
+            os.rename(stage, d)  # atomic; loser of a race cleans up
+        except OSError:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+    return d
+
+
+#: The literal task outputs carry SQL NULLs (reference parity — the
+#: pytest suite checks those verbatim), but the driver's row sort
+#: can't order None against ints, and every other driver-gate query
+#: is NULL-free by convention. The DRIVER wrappers therefore coalesce
+#: the nullable output columns to typed sentinels on BOTH engines —
+#: same rows, same information, sortable cells.
+_NULL_SENTINELS: dict[str, dict[str, object]] = {
+    "task2_top_favorited_users": {
+        "Age": -1,
+        "Location": "<NULL>",
+        "MostFavoriteQuestion": "<NULL>",
+        "MostFavoriteQuestionLikes": -1,
+    },
+    "task6_valuable_badges": {"Age": -1, "Location": "<NULL>"},
+}
+
+
+def _driver_task(name: str, task_fn):
+    sentinels = _NULL_SENTINELS.get(name, {})
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+        df = task_fn(spark, fixture_dir())
+        for col, sub in sentinels.items():
+            df = df.withColumn(col, F.coalesce(F.col(col), F.lit(sub)))
+        return df
+
+    return run
+
+
+def _self_contained(name: str, oracle: str) -> str:
+    d = fixture_dir()
+    views = ",\n".join(
+        f"{vname} AS (SELECT * FROM read_csv_auto('{d}/{vname}.csv', header=true))"
+        for vname in SCHEMAS
+    )
+    body = oracle.strip()
+    # merge with the task's own WITH clause if it has one
+    if body.upper().startswith("WITH "):
+        body = f"WITH {views},\n{body[5:]}"
+    else:
+        body = f"WITH {views}\n{body}"
+    sentinels = _NULL_SENTINELS.get(name)
+    if sentinels:
+        reps = ", ".join(
+            f"COALESCE({col}, {sub!r}) AS {col}" if isinstance(sub, str)
+            else f"COALESCE({col}, {sub}) AS {col}"
+            for col, sub in sentinels.items()
+        )
+        body = f"SELECT * REPLACE ({reps}) FROM (\n{body}\n) _t"
+    return body
+
+
+QUERIES = {f"se_{name}": _driver_task(name, fn) for name, (fn, _) in TASKS.items()}
+ORACLES = {
+    f"se_{name}": _self_contained(name, sql) for name, (fn, sql) in TASKS.items()
+}

@@ -20,12 +20,13 @@ from .llm import (
 )
 from .multimodal import media
 from .operators import asof, grouped, rangejoin, salt, udtf
-from .queries import extensions, reference
+from .queries import extensions, reference, stackexchange
 from .streaming import windows as streaming_windows
 
 _MODULES = [
     reference,
     extensions,
+    stackexchange,
     text,
     decontam,
     dedup,

@@ -14,6 +14,15 @@ def spark():
     yield spark
 
 
+@pytest.fixture(autouse=True)
+def _release_pinned():
+    """Per-test cache scope for persist-pinned plan branches."""
+    from sqlondataframesr_spark.materialize import release_all
+
+    yield
+    release_all()
+
+
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR

@@ -133,3 +133,35 @@ def test_sample_frames_matches_plan_and_local_hashes(spark, sf_dir):
     )
     assert got0["n_frame_bytes"] == n
     assert got0["frame_md5"] == hl.md5(frame0.tobytes()).hexdigest()
+
+
+def test_sample_frames_fractional_interval_invariants(spark, sf_dir):
+    """ADVICE r3: fractional every_s must not emit a sample at/after
+    duration_s (float-ceil overcount: 3/0.3 -> 10.000000000000002),
+    and sub-frame-interval sampling (every_s < 1/FPS) must emit each
+    frame_idx once, not near-duplicate rows per t_ms."""
+    import math
+
+    media = (
+        M.media_frame(spark, sf_dir)
+        .filter("media_type = 'video'")
+        .withColumn("duration_s", M.F.expr(M._DURATION_S).cast("int"))
+        .limit(4)
+    )
+    for every_s in (0.3, 0.6, 0.7):
+        rows = M.sample_frames(media, every_s=every_s).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        durs = {r["doc_id"]: r["duration_s"] for r in media.collect()}
+        for doc_id, rs in by_doc.items():
+            d = durs[doc_id]
+            assert all(r["t_ms"] < d * 1000 for r in rs), (every_s, doc_id)
+            assert len(rs) == math.ceil(round(d / every_s, 9)), (every_s, doc_id)
+
+    # sub-frame interval: 0.01s steps at FPS=25 -> distinct frames only
+    tiny = M.sample_frames(media, every_s=0.01)
+    per = (
+        tiny.groupBy("doc_id", "frame_idx").count().filter("count > 1").count()
+    )
+    assert per == 0

