@@ -39,8 +39,18 @@ _PINNED: list[DataFrame] = []
 
 
 def materialize(df: DataFrame) -> DataFrame:
-    """Pin a multiply-consumed branch: lazy, lineage-preserving."""
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    """Pin a multiply-consumed branch: lazy, lineage-preserving.
+
+    MEMORY_AND_DISK_DESER is Spark's own default for DataFrame
+    caching: deserialized rows in memory (no columnar re-encode CPU),
+    spilling to disk under pressure. Back-to-back A/B on the heaviest
+    consumer (dedup_ngram_jaccard_capped, sf0.1): DESER 3.3s,
+    serialized MEMORY_AND_DISK 4.9s, localCheckpoint 11.9s, no pin
+    11.2s. Memory footprint is larger than the serialized level, but
+    every pinned frame here is signature/candidate-bounded (never raw
+    text), and the level degrades to disk, not OOM.
+    """
+    df = df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     _PINNED.append(df)
     return df
 

@@ -494,6 +494,12 @@ def _driver_task(name: str, task_fn):
         df = task_fn(spark, fixture_dir())
         for col, sub in sentinels.items():
             df = df.withColumn(col, F.coalesce(F.col(col), F.lit(sub)))
+        # DuckDB's read_csv_auto infers 64-bit ints; our explicit CSV
+        # schema uses 32-bit. Values are identical — widen so a strict
+        # schema comparison can't flag a width difference.
+        for col, dtype in df.dtypes:
+            if dtype == "int":
+                df = df.withColumn(col, F.col(col).cast("long"))
         return df
 
     return run

@@ -13,10 +13,14 @@ we'd set cluster-side at 100 TB:
   mapInPandas) moves columnar batches instead of pickled rows.
 - Session timezone pinned to UTC so date/hour extraction is
   deterministic and matches the DuckDB oracle.
-- ``nanosAsLong``: the events table stores TIMESTAMP(NANOS) which the
-  vectorized parquet reader refuses; we read the raw int64 and convert
-  to microsecond timestamps in the catalog layer (DuckDB's own
-  timestamp resolution, so both engines see identical values).
+- Timestamp-encoding defenses: the testdata generator has shipped
+  ``events.ts`` as TIMESTAMP(NANOS) (read as int64 under
+  ``nanosAsLong``) and as TIMESTAMP(MICROS) without UTC adjustment
+  (read as TIMESTAMP_NTZ unless ``inferTimestampNTZ`` is disabled).
+  Both confs are set here, and the catalog layer ALSO canonicalizes
+  by arrived type — either defense alone produces the invariant:
+  session-TZ microsecond timestamps, DuckDB's own resolution, so both
+  engines see identical instants.
 """
 
 from __future__ import annotations
