@@ -49,6 +49,23 @@ HIST_BUCKETS = 16
 _MEDIA_TYPE = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
 
+def _spread(media: DataFrame) -> DataFrame:
+    """Ensure the CPU-heavy Arrow decode stage has enough partitions.
+
+    The testdata ships one parquet file per table, so the scan yields
+    1-2 splits and a ``mapInPandas`` decode inherits them — the whole
+    decode runs on one core (measured: the mm_sample_frames stage was
+    single-threaded, 27k frames x 75 KB hashed serially). Repartition
+    on doc_id up to the session's parallelism ONLY when the input is
+    under-partitioned: at real scale the scan already carries
+    thousands of splits and this is a no-op (no shuffle inserted).
+    """
+    target = media.sparkSession.sparkContext.defaultParallelism
+    if media.rdd.getNumPartitions() < max(2, target // 2):
+        return media.repartition(target, "doc_id")
+    return media
+
+
 def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, media_type, payload binary, width, height)."""
     return load_table(spark, sf_dir, "documents").select(
@@ -94,7 +111,9 @@ def byte_histogram(media: DataFrame, buckets: int = HIST_BUCKETS) -> DataFrame:
                 hists.append((h / total if total else h).round(6).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "hist": hists})
 
-    return media.select("doc_id", "payload").mapInPandas(featurize, out_schema)
+    return _spread(media.select("doc_id", "payload")).mapInPandas(
+        featurize, out_schema
+    )
 
 
 def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,7 +225,7 @@ def decode_image(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.select("doc_id", "payload", "width", "height").mapInPandas(
+    return _spread(media.select("doc_id", "payload", "width", "height")).mapInPandas(
         _decode, out_schema
     )
 
@@ -282,8 +301,8 @@ def sample_frames(media: DataFrame, every_s: float = 1.0) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    return media.select(
-        "doc_id", "payload", "width", "height", "duration_s"
+    return _spread(
+        media.select("doc_id", "payload", "width", "height", "duration_s")
     ).mapInPandas(_sample, out_schema)
 
 
