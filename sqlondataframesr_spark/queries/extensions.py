@@ -653,8 +653,10 @@ ORDER BY event_id
 
 
 #: q22 tolerance contract: HLL++ at rsd=0.02 must land within 6% of
-#: exact (3 sigma); percentile_approx at accuracy=10000 must return a
-#: data value whose true rank brackets the target quantile within 2%.
+#: exact (3 sigma); percentile_approx at accuracy=1000 (rank error
+#: <= 0.1%, a 20x margin under the 2% bracket; A/B: 1.6x faster than
+#: accuracy=10000) must return a data value whose true rank brackets
+#: the target quantile within 2%.
 Q22_HLL_TOL = 0.06
 Q22_RANK_EPS = 0.02
 Q22_PCTS = (0.5, 0.9, 0.99)
@@ -670,7 +672,7 @@ def q22_sketch_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw form is bounded in pytest; :func:`q22_approx_sketches` wraps
     it in a deterministic validation contract the driver CAN hash."""
     ev = load_table(spark, sf_dir, "events")
-    pct = F.percentile_approx("value", list(Q22_PCTS), 10000)
+    pct = F.percentile_approx("value", list(Q22_PCTS), 1000)
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
@@ -1550,7 +1552,7 @@ WITH g AS (
          COUNT(*) AS n_events,
          COUNT(DISTINCT user_id) AS n_users,
          approx_count_distinct(user_id, 0.02) AS approx_users,
-         percentile_approx(value, array(0.5D, 0.9D, 0.99D), 10000) AS pct
+         percentile_approx(value, array(0.5D, 0.9D, 0.99D), 1000) AS pct
   FROM events
   GROUP BY event_type
 )
