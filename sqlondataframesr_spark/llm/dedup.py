@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..materialize import materialize
+from ..materialize import materialize, spread_scan
 from ..catalog import load_table
 
 #: near-duplicate decision threshold on word-3-shingle Jaccard
@@ -28,9 +28,15 @@ JACCARD_THRESHOLD = 0.8
 
 def _with_shingles(docs: DataFrame) -> DataFrame:
     """doc_id + distinct word 3-shingles (documents with <3 tokens are
-    excluded — they have no 3-shingle and no Jaccard identity)."""
+    excluded — they have no 3-shingle and no Jaccard identity).
+
+    ``spread_scan``: the shingle transform (and the per-shingle md5
+    signatures most consumers layer on it) is the CPU-dense pass of
+    the whole dedup family; the single-row-group testdata scan would
+    otherwise run it on 1 core (see materialize.spread_scan — no-op
+    on a properly-split scan)."""
     return (
-        docs.withColumn("w", F.split(F.col("text"), " "))
+        spread_scan(docs, "doc_id").withColumn("w", F.split(F.col("text"), " "))
         .filter(F.size("w") >= 3)
         .withColumn(
             "sh",
@@ -384,8 +390,11 @@ def _substring_pairs(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     # must never go descending for short docs even though their rows
     # are filtered out. (The 3-shingle operators survive unguarded only
     # because w[i] returns NULL instead of raising.)
+    # spread_scan: one md5 per 13-token window is the CPU-dense pass —
+    # same single-row-group-scan serialization fix as _with_shingles
     grams = (
-        docs.withColumn("w", F.split(F.col("text"), " "))
+        spread_scan(docs, "doc_id")
+        .withColumn("w", F.split(F.col("text"), " "))
         .filter(F.size("w") >= k)
         .select(
             "doc_id",

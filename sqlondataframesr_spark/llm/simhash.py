@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..materialize import materialize
+from ..materialize import materialize, spread_scan
 from ..catalog import load_table
 
 NUM_BITS = 64
@@ -64,9 +64,12 @@ def _half_expr(idx: int) -> str:
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """doc_id + 64-bit fingerprint as two 32-bit halves + token count."""
+    """doc_id + 64-bit fingerprint as two 32-bit halves + token count.
+
+    spread_scan: two md5s per token then a 64-bit vote-fold is the
+    CPU-dense pass; don't let a single-row-group scan serialize it."""
     return (
-        docs.withColumn("hs", F.expr(_HS_SPARK))
+        spread_scan(docs, "doc_id").withColumn("hs", F.expr(_HS_SPARK))
         .select(
             "doc_id",
             F.expr(_half_expr(1)).alias("fp_hi"),

@@ -40,7 +40,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..materialize import materialize
+from ..materialize import materialize, spread_scan
 from ..catalog import load_table
 from ..functions import vector as V
 
@@ -72,9 +72,11 @@ _PLANES_DUCK = "[" + ",".join(
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vec_id + double-cast vector + L2 norm (cast once, reuse everywhere)."""
+    """vec_id + double-cast vector + L2 norm (cast once, reuse
+    everywhere). spread_scan: band/dot-product exprs downstream are
+    CPU-dense; don't let a single-row-group scan serialize them."""
     return (
-        load_table(spark, sf_dir, "embeddings")
+        spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
         .select("vec_id", F.expr(V.to_double("embedding")).alias("v"))
         .withColumn("nrm", F.expr(V.l2_norm("v")))
     )

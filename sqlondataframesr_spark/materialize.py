@@ -55,6 +55,25 @@ def materialize(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame, *cols: str) -> DataFrame:
+    """Ensure a CPU-heavy map stage has enough partitions to use the
+    session's cores.
+
+    The testdata ships one single-row-group parquet file per table, so
+    every scan yields 1-3 splits (a row group is the split atom) and
+    any expensive per-row compute layered on the scan — per-shingle
+    md5 signatures, Arrow decode bodies — inherits that serialism.
+    Repartition (on ``cols`` if given, else round-robin) up to the
+    session's parallelism ONLY when the input is under-partitioned;
+    at real scale the scan already carries thousands of row-group
+    splits and this no-ops without inserting a shuffle.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target, *cols) if cols else df.repartition(target)
+    return df
+
+
 def release_all() -> None:
     """Unpersist every frame pinned since the last release (per-query
     cache scope; safe to call with queries in flight — unpersist only
