@@ -32,9 +32,12 @@ from sqlondataframesr_spark import registry  # noqa: E402
 from sqlondataframesr_spark.materialize import release_all  # noqa: E402
 from sqlondataframesr_spark.session import get_spark  # noqa: E402
 
-#: reference protocol is microbenchmark(times=5); extensions get 3 to
-#: keep the whole bench inside the driver's per-round budget
-REF_RUNS = 5
+#: reference protocol is microbenchmark(times=5); the headline six are
+#: sub-second, so host jitter moves a 5-run median by +-15% between
+#: whole bench invocations — 11 runs tightens the median at ~3s extra
+#: total cost. Extensions get 3 to keep the whole bench inside the
+#: driver's per-round budget (their spreads are published either way).
+REF_RUNS = 11
 EXT_RUNS = 3
 
 
