@@ -121,12 +121,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
     if name == "events":
         df = _canonicalize_ts(df)
-    # Belt for conf-less external sessions (inferTimestampNTZ unset):
-    # every wall-clock NTZ column becomes session-TZ timestamp, a
-    # value-preserving cast under the pinned UTC zone.
-    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
-    for c in ntz_cols:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    # Drift guards beyond events.ts (same fail-soft philosophy: a
+    # generator encoding change should canonicalize where the cast is
+    # value-preserving, and only fail-loud via _preflight when nobody
+    # taught the canonicalizer the new encoding):
+    # - conf-less external sessions (inferTimestampNTZ unset) read
+    #   wall-clock micros as TIMESTAMP_NTZ → session-TZ timestamp is
+    #   value-preserving under the pinned UTC zone;
+    # - a DATE-encoded o_orderdate/l_shipdate → midnight timestamp,
+    #   which is exactly what the current timestamp encoding carries;
+    # - an array<double> embedding → array<float> (the declared
+    #   canonical element width).
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        elif t == "date" and c in ("o_orderdate", "l_shipdate"):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        elif t == "array<double>" and c == "embedding":
+            df = df.withColumn(c, F.col(c).cast("array<float>"))
     _preflight(name, df)
     _table_cache[key] = df
     return df

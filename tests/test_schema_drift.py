@@ -92,3 +92,42 @@ def test_manifest_matches_live_testdata(spark, sf_dir):
         got = dict(load_table(spark, sf_dir, name).dtypes)
         for col, want in EXPECTED_DTYPES[name].items():
             assert got.get(col) == want, (name, col, want, got.get(col))
+
+
+def test_catalog_canonicalizes_date_and_double_embedding(spark, sf_dir, tmp_path):
+    """Future-drift guards: DATE-encoded order dates and double-typed
+    embeddings canonicalize to the manifest types with equal values."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "drift"
+    d.mkdir()
+    tbl = pq.read_table(f"{sf_dir}/orders.parquet")
+    i = tbl.schema.get_field_index("o_orderdate")
+    as_date = tbl.column(i).cast(pa.timestamp("us")).cast(pa.date32())
+    tbl = tbl.set_column(i, pa.field("o_orderdate", as_date.type), as_date)
+    pq.write_table(tbl, f"{d}/orders.parquet", version="2.6")
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    j = emb.schema.get_field_index("embedding")
+    as_double = emb.column(j).cast(pa.list_(pa.float64()))
+    emb = emb.set_column(j, pa.field("embedding", as_double.type), as_double)
+    pq.write_table(emb, f"{d}/embeddings.parquet", version="2.6")
+
+    orders = load_table(spark, str(d), "orders")
+    assert dict(orders.dtypes)["o_orderdate"] == "timestamp"
+    ref = load_table(spark, sf_dir, "orders")
+    got = orders.selectExpr("sum(unix_micros(o_orderdate)) s").collect()[0]["s"]
+    # a DATE keeps only the day, so compare against the day-truncated
+    # original timestamps
+    want = ref.selectExpr(
+        "sum(unix_micros(date_trunc('DAY', o_orderdate))) s"
+    ).collect()[0]["s"]
+    assert got == want
+
+    emb_df = load_table(spark, str(d), "embeddings")
+    assert dict(emb_df.dtypes)["embedding"] == "array<float>"
+    a = emb_df.selectExpr("sum(aggregate(embedding, 0D, (s, x) -> s + x)) t").collect()[0]["t"]
+    b = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "sum(aggregate(embedding, 0D, (s, x) -> s + x)) t"
+    ).collect()[0]["t"]
+    assert abs(a - b) < 1e-6 * max(1.0, abs(b))
