@@ -591,12 +591,108 @@ ORDER BY c.doc_id
 """
 
 
+# --- winnowing (rolling-hash fingerprint selection) -----------------
+
+#: tokens per k-gram and winnow window width (guarantee threshold
+#: t = WINNOW_K + WINNOW_W - 1 = 8 tokens: any shared run of >= 8
+#: tokens shares at least one selected fingerprint)
+WINNOW_K = 4
+WINNOW_W = 5
+#: rolling-hash parameters: base and Mersenne-ish modulus chosen so
+#: (h*B + x) stays under 2^63 (h < M ~ 2^30, x < M, B = 131)
+WINNOW_B = 131
+WINNOW_M = 1_000_000_007
+
+
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm) via a ROLLING polynomial hash:
+
+    1. per-token base hash = first 8 md5 hex digits mod M;
+    2. k-gram hash = polynomial fold h = (h*B + tok) mod M over each
+       4-token window (the Rabin-Karp rolling-hash family);
+    3. winnowing: the minimum k-gram hash of every 5-window of
+       consecutive k-grams is selected; the distinct sorted selection
+       is the document's fingerprint set.
+
+    Any two documents sharing a run of >= K+W-1 = 8 tokens share at
+    least one selected fingerprint (the winnowing guarantee), at a
+    storage cost of ~2/(W+1) of the k-gram count.
+
+    Scale: entirely map-side inside whole-stage codegen (split,
+    transform, aggregate-fold, slice/min) — zero shuffles; joining
+    selections to find collisions is one (fingerprint, doc_id)
+    shuffle, the same shape as dedup_exact. spread_scan via
+    _with_shingles' rationale applies (CPU-dense map on an
+    under-split scan).
+    """
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    K, W, B, M = WINNOW_K, WINNOW_W, WINNOW_B, WINNOW_M
+    th = (
+        "transform(split(text, ' '),"
+        f" t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % {M})"
+    )
+    khs = (
+        f"transform(sequence(0, size(th) - {K}),"
+        f" i -> aggregate(slice(th, i + 1, {K}), bigint(0),"
+        f"  (a, b) -> (a * {B} + b) % {M}))"
+    )
+    sel = (
+        f"array_sort(array_distinct(transform("
+        f"sequence(0, greatest(size(khs) - {W}, 0)),"
+        f" i -> array_min(slice(khs, i + 1, {W})))))"
+    )
+    return (
+        docs.withColumn("w", F.split(F.col("text"), " "))
+        .filter(F.size("w") >= K)
+        .withColumn("th", F.expr(th))
+        .withColumn("khs", F.expr(khs))
+        .withColumn("sel", F.expr(sel))
+        .select(
+            "doc_id",
+            F.size("sel").alias("n_fp"),
+            F.array_join("sel", ",").alias("fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_WINNOW_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(x), 1, 8))::BIGINT % {WINNOW_M}
+          for x in string_split(text, ' ')] AS th
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {WINNOW_K}
+),
+k AS (
+  SELECT doc_id,
+         [list_reduce([CAST(0 AS BIGINT)] || th[i + 1 : i + {WINNOW_K}],
+                      (a, b) -> (a * {WINNOW_B} + b) % {WINNOW_M})
+          for i in range(0, len(th) - {WINNOW_K} + 1)] AS khs
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           [list_min(khs[i + 1 : i + {WINNOW_W}])
+            for i in range(0, greatest(len(khs) - {WINNOW_W}, 0) + 1)])) AS sel
+  FROM k
+)
+SELECT doc_id, len(sel) AS n_fp, array_to_string(sel, ',') AS fp
+FROM s ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_substring_13gram": dedup_substring_13gram,
     "dedup_clusters": dedup_clusters,
+    "doc_winnow_fingerprint": doc_winnow_fingerprint,
 }
 
 ORACLES = {
@@ -605,6 +701,7 @@ ORACLES = {
     "dedup_ngram_jaccard_capped": DEDUP_NGRAM_JACCARD_CAPPED_ORACLE,
     "dedup_substring_13gram": DEDUP_SUBSTRING_13GRAM_ORACLE,
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
+    "doc_winnow_fingerprint": DOC_WINNOW_ORACLE,
 }
 
 # Spark-SQL N-version forms (fluent ≡ SQL, tests/test_reference_queries.py).

@@ -209,6 +209,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = vec.filter(F.col("vec_id") < NLIST).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
+    return _ivf_from_centroids(vec, centroids)
+
+
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the TRAINED k-means codebook — the end-to-end
+    pipeline :func:`kmeans_train`'s docstring promises: Lloyd
+    iterations produce the centroids, the identical partition/probe/
+    rerank machinery (:func:`_ivf_from_centroids`) serves queries.
+
+    Same scale posture as ann_ivf_topk plus the training cost (one
+    corpus scan + one K-group aggregate per iteration). The oracle
+    replays the unrolled training AND the probe in one SQL statement,
+    so the differential check pins the whole pipeline, not just the
+    serving half."""
+    vec = _vectors(spark, sf_dir).transform(materialize)
+    cent = _kmeans_centroids(vec).select("c_id", "cv", "cn")
+    return _ivf_from_centroids(vec, cent)
+
+
+def _ivf_from_centroids(vec: DataFrame, centroids: DataFrame) -> DataFrame:
+    """The IVF partition/probe/rerank machinery, codebook-agnostic:
+    broadcast assignment, NPROBE probes per query, exact rerank on
+    candidates only. Plugged by :func:`ann_ivf_topk` (stand-in
+    codebook) and :func:`ann_ivf_trained` (k-means codebook)."""
     assigned = _assign_lists(vec, centroids, "vec_id")
 
     q = vec.filter(F.col("vec_id") < N_QUERIES).select(
@@ -309,29 +333,13 @@ KM_K = 8
 KM_ITERS = 3
 
 
-def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the IVF codebook: KM_ITERS unrolled Lloyd iterations of
-    spherical k-means (cosine assignment) over the embedding column,
-    returning (c_id, n, centroid). Plugs directly into
-    :func:`ann_ivf_topk`'s assignment plan — this is the "real
-    pipeline would plug trained centroids in" path made concrete.
+def _kmeans_centroids(vec: DataFrame) -> DataFrame:
+    """KM_ITERS unrolled Lloyd iterations → (c_id, n, cv, cn).
 
-    The iterative-algorithm pattern on Spark: per iteration one
-    broadcast of the K tiny centroid rows against the scan (assignment
-    — no shuffle of the corpus), then ONE hash aggregate keyed on the
-    cluster id for the centroid update (the explode-free 64-column
-    integer-micros mean of :func:`emb_label_centroid`). State between
-    iterations is K rows; ``localCheckpoint`` pins each round so the
-    lazy plan doesn't grow K*ITERS deep. At 100 TB each iteration is
-    one corpus scan + one 8-group aggregate — bandwidth-bound, no
-    quadratic term anywhere.
-
-    Deterministic across engines: init = first K vectors by id,
-    assignment on 6-dp-rounded cosine with id tie-break, means from
-    exact integer-micros sums — the DuckDB oracle replays the
-    identical unrolled iterations.
-    """
-    vec = _vectors(spark, sf_dir).transform(materialize)
+    Init = first KM_K vectors by id; assignment on 6-dp-rounded cosine
+    with id tie-break; means from exact integer-micros sums — fully
+    deterministic, replayed verbatim by the DuckDB oracles (kmeans
+    and ann_ivf_trained)."""
     cent = vec.filter(F.col("vec_id") < KM_K).select(
         F.col("vec_id").alias("c_id"),
         F.col("v").alias("cv"),
@@ -361,6 +369,33 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             # re-run query. Production: reliable checkpoint() per round.
             .localCheckpoint(eager=False)
         )
+    return cent
+
+
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF codebook: KM_ITERS unrolled Lloyd iterations of
+    spherical k-means (cosine assignment) over the embedding column,
+    returning (c_id, n, centroid). Plugs directly into
+    :func:`ann_ivf_topk`'s assignment plan — this is the "real
+    pipeline would plug trained centroids in" path made concrete.
+
+    The iterative-algorithm pattern on Spark: per iteration one
+    broadcast of the K tiny centroid rows against the scan (assignment
+    — no shuffle of the corpus), then ONE hash aggregate keyed on the
+    cluster id for the centroid update (the explode-free 64-column
+    integer-micros mean of :func:`emb_label_centroid`). State between
+    iterations is K rows; ``localCheckpoint`` pins each round so the
+    lazy plan doesn't grow K*ITERS deep. At 100 TB each iteration is
+    one corpus scan + one 8-group aggregate — bandwidth-bound, no
+    quadratic term anywhere.
+
+    Deterministic across engines: init = first K vectors by id,
+    assignment on 6-dp-rounded cosine with id tie-break, means from
+    exact integer-micros sums — the DuckDB oracle replays the
+    identical unrolled iterations.
+    """
+    vec = _vectors(spark, sf_dir).transform(materialize)
+    cent = _kmeans_centroids(vec)
     # serialize the centroid as comma-joined integer micros — harness-
     # hashable, and round(x*1e6) of a 6-dp component is engine-exact
     cent_us = F.expr(
@@ -370,7 +405,10 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent.select("c_id", "n", cent_us.alias("centroid_us")).orderBy("c_id")
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_parts() -> list[str]:
+    """CTE list replaying the unrolled Lloyd iterations in DuckDB —
+    shared by the kmeans_train oracle and the ann_ivf_trained oracle
+    (final centroid CTE: ``c{KM_ITERS}`` with c_id, n, cv, cn)."""
     sums = ",\n         ".join(
         f"SUM(CAST(round(v[{i + 1}] * 1000000) AS BIGINT)) AS s{i}" for i in range(DIM)
     )
@@ -403,13 +441,17 @@ def _kmeans_oracle() -> str:
          sqrt(list_sum(list_transform([{comps}], x -> x * x))) AS cn
   FROM g{it})"""
         )
+    return parts
+
+
+def _kmeans_oracle() -> str:
     cent_us = (
         "array_to_string(list_transform(cv,"
         " x -> CAST(CAST(round(x * 1000000.0) AS BIGINT) AS VARCHAR)), ',')"
     )
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_kmeans_parts())
         + f"\nSELECT c_id, n, {cent_us} AS centroid_us"
         + f" FROM c{KM_ITERS} ORDER BY c_id"
     )
@@ -506,12 +548,11 @@ r AS (
 SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= {TOP_K} ORDER BY q_id, rnk
 """
 
-ANN_IVF_TOPK_ORACLE = f"""
-WITH vec AS ({_VEC_SQL}),
-cent AS (
-  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vec WHERE vec_id < {NLIST}
-),
-asg_scored AS (
+#: IVF probe/rerank SQL, codebook-agnostic — expects a ``cent`` CTE
+#: (c_id, cv, cn) and the ``vec`` CTE to be in scope. Appended after
+#: either the stand-in cent (ANN_IVF_TOPK_ORACLE) or the unrolled
+#: k-means parts (_ivf_trained_oracle).
+_IVF_BODY_SQL = f"""asg_scored AS (
   SELECT vec.vec_id, cent.c_id,
          {_COS_DUCK.format(a='vec.v', b='cent.cv', na='vec.nrm', nb='cent.cn')} AS ccos
   FROM vec CROSS JOIN cent
@@ -546,6 +587,23 @@ r AS (
 )
 SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= {TOP_K} ORDER BY q_id, rnk
 """
+
+ANN_IVF_TOPK_ORACLE = f"""
+WITH vec AS ({_VEC_SQL}),
+cent AS (
+  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vec WHERE vec_id < {NLIST}
+),
+{_IVF_BODY_SQL}"""
+
+
+def _ivf_trained_oracle() -> str:
+    """Unrolled k-means training + IVF probe in ONE SQL statement."""
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_parts())
+        + f",\ncent AS (SELECT c_id, cv, cn FROM c{KM_ITERS}),\n"
+        + _IVF_BODY_SQL
+    )
 
 
 DEDUP_EMBEDDING_COSINE_ORACLE = f"""
@@ -723,6 +781,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_trained": ann_ivf_trained,
     "emb_label_centroid": emb_label_centroid,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
@@ -734,6 +793,7 @@ ORACLES = {
     "ann_cosine_topk": ANN_COSINE_TOPK_ORACLE,
     "ann_lsh_topk": ANN_LSH_TOPK_ORACLE,
     "ann_ivf_topk": ANN_IVF_TOPK_ORACLE,
+    "ann_ivf_trained": _ivf_trained_oracle(),
     "emb_label_centroid": EMB_LABEL_CENTROID_ORACLE,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_ORACLE,
 }

@@ -271,3 +271,80 @@ def test_kmeans_improves_assignment_quality(spark, sf_dir):
         "c_id long, cv array<double>",
     ).withColumn("cn", F.expr(S.V.l2_norm("cv")))
     assert mean_best_cos(spark_trained) >= mean_best_cos(init) - 1e-9
+
+
+def test_ivf_trained_uses_kmeans_codebook(spark, sf_dir):
+    """ann_ivf_trained = kmeans codebook + the same probe machinery:
+    TOP_K rows per query, and candidates really come from the trained
+    partition (every neighbor shares a probed trained list with its
+    query)."""
+    from pyspark.sql import functions as F
+
+    from sqlondataframesr_spark.llm import similarity as S
+
+    rows = S.ann_ivf_trained(spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+    assert set(per_q) == set(range(S.N_QUERIES))
+    assert all(len(v) == S.TOP_K for v in per_q.values())
+
+    vec = S._vectors(spark, sf_dir)
+    cent = S._kmeans_centroids(vec).select("c_id", "cv", "cn")
+    assigned = {
+        r["vec_id"]: r["list_id"]
+        for r in S._assign_lists(vec, cent, "vec_id").collect()
+    }
+    # probed lists per query = NPROBE best centroids by rounded cosine
+    q_scored = (
+        vec.filter(F.col("vec_id") < S.N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+        .join(F.broadcast(cent))
+        .select("q_id", "c_id", F.expr(S._COS.format(a="qv", b="cv", na="qn", nb="cn")).alias("ccos"))
+        .collect()
+    )
+    probes = {}
+    for r in sorted(q_scored, key=lambda r: (r.q_id, -r.ccos, r.c_id)):
+        probes.setdefault(r.q_id, [])
+        if len(probes[r.q_id]) < S.NPROBE:
+            probes[r.q_id].append(r.c_id)
+    for r in rows:
+        assert assigned[r.neighbor_id] in probes[r.q_id], r
+
+
+def test_winnow_guarantee_and_selection_density(spark, sf_dir):
+    """The winnowing guarantee: two documents sharing a token run of
+    length >= K+W-1 share at least one selected fingerprint; and the
+    selection is sparse (well under the full k-gram count)."""
+    from sqlondataframesr_spark.llm import dedup as D
+
+    t = K = D.WINNOW_K + D.WINNOW_W - 1
+    shared = " ".join(f"shared{i}" for i in range(t))
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"{shared} delta epsilon zeta"),
+            (3, "totally different words with no overlap at all here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("winnow_docs")
+
+    import sqlondataframesr_spark.catalog as C
+
+    orig = C.load_table
+    try:
+        C.load_table = lambda s, sd, n: df if n == "documents" else orig(s, sd, n)
+        # rebind inside dedup too (it imported the name directly)
+        dorig = D.load_table
+        D.load_table = C.load_table
+        rows = {r.doc_id: set(r.fp.split(",")) for r in
+                D.doc_winnow_fingerprint(spark, sf_dir).collect()}
+    finally:
+        C.load_table = orig
+        D.load_table = dorig
+    assert rows[1] & rows[2], "shared 8-token run must share a fingerprint"
+    assert not (rows[1] & rows[3])
+    # density: selected fingerprints are a strict subset of k-grams
+    n_kgrams_doc1 = len(f"alpha beta {shared} gamma".split()) - D.WINNOW_K + 1
+    assert len(rows[1]) < n_kgrams_doc1
