@@ -59,6 +59,18 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # noqa: BLE001 - conf may be static/unknown on some builds
             pass
+    # An externally-built session keeps Spark's default of 200 shuffle
+    # partitions — 25x the core count of a local[8] driver harness,
+    # pure task-scheduling overhead at test SFs (AQE coalescing mends
+    # most of it, but the driver gate times out per query, not per
+    # round). Right-size ONCE, only if still at the untouched default.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(default_parallelism())
+            )
+    except Exception:  # noqa: BLE001
+        pass
     return spark
 
 
