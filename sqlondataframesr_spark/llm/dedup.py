@@ -686,6 +686,63 @@ FROM s ORDER BY doc_id
 """
 
 
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by winnowing-fingerprint collision: docs
+    sharing >= 1 selected fingerprint, with the shared count — the
+    candidate-generation stage of MOSS-style dedup. By the winnowing
+    guarantee this catches every pair sharing a run of >= K+W-1
+    tokens, at ~2/(W+1) the index size of the full k-gram inverted
+    index (dedup_substring_13gram's index, for comparison, carries
+    every window).
+
+    Scale: identical shape to dedup_exact's shuffle — the inverted
+    index entries are (fingerprint, doc_id) pairs over the SELECTED
+    mins only; hot fingerprints (shared boilerplate) are AQE
+    skew-split, and true duplicate blow-up is output-bound.
+    """
+    fp = doc_winnow_fingerprint(spark, sf_dir).select(
+        "doc_id", F.split("fp", ",").alias("sel")
+    )
+    e = fp.select("doc_id", F.explode("sel").alias("f"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_WINNOW_PAIRS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(x), 1, 8))::BIGINT % {WINNOW_M}
+          for x in string_split(text, ' ')] AS th
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {WINNOW_K}
+),
+k AS (
+  SELECT doc_id,
+         [list_reduce([CAST(0 AS BIGINT)] || th[i + 1 : i + {WINNOW_K}],
+                      (a, b) -> (a * {WINNOW_B} + b) % {WINNOW_M})
+          for i in range(0, len(th) - {WINNOW_K} + 1)] AS khs
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(
+           [list_min(khs[i + 1 : i + {WINNOW_W}])
+            for i in range(0, greatest(len(khs) - {WINNOW_W}, 0) + 1)]) AS sel
+  FROM k
+),
+e AS (SELECT doc_id, unnest(sel) AS f FROM s)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM e a JOIN e b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -693,6 +750,7 @@ QUERIES = {
     "dedup_substring_13gram": dedup_substring_13gram,
     "dedup_clusters": dedup_clusters,
     "doc_winnow_fingerprint": doc_winnow_fingerprint,
+    "dedup_winnow_pairs": dedup_winnow_pairs,
 }
 
 ORACLES = {
@@ -702,6 +760,7 @@ ORACLES = {
     "dedup_substring_13gram": DEDUP_SUBSTRING_13GRAM_ORACLE,
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
     "doc_winnow_fingerprint": DOC_WINNOW_ORACLE,
+    "dedup_winnow_pairs": DEDUP_WINNOW_PAIRS_ORACLE,
 }
 
 # Spark-SQL N-version forms (fluent ≡ SQL, tests/test_reference_queries.py).

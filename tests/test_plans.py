@@ -168,3 +168,18 @@ def test_no_broadcast_hint_on_sf_growing_tables():
                 offenders.append(f"{py.name}:{line} F.broadcast({m.group(1)})")
     assert not offenders, f"scale-unsafe broadcast hints: {offenders}"
 
+
+
+def test_spread_scan_noop_on_well_partitioned_input(spark):
+    """spread_scan must not insert a shuffle when the input already
+    carries enough partitions (the real-scale case), and must
+    repartition an under-split input up to session parallelism."""
+    from sqlondataframesr_spark.materialize import spread_scan
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, numPartitions=target)
+    assert spread_scan(wide) is wide  # identical object: no-op
+
+    narrow = spark.range(0, 1000, 1, numPartitions=1)
+    spreaded = spread_scan(narrow, "id")
+    assert spreaded.rdd.getNumPartitions() == target
