@@ -1,0 +1,367 @@
+"""Classic TPC-H decision-support join shapes (Q8/Q13/Q14/Q15/Q16/Q22
+analogues) — coverage beyond the reference surface.
+
+The reference workload (RDataFramesSQL.Rmd:60-704) never exercises
+conditional-share aggregates, zero-preserving outer-join distributions,
+scalar-subquery-over-aggregate filters, or NOT-IN exclusion joins; a
+user migrating real warehouse queries will. Each query here is a
+faithful *shape* transplant of a TPC-H query onto the driver's
+synthetic tables (which lack partsupp and comment columns, so Q15/Q16
+substitute `lineitem`'s (partkey, suppkey) pairs and an acctbal
+exclusion list respectively).
+
+Determinism contract (shared with queries/extensions.py): every money
+SUM is cent-quantized to bigint before summing (double addition order
+differs between engines and grows error with SF), shares round to 6dp,
+and every output carries a total ORDER BY.
+
+Scale notes per query below. Common theme: bounded dims (region,
+nation — 5/25 rows at ANY scale factor) are broadcast explicitly;
+SF-growing sides (part, supplier, customer, orders, lineitem) are left
+to Catalyst/AQE, which sees real sizes at runtime; each query lowers to
+a small number of keyed shuffles with partial aggregation map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+
+#: revenue in exact cents: bigint, summable in any order at any SF
+_REV_CENTS = "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+_REV_CENTS_SQL = "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+#: Q14's "promo" class — the synthetic p_type domain has 6 values
+#: ('ECONOMY', 'SMALL', ...); 'S%' picks a deterministic subset the
+#: same way TPC-H's 'PROMO%' prefix does.
+_PROMO_PREFIX = "S%"
+
+#: Q15's revenue quarter
+_Q15_START, _Q15_END = "1997-01-01", "1997-04-01"
+
+
+def q34_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per order-year, the revenue share delivered by
+    AMERICA-region suppliers.
+
+    Plan: lineitem joins supplier (AQE-sized shuffle or broadcast),
+    then nation+region (explicit broadcast — schema-bounded dims), then
+    orders on orderkey (the one big-big shuffle). The share is a
+    conditional SUM over one grouped pass — no second scan, no join
+    back. At 100 TB the orderkey shuffle dominates; everything else is
+    map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.expr(_REV_CENTS).alias("rev_c")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("r_name") == "AMERICA", F.col("rev_c")).otherwise(F.lit(0)))
+            .alias("america_c"),
+            F.sum("rev_c").alias("total_c"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("america_c").cast("double") / 100.0, 2).alias("america_revenue"),
+            F.round(F.col("total_c").cast("double") / 100.0, 2).alias("total_revenue"),
+            F.round(F.col("america_c").cast("double") / F.col("total_c").cast("double"), 6)
+            .alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q34_SQL = f"""
+SELECT year(o.o_orderdate) AS o_year,
+       round(CAST(SUM(CASE WHEN r.r_name = 'AMERICA' THEN {_REV_CENTS_SQL} ELSE 0 END) AS DOUBLE) / 100.0, 2) AS america_revenue,
+       round(CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE) / 100.0, 2) AS total_revenue,
+       round(CAST(SUM(CASE WHEN r.r_name = 'AMERICA' THEN {_REV_CENTS_SQL} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE), 6) AS mkt_share
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY year(o.o_orderdate)
+ORDER BY o_year
+"""
+
+
+def q35_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    INCLUDING zero-order customers (the left join is the point — an
+    inner join silently drops the c_count=0 bucket).
+
+    Plan: one left join on custkey (AQE decides strategy), one groupBy
+    custkey, one tiny groupBy c_count. The right side is pre-filtered
+    (priority exclusion pushed to the orders scan).
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(~F.col("o_orderpriority").like("1%"))
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q35_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority NOT LIKE '1%'
+  GROUP BY c.c_custkey
+) pc
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q36_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-class revenue share for one ship-year.
+    Single joined aggregate → one row; the shipdate band is pushed to
+    the lineitem scan (PushedFilters), so at 100 TB with date
+    partitioning this reads one year, not the corpus.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", F.expr(_REV_CENTS).alias("rev_c"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type").like(_PROMO_PREFIX), F.col("rev_c")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("rev_c").cast("double"),
+            6,
+        ).alias("promo_share_pct"),
+        F.round(F.sum("rev_c").cast("double") / 100.0, 2).alias("total_revenue"),
+    )
+
+
+Q36_SQL = f"""
+SELECT round(100.0 * CAST(SUM(CASE WHEN p.p_type LIKE '{_PROMO_PREFIX}' THEN {_REV_CENTS_SQL} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE), 6) AS promo_share_pct,
+       round(CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE) / 100.0, 2) AS total_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+"""
+
+
+def q37_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose quarterly revenue equals the
+    maximum quarterly revenue — scalar subquery over an aggregate,
+    preserving ties (which a LIMIT 1 would break).
+
+    Plan: one grouped pass over the quarter's lineitem builds per-
+    supplier revenue; the global MAX is a single-row broadcast back
+    onto it (Catalyst lowers the scalar subquery to exactly that); the
+    supplier join is AQE-sized. The revenue relation is reused for
+    both the max and the filter — one shuffle, two tiny follow-ups.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_Q15_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q15_END).cast("timestamp"))
+        )
+        .select("l_suppkey", F.expr(_REV_CENTS).alias("rev_c"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(F.sum("rev_c").alias("total_c"))
+    max_rev = revenue.agg(F.max("total_c").alias("max_c"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_c") == F.col("max_c"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.round(F.col("total_c").cast("double") / 100.0, 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q37_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey, SUM({_REV_CENTS_SQL}) AS total_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_START}'
+    AND l_shipdate < TIMESTAMP '{_Q15_END}'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       round(CAST(r.total_c AS DOUBLE) / 100.0, 2) AS total_revenue
+FROM revenue r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_c = (SELECT MAX(total_c) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+def q38_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type,
+    size) for a part slice, excluding a supplier denylist via NOT IN
+    (here: suppliers with negative account balance; the synthetic
+    schema has no comment column).
+
+    Plan: lineitem supplies the (partkey, suppkey) pairs (no partsupp
+    table); pairs are DISTINCTed *before* the part join to shrink the
+    shuffle; the denylist is a left_anti against a small filtered
+    supplier slice. count(DISTINCT s) is the final keyed shuffle.
+    """
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    deny = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 20))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        pairs.join(deny, pairs.l_suppkey == deny.s_suppkey, "left_anti")
+        .join(part, pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q38_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON ps.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size <= 20
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+#: q39 dormancy cutoff — the synthetic order stream is dense (~10
+#: orders/customer at every SF), so "no orders at all" selects zero
+#: rows; "no orders since the cutoff" keeps the Q22 shape (scalar
+#: subquery + NOT EXISTS) while selecting a real, SF-stable slice.
+_Q22_CUTOFF = "1999-01-01"
+
+
+def q39_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per nation, customers whose balance exceeds
+    the global average POSITIVE balance and who have placed no order
+    since the dormancy cutoff — scalar aggregate subquery + NOT
+    EXISTS (anti join with pushed date filter), grouped.
+
+    Plan: the global average is one scalar broadcast; the anti join
+    shuffles on custkey (orders side pre-projected to the key only);
+    nation is a bounded-dim broadcast. Three shuffles total at any SF,
+    each partial-aggregated.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(ords, cust.c_custkey == ords.o_custkey, "left_anti")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.expr("cast(round(c_acctbal * 100) as bigint)")).cast("double")
+                / 100.0,
+                2,
+            ).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q39_SQL = f"""
+SELECT n.n_name, COUNT(*) AS numcust,
+       round(CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS totacctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+QUERIES = {
+    "q34_market_share": q34_market_share,
+    "q35_order_count_distribution": q35_order_count_distribution,
+    "q36_promo_revenue": q36_promo_revenue,
+    "q37_top_supplier": q37_top_supplier,
+    "q38_parts_supplier_count": q38_parts_supplier_count,
+    "q39_dormant_rich_customers": q39_dormant_rich_customers,
+}
+
+# The SQL strings above are written in the dialect intersection of
+# DuckDB and Spark SQL (year(), TIMESTAMP literals, NOT EXISTS /
+# NOT IN, CASE) — the SAME text serves as DuckDB oracle AND Spark-SQL
+# N-version twin, which is itself evidence the queries are portable
+# warehouse SQL rather than engine tricks.
+ORACLES = {
+    "q34_market_share": Q34_SQL,
+    "q35_order_count_distribution": Q35_SQL,
+    "q36_promo_revenue": Q36_SQL,
+    "q37_top_supplier": Q37_SQL,
+    "q38_parts_supplier_count": Q38_SQL,
+    "q39_dormant_rich_customers": Q39_SQL,
+}
+
+SPARK_SQL: dict[str, str] = dict(ORACLES)

@@ -20,13 +20,14 @@ from .llm import (
 )
 from .multimodal import media
 from .operators import asof, grouped, rangejoin, salt, udtf
-from .queries import extensions, reference, stackexchange
+from .queries import extensions, reference, stackexchange, tpch_shapes
 from .streaming import windows as streaming_windows
 
 _MODULES = [
     reference,
     extensions,
     stackexchange,
+    tpch_shapes,
     text,
     decontam,
     dedup,
