@@ -859,7 +859,11 @@ SELECT label, n, concat_ws(',', {comps}) AS centroid_us FROM g ORDER BY label
 """
 
 
-def _kmeans_spark_sql() -> str:
+def _kmeans_spark_parts() -> list[str]:
+    """Spark-SQL CTE list replaying the unrolled Lloyd iterations —
+    the dialect twin of :func:`_kmeans_parts` (final centroid CTE:
+    ``c{KM_ITERS}``). Shared by the kmeans_train SQL dual and
+    llm/semdedup.py's dual."""
     sums = ",\n         ".join(
         f"SUM(cast(round(v[{i}] * 1000000) as bigint)) AS s{i}" for i in range(DIM)
     )
@@ -891,13 +895,17 @@ def _kmeans_spark_sql() -> str:
          sqrt(aggregate(array({comps}), 0D, (a, x) -> a + x * x)) AS cn
   FROM g{it})"""
         )
+    return parts
+
+
+def _kmeans_spark_sql() -> str:
     cent_us = (
         "array_join(transform(cv,"
         " x -> cast(cast(round(x * 1000000.0) as bigint) as string)), ',')"
     )
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_kmeans_spark_parts())
         + f"\nSELECT c_id, n, {cent_us} AS centroid_us"
         + f" FROM c{KM_ITERS} ORDER BY c_id"
     )

@@ -14,6 +14,7 @@ from .llm import (
     minhash,
     pipeline,
     sampling,
+    semdedup,
     simhash,
     similarity,
     text,
@@ -32,6 +33,7 @@ _MODULES = [
     decontam,
     dedup,
     minhash,
+    semdedup,
     simhash,
     similarity,
     sampling,
