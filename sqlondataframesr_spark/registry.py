@@ -11,6 +11,7 @@ from .llm import (
     corpus,
     decontam,
     dedup,
+    dsir,
     minhash,
     pipeline,
     sampling,
@@ -32,6 +33,7 @@ _MODULES = [
     text,
     decontam,
     dedup,
+    dsir,
     minhash,
     semdedup,
     simhash,
