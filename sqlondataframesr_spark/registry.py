@@ -8,6 +8,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .llm import (
+    bloom,
     corpus,
     decontam,
     dedup,
@@ -31,6 +32,7 @@ _MODULES = [
     stackexchange,
     tpch_shapes,
     text,
+    bloom,
     decontam,
     dedup,
     dsir,

@@ -348,3 +348,45 @@ def test_winnow_guarantee_and_selection_density(spark, sf_dir):
     # density: selected fingerprints are a strict subset of k-grams
     n_kgrams_doc1 = len(f"alpha beta {shared} gamma".split()) - D.WINNOW_K + 1
     assert len(rows[1]) < n_kgrams_doc1
+
+
+def test_bloom_prefilter_is_sound_and_prunes(spark, sf_dir):
+    """Soundness: every true overlap survives the Bloom prefilter
+    (n_bloom_hits >= n_overlap per doc — a Bloom filter has no false
+    negatives). Pruning: across the corpus the candidate stream is a
+    strict subset of the shingle stream, and the final contamination
+    columns equal llm/decontam.py's exact-broadcast answer."""
+    from sqlondataframesr_spark.llm.bloom import bloom_decontam
+    from sqlondataframesr_spark.llm.decontam import decontam_overlap
+
+    b = {r.doc_id: r for r in bloom_decontam(spark, sf_dir).collect()}
+    for r in b.values():
+        assert r.n_bloom_hits >= r.n_overlap, r
+        assert r.n_bloom_hits <= r.n_shingles, r
+    assert sum(r.n_bloom_hits for r in b.values()) < sum(
+        r.n_shingles for r in b.values()
+    ), "filter must reject some shingles"
+    exact = {r.doc_id: r for r in decontam_overlap(spark, sf_dir).collect()}
+    assert set(b) == set(exact)
+    for doc_id, r in b.items():
+        assert r.n_overlap == exact[doc_id].n_overlap, doc_id
+        assert r.contaminated == exact[doc_id].contaminated, doc_id
+
+
+def test_dsir_importance_prefers_target_like_docs(spark, sf_dir):
+    """A raw doc whose hashed-feature bag matches the target slice's
+    distribution scores higher than one that doesn't: per construction
+    the target slice (doc_id % 53 == 0) over-represents its own
+    features, so docs sharing text with an eval doc should rank above
+    the corpus median."""
+    from sqlondataframesr_spark.llm.dsir import dsir_importance
+
+    rows = dsir_importance(spark, sf_dir).collect()
+    assert rows, "non-empty raw corpus"
+    ids = [r.doc_id for r in rows]
+    assert ids == sorted(ids)
+    docs = {r.doc_id: r for r in rows}
+    # every doc with features got a weight; docs without weigh exactly 0
+    for r in rows:
+        if r.n_feats == 0:
+            assert r.log_weight == 0.0
