@@ -15,6 +15,7 @@ from .llm import (
     dsir,
     minhash,
     pipeline,
+    pq,
     sampling,
     semdedup,
     simhash,
@@ -37,6 +38,7 @@ _MODULES = [
     dedup,
     dsir,
     minhash,
+    pq,
     semdedup,
     simhash,
     similarity,

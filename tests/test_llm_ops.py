@@ -390,3 +390,24 @@ def test_dsir_importance_prefers_target_like_docs(spark, sf_dir):
     for r in rows:
         if r.n_feats == 0:
             assert r.log_weight == 0.0
+
+
+def test_pq_codebook_members_encode_losslessly(spark, sf_dir):
+    """Vectors that ARE codebook entries (vec_id < KSUB) quantize to
+    themselves: zero reconstruction error; everyone else's error is
+    non-negative and the ADC ranking is ascending per query."""
+    from sqlondataframesr_spark.llm.pq import KSUB, ann_pq_adc, emb_pq_encode
+
+    enc = {r.vec_id: r for r in emb_pq_encode(spark, sf_dir).collect()}
+    for vid, r in enc.items():
+        if vid < KSUB:
+            assert r.qerr == 0.0, r
+        assert r.qerr >= 0.0
+        assert len(r.codes.split(",")) == 8
+    by_q = {}
+    for r in ann_pq_adc(spark, sf_dir).collect():
+        assert r.neighbor_id != r.q_id
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rows in by_q.items():
+        dists = [r.adc_dist for r in sorted(rows, key=lambda r: r.rnk)]
+        assert dists == sorted(dists), q
