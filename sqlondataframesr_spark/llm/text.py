@@ -557,7 +557,115 @@ ORDER BY doc_id
 """
 
 
+#: BPE-ish pre-token classes (GPT-2's pre-tokenizer splits on exactly
+#: these three run types before byte-pair merging). Kept as three
+#: independent character-class regexes — lookahead-free, so Java
+#: (Spark) and RE2 (DuckDB) extract identical runs.
+_RUN_LETTER = r"[\p{L}]+"
+_RUN_DIGIT = r"[\p{N}]+"
+_RUN_PUNCT = r"[^\s\p{L}\p{N}]+"
+
+#: chars-per-merged-piece divisors: a trained BPE merges letter runs
+#: to ~1 piece per 6 chars, splits digit runs ~every 3, groups
+#: punctuation ~every 3 (repeated '....' merges)
+_DIV_LETTER, _DIV_DIGIT, _DIV_PUNCT = 6, 3, 3
+
+
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token-count estimate per document — the budgeting
+    number a training pipeline actually plans with (whitespace counts
+    undercount code/punctuation-heavy text badly).
+
+    Method: GPT-2's pre-tokenizer run classes (letter / digit /
+    other-non-space runs) counted with three character-class regexes;
+    each run contributes ceil(len/divisor) estimated merge-pieces
+    (integer arithmetic — engine-exact; a real BPE table is a model
+    artifact, the ESTIMATOR is what belongs in the engine).
+
+    Scale: map-only over the text column, regex + integer folds inside
+    codegen, no shuffle, no UDF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def runs(pat: str) -> F.Column:
+        return F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+
+    # integer ceil via (len + div - 1) div div, all in int domain
+    def pieces_int(pat: str, div: int) -> F.Column:
+        return F.aggregate(
+            F.transform(
+                runs(pat),
+                lambda x: ((F.length(x) + F.lit(div - 1)) - ((F.length(x) + F.lit(div - 1)) % F.lit(div))) / F.lit(div),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x.cast("long"),
+        )
+
+    n_letter = F.size(runs(_RUN_LETTER))
+    n_digit = F.size(runs(_RUN_DIGIT))
+    n_punct = F.size(runs(_RUN_PUNCT))
+    est = (
+        pieces_int(_RUN_LETTER, _DIV_LETTER)
+        + pieces_int(_RUN_DIGIT, _DIV_DIGIT)
+        + pieces_int(_RUN_PUNCT, _DIV_PUNCT)
+    )
+    return docs.select(
+        "doc_id",
+        n_letter.cast("long").alias("n_letter_runs"),
+        n_digit.cast("long").alias("n_digit_runs"),
+        n_punct.cast("long").alias("n_punct_runs"),
+        est.alias("est_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def _bpe_sum_duck(pat: str, div: int) -> str:
+    return (
+        f"COALESCE(list_sum(list_transform(regexp_extract_all(text, '{pat}'),"
+        f" x -> (length(x) + {div - 1}) // {div})), 0)"
+    )
+
+
+TEXT_BPE_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_RUN_LETTER}')) AS BIGINT) AS n_letter_runs,
+       CAST(len(regexp_extract_all(text, '{_RUN_DIGIT}')) AS BIGINT) AS n_digit_runs,
+       CAST(len(regexp_extract_all(text, '{_RUN_PUNCT}')) AS BIGINT) AS n_punct_runs,
+       CAST({_bpe_sum_duck(_RUN_LETTER, _DIV_LETTER)}
+          + {_bpe_sum_duck(_RUN_DIGIT, _DIV_DIGIT)}
+          + {_bpe_sum_duck(_RUN_PUNCT, _DIV_PUNCT)} AS BIGINT) AS est_bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def _bpe_sum_spark(pat: str, div: int) -> str:
+    # Spark SQL string literals treat backslash as escape: double them
+    p = pat.replace("\\", "\\\\")
+    return (
+        f"aggregate(regexp_extract_all(text, '{p}', 0), cast(0 as bigint),"
+        f" (a, x) -> a + (length(x) + {div - 1}) div {div})"
+    )
+
+
+def _bpe_spark_sql() -> str:
+    pl = _RUN_LETTER.replace("\\", "\\\\")
+    pd = _RUN_DIGIT.replace("\\", "\\\\")
+    pp = _RUN_PUNCT.replace("\\", "\\\\")
+    return f"""
+SELECT doc_id,
+       CAST(size(regexp_extract_all(text, '{pl}', 0)) AS BIGINT) AS n_letter_runs,
+       CAST(size(regexp_extract_all(text, '{pd}', 0)) AS BIGINT) AS n_digit_runs,
+       CAST(size(regexp_extract_all(text, '{pp}', 0)) AS BIGINT) AS n_punct_runs,
+       {_bpe_sum_spark(_RUN_LETTER, _DIV_LETTER)}
+         + {_bpe_sum_spark(_RUN_DIGIT, _DIV_DIGIT)}
+         + {_bpe_sum_spark(_RUN_PUNCT, _DIV_PUNCT)} AS est_bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_bpe_token_estimate": text_bpe_token_estimate,
     "text_chunks": text_chunks,
     "text_unigram_logprob": text_unigram_logprob,
     "text_repetition": text_repetition,
@@ -570,6 +678,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bpe_token_estimate": TEXT_BPE_ORACLE,
     "text_chunks": TEXT_CHUNKS_ORACLE,
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_ORACLE,
     "text_repetition": TEXT_REPETITION_ORACLE,
@@ -624,6 +733,7 @@ _EN_ARRAY_SPARK = (
 # siblings of the fluent builders above, run through spark.sql() against
 # the same registered views.
 SPARK_SQL: dict[str, str] = {
+    "text_bpe_token_estimate": _bpe_spark_sql(),
     "text_token_stats": """
 SELECT doc_id, lang,
        length(text) AS n_chars_actual,
