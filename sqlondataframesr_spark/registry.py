@@ -13,6 +13,7 @@ from .llm import (
     decontam,
     dedup,
     dsir,
+    incremental,
     minhash,
     pipeline,
     pq,
@@ -37,6 +38,7 @@ _MODULES = [
     decontam,
     dedup,
     dsir,
+    incremental,
     minhash,
     pq,
     semdedup,
