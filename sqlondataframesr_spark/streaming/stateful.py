@@ -61,3 +61,104 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4.x) — the successor API to
+# applyInPandasWithState: named state variables (value/list/map) with
+# per-state TTL, timers, and schema evolution, against the RocksDB
+# state store. Kept alongside the GroupState operator above so the repo
+# demonstrates BOTH stateful surfaces; new pipelines should prefer this
+# one.
+# ---------------------------------------------------------------------------
+
+TWS_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, n_types long, top_type string, top_type_n long"
+)
+
+
+def _make_profile_processor():
+    """Build the StatefulProcessor class lazily (import-safe on
+    builds without the TWS API) and return an instance.
+
+    State: one MapState event_type -> count plus one ValueState total
+    event count — the "per-key profile" shape (fraud features, user
+    segmentation) that MapState exists for: per-type counts update
+    point-wise without rewriting one blob, which is exactly what the
+    RocksDB store optimizes.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTypeProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._types = handle.getMapState(
+                "type_counts", "t string", "cnt long"
+            )
+            self._total = handle.getValueState("total", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            user_id = key[0]
+            n = self._total.get()[0] if self._total.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                for t, c in pdf["event_type"].value_counts().items():
+                    prev = self._types.getValue((t,))
+                    self._types.updateValue(
+                        (t,), (int(c) + (prev[0] if prev else 0),)
+                    )
+            self._total.update((n,))
+            counts = {k[0]: v[0] for k, v in self._types.iterator()}
+            # deterministic dominant type: max count, lexicographic tie
+            top_type = min(
+                (t for t, c in counts.items() if c == max(counts.values()))
+            )
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "n_events": n,
+                        "n_types": len(counts),
+                        "top_type": top_type,
+                        "top_type_n": counts[top_type],
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserTypeProfile()
+
+
+def user_type_profile(events: DataFrame) -> DataFrame:
+    """Per-user event-type profile maintained with transformWithState:
+    total events, distinct types, dominant type (+its count). Emits an
+    updated snapshot for every user seen in a micro-batch.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) — TWS's state backend —
+    and ``google.protobuf`` on the Python side (the TWS state-server
+    protocol, ``pyspark.sql.streaming.proto``); on builds without
+    protobuf the query fails at initialization, and the pytest
+    (`test_tws_user_type_profile_matches_batch`) skips accordingly —
+    use :func:`running_user_totals` (applyInPandasWithState) there.
+
+    Scale: identical shuffle contract to applyInPandasWithState (one
+    shuffle on user_id per batch, state co-located), but state is
+    UPDATED point-wise per event type instead of read-modify-write of
+    one tuple, and idle keys can be TTL'd per state variable.
+    """
+    return events.select("user_id", "event_type").groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
+        statefulProcessor=_make_profile_processor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
