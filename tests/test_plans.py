@@ -183,3 +183,35 @@ def test_spread_scan_noop_on_well_partitioned_input(spark):
     narrow = spark.range(0, 1000, 1, numPartitions=1)
     spreaded = spread_scan(narrow, "id")
     assert spreaded.rdd.getNumPartitions() == target
+
+
+def test_bloom_membership_is_broadcast_no_corpus_shuffle(spark, sf_dir):
+    """bloom_decontam's bit test must reach the corpus shingle stream
+    as a broadcast (one bitset row), never by shuffling corpus
+    shingles on a join key."""
+    a = _audit(spark, sf_dir, "bloom_decontam")
+    assert "BroadcastExchange" in a.text or "BroadcastNestedLoopJoin" in a.text
+
+
+def test_q36_pushes_shipdate_band(spark, sf_dir):
+    """q36's one-year band must be evaluated by the parquet reader —
+    at 100 TB with date partitioning this is the difference between
+    one year and the whole corpus."""
+    p = _plan(spark, sf_dir, "q36_promo_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in p and "LessThan(l_shipdate" in p
+
+
+def test_pq_codebook_is_broadcast(spark, sf_dir):
+    """PQ encode joins every subvector against the 128-row codebook —
+    that join must be a broadcast, not a shuffle of the corpus."""
+    a = _audit(spark, sf_dir, "emb_pq_encode")
+    assert "BroadcastExchange" in a.text
+    assert not a.has_cartesian
+
+
+def test_semdedup_pair_join_is_keyed_on_cluster(spark, sf_dir):
+    """SemDeDup's quadratic term must be confined to within-cluster
+    pairs: the pair join is an equi-join keyed on the cluster id (plus
+    the id inequality as a join condition), never a cartesian."""
+    a = _audit(spark, sf_dir, "semdedup")
+    assert not a.has_cartesian
