@@ -385,7 +385,76 @@ ORDER BY doc_id
 """
 
 
+#: synthetic PCM geometry for the audio rows: payload bytes ARE the
+#: samples (8-bit unsigned, centered at 128) at this rate — the
+#: stand-in for a real soxr/ffmpeg decode, deterministic for replay
+SAMPLE_RATE = 8000
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Decode + featurize audio payloads as 8-bit PCM: per-doc sample
+    count, duration, RMS level, zero-crossing rate, peak amplitude and
+    clipping fraction — the standard cheap audio-quality gates (silence
+    / clipping / noise screens) before expensive model featurization.
+
+    Same contract as :func:`decode_image`: Arrow-batched mapInPandas,
+    partition-local (decode state never crosses executors), payload
+    crosses the Python boundary once, all math vectorized numpy —
+    no per-sample Python loop.
+    """
+    out_schema = (
+        "doc_id long, n_samples long, duration_ms long, "
+        "rms double, zcr double, peak int, clip_frac double"
+    )
+
+    # nested so cloudpickle ships it by value (external drivers have
+    # no import path to this package on executors)
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        sr = 8000
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pcm = np.frombuffer(bytes(payload), np.uint8).astype(np.float64) - 128.0
+                n = int(pcm.size)
+                if n == 0:
+                    rows.append(
+                        {
+                            "doc_id": doc_id, "n_samples": 0, "duration_ms": 0,
+                            "rms": 0.0, "zcr": 0.0, "peak": 0, "clip_frac": 0.0,
+                        }
+                    )
+                    continue
+                neg = np.signbit(pcm)  # zero counts as positive: one rule, both replays
+                zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": n,
+                        "duration_ms": int(round(n / sr * 1000)),
+                        "rms": round(float(np.sqrt(np.mean(pcm * pcm))), 6),
+                        "zcr": round(zc / max(n - 1, 1), 6),
+                        "peak": int(np.max(np.abs(pcm))),
+                        "clip_frac": round(float(np.mean(np.abs(pcm) >= 127.0)), 6),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _spread(media.select("doc_id", "payload")).mapInPandas(_decode, out_schema)
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features for the audio-typed rows (rows-only driver
+    check; tests/test_multimodal.py pins values against local numpy).
+    Completes the image/audio/video featurizer triple."""
+    media = media_frame(spark, sf_dir).filter(F.col("media_type") == "audio")
+    return decode_audio(media).orderBy("doc_id")
+
+
 QUERIES = {
+    "mm_audio_features": mm_audio_features,
     "mm_media_checksum": mm_media_checksum,
     "mm_frame_plan": mm_frame_plan,
     # mapInPandas stages: not SQL-expressible in DuckDB (byte-level

@@ -165,3 +165,40 @@ def test_sample_frames_fractional_interval_invariants(spark, sf_dir):
         tiny.groupBy("doc_id", "frame_idx").count().filter("count > 1").count()
     )
     assert per == 0
+
+
+def test_audio_features_match_local_numpy(spark, sf_dir):
+    """mm_audio_features replayed with local numpy over the same
+    payload bytes — the Arrow/mapInPandas plumbing must not change a
+    single value."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sqlondataframesr_spark.multimodal.media import (
+        media_frame,
+        mm_audio_features,
+    )
+
+    got = {r.doc_id: r for r in mm_audio_features(spark, sf_dir).collect()}
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in media_frame(spark, sf_dir)
+        .filter(F.col("media_type") == "audio")
+        .select("doc_id", "payload")
+        .collect()
+    }
+    assert set(got) == set(payloads) and got
+    for doc_id, payload in payloads.items():
+        pcm = np.frombuffer(payload, np.uint8).astype(np.float64) - 128.0
+        n = pcm.size
+        r = got[doc_id]
+        assert r.n_samples == n
+        assert r.duration_ms == int(round(n / 8000 * 1000))
+        if n:
+            neg = np.signbit(pcm)
+            assert r.rms == round(float(np.sqrt(np.mean(pcm * pcm))), 6)
+            assert r.zcr == round(
+                int(np.count_nonzero(neg[1:] != neg[:-1])) / max(n - 1, 1), 6
+            )
+            assert r.peak == int(np.max(np.abs(pcm)))
+            assert r.clip_frac == round(float(np.mean(np.abs(pcm) >= 127.0)), 6)
