@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .llm import (
     bloom,
     corpus,
+    curation,
     decontam,
     dedup,
     dsir,
@@ -46,6 +47,7 @@ _MODULES = [
     similarity,
     sampling,
     corpus,
+    curation,
     pipeline,
     streaming_windows,
     media,

@@ -215,3 +215,31 @@ def test_semdedup_pair_join_is_keyed_on_cluster(spark, sf_dir):
     the id inequality as a join condition), never a cartesian."""
     a = _audit(spark, sf_dir, "semdedup")
     assert not a.has_cartesian
+
+
+def test_heavy_hitters_recount_is_broadcast_with_partial_agg(spark, sf_dir):
+    """text_heavy_hitters' exact recount must probe the full token
+    stream against a BROADCAST candidate set (the pruned vocabulary) —
+    shuffling every (term, 1) partial is exactly what the operator
+    exists to avoid — and the recount must partial-aggregate map-side."""
+    a = _audit(spark, sf_dir, "text_heavy_hitters")
+    assert "BroadcastExchange" in a.text
+    assert "partial_count" in a.text
+    assert not a.has_cartesian
+
+
+def test_keep_best_winner_is_partial_aggregated(spark, sf_dir):
+    """dedup_keep_best must pick winners via max_by inside partial
+    aggregation (map-side combine on the bow key), never via a global
+    window sort of the corpus."""
+    a = _audit(spark, sf_dir, "dedup_keep_best")
+    assert "partial_max_by" in a.text
+    assert "Window" not in a.text
+
+
+def test_quantile_gate_medians_are_broadcast(spark, sf_dir):
+    """corpus_quality_quantile_gate joins per-source medians (one row
+    per source) back to the corpus — must be a broadcast join."""
+    a = _audit(spark, sf_dir, "corpus_quality_quantile_gate")
+    assert "BroadcastExchange" in a.text
+    assert not a.has_cartesian
