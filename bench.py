@@ -100,6 +100,9 @@ def main() -> None:
     #: minhash 7.6s->13.5s r1->r2) is only diagnosable with spread.
     spreads: dict[str, dict[str, float]] = {}
     for name, fn in queries:
+        # progress marker (stderr; stdout stays the one-line contract)
+        # — without it a stalled query is undiagnosable from outside
+        print(f"[bench] {name}", file=sys.stderr, flush=True)
         for k, v in (ref_confs if is_ref(name) else default_confs).items():
             spark.conf.set(k, v)
         # Per-query warm-up: JIT, parquet footer cache, AQE stats.

@@ -604,27 +604,14 @@ WINNOW_B = 131
 WINNOW_M = 1_000_000_007
 
 
-def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
-    SIGMOD'03 — the MOSS algorithm) via a ROLLING polynomial hash:
+def _winnow_selections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sel: array<bigint>) — the winnowing selection per doc.
 
-    1. per-token base hash = first 8 md5 hex digits mod M;
-    2. k-gram hash = polynomial fold h = (h*B + tok) mod M over each
-       4-token window (the Rabin-Karp rolling-hash family);
-    3. winnowing: the minimum k-gram hash of every 5-window of
-       consecutive k-grams is selected; the distinct sorted selection
-       is the document's fingerprint set.
-
-    Any two documents sharing a run of >= K+W-1 = 8 tokens share at
-    least one selected fingerprint (the winnowing guarantee), at a
-    storage cost of ~2/(W+1) of the k-gram count.
-
-    Scale: entirely map-side inside whole-stage codegen (split,
-    transform, aggregate-fold, slice/min) — zero shuffles; joining
-    selections to find collisions is one (fingerprint, doc_id)
-    shuffle, the same shape as dedup_exact. spread_scan via
-    _with_shingles' rationale applies (CPU-dense map on an
-    under-split scan).
+    Shared by the fingerprint formatter and the pair generator so the
+    CPU-dense selection expression exists ONCE in each consumer's
+    plan; the pair generator additionally pins the exploded index
+    (see dedup_winnow_pairs) so its self-join cannot inline this
+    chain into both branches.
     """
     docs = spread_scan(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
@@ -649,7 +636,34 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("w") >= K)
         .withColumn("th", F.expr(th))
         .withColumn("khs", F.expr(khs))
-        .withColumn("sel", F.expr(sel))
+        .select("doc_id", F.expr(sel).alias("sel"))
+    )
+
+
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm) via a ROLLING polynomial hash:
+
+    1. per-token base hash = first 8 md5 hex digits mod M;
+    2. k-gram hash = polynomial fold h = (h*B + tok) mod M over each
+       4-token window (the Rabin-Karp rolling-hash family);
+    3. winnowing: the minimum k-gram hash of every 5-window of
+       consecutive k-grams is selected; the distinct sorted selection
+       is the document's fingerprint set.
+
+    Any two documents sharing a run of >= K+W-1 = 8 tokens share at
+    least one selected fingerprint (the winnowing guarantee), at a
+    storage cost of ~2/(W+1) of the k-gram count.
+
+    Scale: entirely map-side inside whole-stage codegen (split,
+    transform, aggregate-fold, slice/min) — zero shuffles; joining
+    selections to find collisions is one (fingerprint, doc_id)
+    shuffle, the same shape as dedup_exact. spread_scan via
+    _with_shingles' rationale applies (CPU-dense map on an
+    under-split scan).
+    """
+    return (
+        _winnow_selections(spark, sf_dir)
         .select(
             "doc_id",
             F.size("sel").alias("n_fp"),
@@ -699,11 +713,22 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     index entries are (fingerprint, doc_id) pairs over the SELECTED
     mins only; hot fingerprints (shared boilerplate) are AQE
     skew-split, and true duplicate blow-up is output-bound.
+
+    The selection table is PINNED (materialize) BEFORE the explode,
+    for two reasons. (a) Self-join: unpinned, Catalyst inlines the
+    winnowing chain into both join branches. (b) The subtle one:
+    ``InferFiltersFromGenerate`` synthesizes ``size(sel) > 0`` under
+    the explode, and predicate pushdown then substitutes the alias
+    chain into that predicate — ``sel`` inlines ``khs`` once per
+    window and ``khs`` inlines ``th`` once per k-gram, so the pushed
+    filter re-derives ~(windows x k-grams x tokens) md5s PER DOC
+    (~470k at our lengths; 90 s for 50 docs, hours at sf0.1).
+    With the cache boundary between the projection chain and the
+    explode, the inferred filter lands on the cached array instead.
     """
-    fp = doc_winnow_fingerprint(spark, sf_dir).select(
-        "doc_id", F.split("fp", ",").alias("sel")
+    e = materialize(_winnow_selections(spark, sf_dir)).select(
+        "doc_id", F.explode("sel").alias("f")
     )
-    e = fp.select("doc_id", F.explode("sel").alias("f"))
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")))
