@@ -243,3 +243,19 @@ def test_quantile_gate_medians_are_broadcast(spark, sf_dir):
     a = _audit(spark, sf_dir, "corpus_quality_quantile_gate")
     assert "BroadcastExchange" in a.text
     assert not a.has_cartesian
+
+
+def test_winnow_pairs_join_reads_cache_not_recompute(spark, sf_dir):
+    """Regression for the InferFiltersFromGenerate blow-up: the pair
+    self-join must read BOTH sides from the pinned selection table
+    (InMemoryTableScan), so the inferred size(sel) > 0 filter lands on
+    the cached array — never on the inlined sel->khs->th expression
+    chain (which re-derives ~windows x k-grams x tokens md5s per doc
+    when pushed below the projections)."""
+    a = _audit(spark, sf_dir, "dedup_winnow_pairs")
+    assert a.text.count("InMemoryTableScan") >= 2
+    # the winnowing hash chain must appear only inside the (single)
+    # cache-fill subtree, not in the join-side filters: the md5 token
+    # hash shows up once per InMemoryRelation rendering
+    for frag in a.text.split("InMemoryRelation")[0:1]:
+        assert "md5" not in frag  # nothing above/outside the cache
