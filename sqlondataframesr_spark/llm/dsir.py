@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
+from ..materialize import materialize, spread_scan
 from .decontam import EVAL_MOD
 
 #: hashed feature-space size (paper uses 10k; small here so the tiny
@@ -76,10 +77,16 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     feat = (
-        docs.select("doc_id", F.explode(F.expr(_FEATS_SPARK)).alias("f"))
+        spread_scan(docs, "doc_id")
+        .select("doc_id", F.explode(F.expr(_FEATS_SPARK)).alias("f"))
         .select("doc_id", F.expr(_HASH_SPARK).alias("feat"))
     )
-    dcnt = feat.groupBy("doc_id", "feat").agg(F.count(F.lit(1)).alias("cnt"))
+    # pinned: dcnt feeds FIVE branches (target/raw counts, their two
+    # totals, and the per-doc scoring join) — unpinned, the md5
+    # feature-hash pass re-runs once per branch
+    dcnt = materialize(
+        feat.groupBy("doc_id", "feat").agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     tcnt = dcnt.filter(is_eval).groupBy("feat").agg(F.sum("cnt").alias("tcnt"))
