@@ -341,6 +341,227 @@ ORDER BY n.n_name
 """
 
 
+def q40_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): unshipped-revenue top-10 for
+    one market segment at a cutoff date.
+
+    Plan: the segment filter prunes customer BEFORE its join (pushed
+    to the scan), the two date bands push to the orders/lineitem
+    scans, revenue partial-aggregates on the (orderkey, date,
+    priority) key, and the top-10 lowers to TakeOrderedAndProject —
+    no global sort. At 100 TB the date bands are the partition-prune
+    lever; customer after the segment filter is ~1/5 of customers and
+    is left to AQE to broadcast or shuffle on runtime size.
+    """
+    cutoff = F.lit("1998-06-15").cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", F.expr(_REV_CENTS).alias("rev_c"))
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum("rev_c").cast("double") / 100.0, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q40_SQL = f"""
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       round(CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE) / 100.0, 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-15'
+  AND l.l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q41_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade between two
+    nations by ship year — supplier nation on the lineitem side,
+    customer nation through orders, either direction.
+
+    Plan: both nation filters reduce supplier/customer to 1/25 before
+    their joins; nation is a broadcast dim; the disjunctive pair
+    condition is applied AFTER both nationkeys are attached (a
+    residual filter, not a join explosion). Shuffles: lineitem-orders
+    on orderkey, then small keyed aggregation. The year extraction
+    groups on a computed key — partial-aggregated.
+    """
+    n1, n2 = "NATION_1", "NATION_2"
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(n1, n2))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(n1, n2))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").alias("l_year"),
+            F.expr(_REV_CENTS).alias("rev_c"),
+        )
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("rev_c").cast("double") / 100.0, 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q41_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       round(CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE) / 100.0, 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q42_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned items): lost revenue per customer
+    from returned lineitems in one quarter's orders, top-20.
+
+    Plan: the returnflag filter and the order-date band push to their
+    scans; the join chain aggregates to one row per customer before
+    the bounded nation broadcast; top-20 is TakeOrderedAndProject.
+    """
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", F.expr(_REV_CENTS).alias("rev_c"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum("rev_c").cast("double") / 100.0, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q42_SQL = f"""
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       round(CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE) / 100.0, 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o.o_orderdate < TIMESTAMP '1997-10-01'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+def q43_disjunctive_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): revenue from three
+    disjunctive (brand x size-band x quantity-band) clause groups —
+    the classic test that an optimizer extracts the COMMON conjuncts
+    from a disjunction and pushes them to the scans.
+
+    Plan: the common bounds (l_quantity <= 36, p_size >= 1) plus the
+    brand IN-set are derivable from the OR; Spark pushes the partkey
+    equi-key and evaluates the residual disjunction after the join.
+    The join itself is partkey-equi (AQE decides broadcast vs
+    shuffle from part's runtime size) — never a cartesian.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", F.expr(_REV_CENTS).alias("rev_c")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, p = F.col("l_quantity"), F.col("p_size")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & p.between(1, 10) & q.between(1, 12))
+        | ((F.col("p_brand") == "Brand#7") & p.between(1, 20) & q.between(10, 24))
+        | ((F.col("p_brand") == "Brand#13") & p.between(1, 40) & q.between(20, 36))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .agg(
+            F.round(F.sum("rev_c").cast("double") / 100.0, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q43_SQL = f"""
+SELECT round(CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE) / 100.0, 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 1 AND 12)
+   OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 20 AND l.l_quantity BETWEEN 10 AND 24)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 40 AND l.l_quantity BETWEEN 20 AND 36)
+"""
+
+
 QUERIES = {
     "q34_market_share": q34_market_share,
     "q35_order_count_distribution": q35_order_count_distribution,
@@ -348,6 +569,10 @@ QUERIES = {
     "q37_top_supplier": q37_top_supplier,
     "q38_parts_supplier_count": q38_parts_supplier_count,
     "q39_dormant_rich_customers": q39_dormant_rich_customers,
+    "q40_shipping_priority": q40_shipping_priority,
+    "q41_nation_trade_volume": q41_nation_trade_volume,
+    "q42_returned_item_revenue": q42_returned_item_revenue,
+    "q43_disjunctive_promo": q43_disjunctive_promo,
 }
 
 # The SQL strings above are written in the dialect intersection of
@@ -362,6 +587,10 @@ ORACLES = {
     "q37_top_supplier": Q37_SQL,
     "q38_parts_supplier_count": Q38_SQL,
     "q39_dormant_rich_customers": Q39_SQL,
+    "q40_shipping_priority": Q40_SQL,
+    "q41_nation_trade_volume": Q41_SQL,
+    "q42_returned_item_revenue": Q42_SQL,
+    "q43_disjunctive_promo": Q43_SQL,
 }
 
 SPARK_SQL: dict[str, str] = dict(ORACLES)
