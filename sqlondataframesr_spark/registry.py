@@ -27,6 +27,7 @@ from .llm import (
 from .multimodal import media
 from .operators import asof, grouped, rangejoin, salt, udtf
 from .queries import extensions, reference, stackexchange, tpch_shapes
+from .streaming import dedup_sink as streaming_dedup_sink
 from .streaming import windows as streaming_windows
 
 _MODULES = [
@@ -50,6 +51,7 @@ _MODULES = [
     curation,
     pipeline,
     streaming_windows,
+    streaming_dedup_sink,
     media,
     grouped,
     asof,

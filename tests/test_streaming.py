@@ -209,3 +209,69 @@ def test_tws_user_type_profile_matches_batch(spark, sf_dir):
     assert set(latest) == set(batch)
     for uid, (n, k, top, topn) in batch.items():
         assert latest[uid] == (n, k, top, topn), (uid, latest[uid], (n, k, top, topn))
+
+
+def test_foreachbatch_incremental_dedup_keeps_first_across_batches(
+    spark, tmp_path
+):
+    """Planted parity-split corpus: a bag-of-words duplicate arriving
+    in batch 1 (odd ids) must lose to its batch-0 (even id) original;
+    a within-batch duplicate keeps the smallest doc_id; re-running the
+    drained sink is a no-op (checkpoint), not a double-append."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sqlondataframesr_spark.streaming.dedup_sink import (
+        incremental_dedup_sink,
+    )
+
+    rows = [
+        (0, "alpha beta gamma", "s0"),       # batch 0 original
+        (2, "delta epsilon", "s0"),          # batch 0, dups with 4
+        (4, "epsilon delta", "s0"),          # batch 0, loses to 2
+        (1, "gamma beta alpha", "s1"),       # batch 1, loses to 0
+        (3, "zeta eta", "s1"),               # batch 1 original
+    ]
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("source", pa.string())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for b, parity in ((0, 0), (1, 1)):
+        t = pa.Table.from_pylist(
+            [
+                {"doc_id": i, "text": x, "source": s}
+                for i, x, s in rows
+                if i % 2 == parity
+            ],
+            schema=schema,
+        )
+        p = str(src / f"batch{b}.parquet")
+        pq.write_table(t, p)
+        now = os.stat(p).st_mtime
+        os.utime(p, (now - 60 + 60 * b, now - 60 + 60 * b))
+
+    out, ckpt = str(tmp_path / "hist"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(str(src))
+    )
+    incremental_dedup_sink(stream, out, ckpt).awaitTermination()
+    got = {
+        r["doc_id"]: r["batch_id"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {0: 0, 2: 0, 3: 1}
+
+    # restart with the same checkpoint: drained source -> no new rows
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(str(src))
+    )
+    incremental_dedup_sink(stream2, out, ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == 3
