@@ -25,7 +25,7 @@ from .llm import (
     text,
 )
 from .multimodal import media
-from .operators import asof, grouped, rangejoin, salt, udtf
+from .operators import asof, graph, grouped, rangejoin, salt, udtf
 from .queries import extensions, reference, stackexchange, tpch_shapes
 from .streaming import dedup_sink as streaming_dedup_sink
 from .streaming import windows as streaming_windows
@@ -55,6 +55,7 @@ _MODULES = [
     media,
     grouped,
     asof,
+    graph,
     rangejoin,
     salt,
     udtf,

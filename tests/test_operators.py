@@ -150,3 +150,36 @@ def test_two_phase_count_distinct_equals_builtin(spark, sf_dir):
         F.countDistinct("user_id").alias("n_distinct_user_id")
     )
     assert not compare_frames(got, ref)
+
+
+def test_pagerank_node_count_matches_oracle_pin(spark, sf_dir):
+    """The oracle text pins n = 25 nations; if the dim ever changes,
+    this cross-check fails before the driver gate does."""
+    from sqlondataframesr_spark.operators import graph
+
+    from pyspark.sql import functions as F
+
+    edges = graph._trade_edges(spark, sf_dir)
+    n = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select("dst"))
+        .distinct()
+        .count()
+    )
+    assert n == 25
+
+
+def test_pagerank_rank_properties(spark, sf_dir):
+    """Every node holds at least the teleport mass; total mass stays
+    within integer-truncation slack of the scale; ordering is total."""
+    from sqlondataframesr_spark.operators import graph
+
+    rows = graph.graph_nation_pagerank(spark, sf_dir).collect()
+    assert len(rows) == 25
+    base_us = (100 - graph._DAMP_PCT) * graph._SCALE_US // (100 * 25)
+    assert all(r["rank_us"] >= base_us for r in rows)
+    total = sum(r["rank_us"] for r in rows)
+    # div-truncation loses < 1 us per edge per iteration + damping
+    assert graph._SCALE_US * 0.98 <= total <= graph._SCALE_US
+    keys = [(-r["rank_us"], r["nation"]) for r in rows]
+    assert keys == sorted(keys)
