@@ -1335,8 +1335,93 @@ ORDER BY user_id, day
 """
 
 
+def q44_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form CUBE/ROLLUP — q23/q7 —
+    specialize): order totals by {(status, priority), (status), ()},
+    skipping the (priority)-only set a CUBE would force. grouping_id
+    disambiguates real NULLs from subtotal rows.
+
+    Scale: Spark expands grouping sets into one pass with a replicated
+    grouping-id column — a single partial-aggregated shuffle whose
+    fan-out is the number of sets (3x), not a per-set re-scan.
+    """
+    ords = load_table(spark, sf_dir, "orders")
+    g = ords.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    return (
+        g.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+                .cast("double") / 100.0,
+                2,
+            ).alias("total_price"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            F.col("gid").asc(),
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_orderpriority").asc_nulls_last(),
+        )
+    )
+
+
+Q44_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       round(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+         AS total_price,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY gid ASC, o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST
+"""
+
+
+def q45_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern conditional-aggregate battery per order status:
+    count_if, bool_and / bool_or, and a deterministic any_value stand-
+    in (min) — the portable forms every warehouse dialect now shares.
+
+    Scale: one partial-aggregated shuffle on a 3-value key; every
+    aggregate is a one-pass accumulator.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("count_if(l_quantity > 40)").alias("n_large"),
+            F.expr("bool_and(l_discount <= 0.1)").alias("all_low_discount"),
+            F.expr("bool_or(l_tax > 0.07)").alias("any_high_tax"),
+            F.min("l_linestatus").alias("first_status"),
+            F.round(
+                F.avg(F.expr("cast(l_quantity >= 25 as int)")), 6
+            ).alias("share_heavy"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q45_SQL = """
+SELECT l_returnflag,
+       count_if(l_quantity > 40) AS n_large,
+       bool_and(l_discount <= 0.1) AS all_low_discount,
+       bool_or(l_tax > 0.07) AS any_high_tax,
+       MIN(l_linestatus) AS first_status,
+       round(AVG(CAST(l_quantity >= 25 AS INT)), 6) AS share_heavy
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q27_event_funnel": q27_event_funnel,
+    "q44_grouping_sets_revenue": q44_grouping_sets_revenue,
+    "q45_conditional_aggregates": q45_conditional_aggregates,
     "q31_cohort_retention": q31_cohort_retention,
     "q32_unpivot_profile": q32_unpivot_profile,
     "q33_gapfill_daily": q33_gapfill_daily,
@@ -1366,6 +1451,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q44_grouping_sets_revenue": Q44_SQL,
+    "q45_conditional_aggregates": Q45_SQL,
     "q29_price_rank_battery": Q29_ORACLE,
     "q30_above_brand_avg": Q30_ORACLE,
     "q31_cohort_retention": Q31_ORACLE,
@@ -1403,6 +1490,13 @@ ORACLES = {
 # / decorrelation) lands on the same results as the explicit plan.
 SPARK_SQL: dict[str, str] = {
     "q7_rollup_order_counts": Q7_ORACLE,
+    # one dialect seam: ANSI/DuckDB multi-arg GROUPING(a, b) is
+    # spelled grouping_id(a, b) in Spark SQL (same bitmask)
+    "q44_grouping_sets_revenue": Q44_SQL.replace(
+        "GROUPING(o_orderstatus, o_orderpriority)",
+        "grouping_id(o_orderstatus, o_orderpriority)",
+    ),
+    "q45_conditional_aggregates": Q45_SQL,
     # dialect-neutral: the WINDOW clause parses identically in Spark SQL
     "q29_price_rank_battery": Q29_ORACLE,
     "q31_cohort_retention": """
