@@ -1418,10 +1418,91 @@ ORDER BY l_returnflag
 """
 
 
+def q46_window_frame_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window-FRAME semantics battery per part brand:
+    first/last/nth value under hand-written ROWS frames, plus a
+    3-row trailing moving sum — the frame-boundary cases (default
+    RANGE-to-current vs explicit ROWS; last_value needing UNBOUNDED
+    FOLLOWING) that silently corrupt results when assumed.
+
+    Determinism: the window order is (price, partkey) — a total order
+    — and the moving sum is exact bigint cents; the battery is
+    restricted to one brand's parts to keep the output small.
+
+    Scale: one shuffle on the partition key; every frame evaluates
+    incrementally in a single pass over each sorted partition.
+    """
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.expr("cast(round(p_retailprice * 100) as bigint)").alias("price_c"),
+        )
+    )
+    from pyspark.sql import Window
+
+    order = [F.col("price_c").asc(), F.col("p_partkey").asc()]
+    w_run = Window.partitionBy("p_brand").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("p_brand").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_trail = Window.partitionBy("p_brand").orderBy(*order).rowsBetween(-2, 0)
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            F.round(F.col("price_c").cast("double") / 100.0, 2).alias("price"),
+            F.round(
+                F.first("price_c").over(w_run).cast("double") / 100.0, 2
+            ).alias("cheapest_so_far"),
+            F.round(
+                F.last("price_c").over(w_all).cast("double") / 100.0, 2
+            ).alias("brand_max"),
+            F.round(
+                F.nth_value("price_c", 2).over(w_all).cast("double") / 100.0, 2
+            ).alias("brand_second"),
+            F.round(
+                F.sum("price_c").over(w_trail).cast("double") / 100.0, 2
+            ).alias("trailing3_sum"),
+        )
+        .orderBy("p_brand", "price", "p_partkey")
+    )
+
+
+Q46_SQL = """
+SELECT p_brand, p_partkey,
+       round(CAST(price_c AS DOUBLE) / 100.0, 2) AS price,
+       round(CAST(first_value(price_c) OVER w_run AS DOUBLE) / 100.0, 2)
+         AS cheapest_so_far,
+       round(CAST(last_value(price_c) OVER w_all AS DOUBLE) / 100.0, 2)
+         AS brand_max,
+       round(CAST(nth_value(price_c, 2) OVER w_all AS DOUBLE) / 100.0, 2)
+         AS brand_second,
+       round(CAST(SUM(price_c) OVER w_trail AS DOUBLE) / 100.0, 2)
+         AS trailing3_sum
+FROM (SELECT p_brand, p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+      FROM part WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3'))
+WINDOW
+  w_run AS (PARTITION BY p_brand ORDER BY price_c, p_partkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_all AS (PARTITION BY p_brand ORDER BY price_c, p_partkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+  w_trail AS (PARTITION BY p_brand ORDER BY price_c, p_partkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY p_brand, price, p_partkey
+"""
+
+
 QUERIES = {
     "q27_event_funnel": q27_event_funnel,
     "q44_grouping_sets_revenue": q44_grouping_sets_revenue,
     "q45_conditional_aggregates": q45_conditional_aggregates,
+    "q46_window_frame_battery": q46_window_frame_battery,
     "q31_cohort_retention": q31_cohort_retention,
     "q32_unpivot_profile": q32_unpivot_profile,
     "q33_gapfill_daily": q33_gapfill_daily,
@@ -1453,6 +1534,7 @@ QUERIES = {
 ORACLES = {
     "q44_grouping_sets_revenue": Q44_SQL,
     "q45_conditional_aggregates": Q45_SQL,
+    "q46_window_frame_battery": Q46_SQL,
     "q29_price_rank_battery": Q29_ORACLE,
     "q30_above_brand_avg": Q30_ORACLE,
     "q31_cohort_retention": Q31_ORACLE,
@@ -1496,6 +1578,8 @@ SPARK_SQL: dict[str, str] = {
         "GROUPING(o_orderstatus, o_orderpriority)",
         "grouping_id(o_orderstatus, o_orderpriority)",
     ),
+    # the WINDOW clause + explicit ROWS frames parse identically
+    "q46_window_frame_battery": Q46_SQL,
     "q45_conditional_aggregates": Q45_SQL,
     # dialect-neutral: the WINDOW clause parses identically in Spark SQL
     "q29_price_rank_battery": Q29_ORACLE,

@@ -143,3 +143,89 @@ def test_asof_union_window_equals_naive(spark, lrows, rrows):
         .agg(F.expr("max_by(val, rt)").alias("val"))
     )
     assert not compare_frames(got.select("k", "t", "lid", "val"), naive)
+
+
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab cd"),  # tiny alphabet -> real dups
+        min_size=1,
+        max_size=24,
+    ).map(lambda s: " ".join(s.split()) or "a"),  # normalize whitespace
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(texts=TEXTS, s=st.integers(min_value=1, max_value=6))
+@_SETTINGS
+def test_heavy_hitter_prune_never_loses_a_true_hitter(spark, texts, s):
+    """For ANY corpus and threshold: candidate pruning at
+    ceil(S/partitions) + exact recount == plain GROUP BY + HAVING."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(4)
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("term"))
+
+    def _counts(it):
+        from collections import Counter
+        import pandas as pd
+
+        c = Counter()
+        for pdf in it:
+            for toks in pdf["text"].str.split(" "):
+                c.update(toks)
+        if c:
+            yield pd.DataFrame({"term": list(c.keys()), "local_cnt": list(c.values())})
+
+    local = docs.select("text").mapInPandas(
+        _counts, schema="term string, local_cnt long"
+    )
+    n_parts = max(1, local.rdd.getNumPartitions())
+    cand = (
+        local.filter(F.col("local_cnt") >= math.ceil(s / n_parts))
+        .select("term")
+        .distinct()
+    )
+    pruned = (
+        tokens.join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= s)
+    )
+    plain = (
+        tokens.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= s)
+    )
+    assert not compare_frames(pruned, plain)
+
+
+@given(texts=TEXTS)
+@_SETTINGS
+def test_keep_best_is_order_invariant(spark, texts):
+    """The keep-best winner set must not depend on row order or
+    partitioning — only on (ttr, doc_id)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    base = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "source", F.lit("s")
+    )
+    shuffled = (
+        spark.createDataFrame(list(reversed(rows)), "doc_id long, text string")
+        .withColumn("source", F.lit("s"))
+        .repartition(5)
+    )
+    from sqlondataframesr_spark.llm import curation
+
+    def run(df):
+        df.createOrReplaceTempView("documents")
+        return spark.sql(curation.DEDUP_KEEP_BEST_SPARK_SQL)
+
+    a = [tuple(r) for r in run(base).collect()]
+    b = [tuple(r) for r in run(shuffled).collect()]
+    assert a == b
