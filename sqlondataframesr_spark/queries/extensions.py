@@ -1498,11 +1498,57 @@ ORDER BY p_brand, price, p_partkey
 """
 
 
+def q47_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-k: each nation's two wealthiest
+    customers. The fluent form is the window rewrite (row_number <= 2
+    — how an optimizer decorrelates LATERAL ... LIMIT); the SQL twin
+    keeps the literal correlated LATERAL subquery, so the N-version
+    check proves the decorrelation equivalence.
+
+    Scale: ONE shuffle on nationkey; the per-group sort is bounded by
+    rank <= 2 via the window — no per-nation subquery actually
+    re-executes (that is the point of the rewrite).
+    """
+    from pyspark.sql import Window
+
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    top2 = (
+        cust.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+    )
+    return (
+        top2.join(F.broadcast(nat), top2.c_nationkey == nat.n_nationkey)
+        .select("n_name", "rk", "c_custkey", "c_name", "c_acctbal")
+        .orderBy("n_name", "rk")
+    )
+
+
+Q47_ORACLE = """
+SELECT n.n_name, t.rk, t.c_custkey, t.c_name, t.c_acctbal
+FROM nation n,
+     LATERAL (SELECT c_custkey, c_name, c_acctbal,
+                     ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
+                       AS rk
+              FROM customer c
+              WHERE c.c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_custkey ASC
+              LIMIT 2) t
+ORDER BY n.n_name, t.rk
+"""
+
+
 QUERIES = {
     "q27_event_funnel": q27_event_funnel,
     "q44_grouping_sets_revenue": q44_grouping_sets_revenue,
     "q45_conditional_aggregates": q45_conditional_aggregates,
     "q46_window_frame_battery": q46_window_frame_battery,
+    "q47_lateral_topk": q47_lateral_topk,
     "q31_cohort_retention": q31_cohort_retention,
     "q32_unpivot_profile": q32_unpivot_profile,
     "q33_gapfill_daily": q33_gapfill_daily,
@@ -1535,6 +1581,7 @@ ORACLES = {
     "q44_grouping_sets_revenue": Q44_SQL,
     "q45_conditional_aggregates": Q45_SQL,
     "q46_window_frame_battery": Q46_SQL,
+    "q47_lateral_topk": Q47_ORACLE,
     "q29_price_rank_battery": Q29_ORACLE,
     "q30_above_brand_avg": Q30_ORACLE,
     "q31_cohort_retention": Q31_ORACLE,
@@ -1580,6 +1627,10 @@ SPARK_SQL: dict[str, str] = {
     ),
     # the WINDOW clause + explicit ROWS frames parse identically
     "q46_window_frame_battery": Q46_SQL,
+    # deliberately DIFFERENT strategy: the twin keeps the literal
+    # correlated LATERAL ... LIMIT 2; the fluent form is the window
+    # decorrelation
+    "q47_lateral_topk": Q47_ORACLE,
     "q45_conditional_aggregates": Q45_SQL,
     # dialect-neutral: the WINDOW clause parses identically in Spark SQL
     "q29_price_rank_battery": Q29_ORACLE,
