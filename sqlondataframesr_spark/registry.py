@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .llm import (
     bloom,
+    contrastive,
     corpus,
     curation,
     decontam,
@@ -47,6 +48,7 @@ _MODULES = [
     simhash,
     similarity,
     sampling,
+    contrastive,
     corpus,
     curation,
     pipeline,
