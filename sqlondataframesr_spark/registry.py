@@ -26,7 +26,7 @@ from .llm import (
     text,
 )
 from .multimodal import media
-from .operators import asof, graph, grouped, rangejoin, salt, udtf
+from .operators import aggmerge, asof, graph, grouped, rangejoin, salt, udtf
 from .queries import extensions, reference, stackexchange, tpch_shapes
 from .streaming import dedup_sink as streaming_dedup_sink
 from .streaming import windows as streaming_windows
@@ -56,6 +56,7 @@ _MODULES = [
     streaming_dedup_sink,
     media,
     grouped,
+    aggmerge,
     asof,
     graph,
     rangejoin,
