@@ -33,6 +33,8 @@ qs, osql = e.queries(), e.oracle_sql()
 # optional argv filter: python driver_sim.py q14 q15  (prefix match)
 if len(sys.argv) > 1:
     qs = {n: f for n, f in qs.items() if any(n.startswith(p) for p in sys.argv[1:])}
+from sqlondataframesr_spark.check import oracle_type_violations
+
 fails = 0
 for name, fn in sorted(qs.items()):
     sdf = fn(spark, SF)
@@ -40,6 +42,17 @@ for name, fn in sorted(qs.items()):
     srows = sorted(tuple(r[c] for c in scols) for r in sdf.collect())
     if name not in osql:
         print(name, "rows-only:", len(srows))
+        continue
+    # Type-exactness preflight (VERDICT r4 item 2): the driver's hasher
+    # folds the oracle value's declared type/format in, so a DuckDB
+    # HUGEINT (bare SUM of INTEGER) or DECIMAL hashes differently from
+    # Spark's BIGINT/DOUBLE even when the numbers are equal — and this
+    # sim's repr-compare can't see it. Reject exotic output types at
+    # registration time instead of letting the driver find them.
+    bad = oracle_type_violations(con, osql[name])
+    if bad:
+        fails += 1
+        print(name, "ORACLE-TYPE-FAIL:", bad)
         continue
     cur = con.execute(osql[name])
     dcols = [d[0] for d in cur.description]

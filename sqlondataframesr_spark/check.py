@@ -107,3 +107,31 @@ def compare_frames(a: DataFrame, b: DataFrame, float_tol: float = 1e-6) -> list[
     la, ra = _spark_rows(a)
     lb, rb = _spark_rows(b)
     return compare_rows(la, ra, lb, rb, float_tol)
+
+
+#: DuckDB output types whose driver-side hash is known to agree with
+#: the Spark value at equal magnitudes. Notably ABSENT: HUGEINT (what a
+#: bare ``SUM(INTEGER)``/``count_if`` returns in DuckDB) and DECIMAL —
+#: both hash differently from Spark's BIGINT/DOUBLE even when the
+#: numbers are equal, which burned se_task2/se_task5/q45 in round 4.
+ORACLE_TYPE_WHITELIST = frozenset({
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT", "UINTEGER",
+    "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+    "TIMESTAMP_NS", "TIMESTAMP WITH TIME ZONE",
+})
+
+
+def oracle_type_violations(con, oracle_sql: str) -> list[tuple[str, str]]:
+    """(column, duckdb_type) pairs whose declared output type falls
+    outside :data:`ORACLE_TYPE_WHITELIST`.
+
+    Run at registration time on every ``oracle_sql()`` entry: DuckDB
+    plans the query without executing it, so this catches a bare
+    ``SUM()`` (HUGEINT) or an unpinned DECIMAL before the driver's
+    value hash ever sees it.
+    """
+    rel = con.sql(oracle_sql)
+    return [
+        (c, str(t)) for c, t in zip(rel.columns, rel.types)
+        if str(t).split("(")[0] not in ORACLE_TYPE_WHITELIST
+    ]

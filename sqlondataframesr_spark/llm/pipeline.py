@@ -94,7 +94,8 @@ chunks AS (
 SELECT d.source,
        COUNT(DISTINCT c.doc_id) AS n_docs,
        COUNT(*) AS n_chunks,
-       SUM(c.n_chunk_tokens) AS n_tokens
+       -- CAST: DuckDB SUM(int) is HUGEINT, the driver hashes the type
+       CAST(SUM(c.n_chunk_tokens) AS BIGINT) AS n_tokens
 FROM chunks c JOIN documents d USING (doc_id)
 GROUP BY d.source
 ORDER BY d.source

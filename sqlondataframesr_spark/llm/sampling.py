@@ -149,7 +149,10 @@ SELECT lang,
        CAST(row_number() OVER (
             PARTITION BY lang, floor((cum_tokens - n_tokens) / {PACK_BUDGET})
             ORDER BY doc_id) AS BIGINT) AS bin_pos,
-       doc_id, n_tokens, cum_tokens
+       doc_id, n_tokens,
+       -- DuckDB window SUM(BIGINT) yields HUGEINT; the driver hashes
+       -- the declared type, so pin to BIGINT (matches Spark's long)
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM cum
 """
 

@@ -1397,9 +1397,13 @@ def q45_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bool_and(l_discount <= 0.1)").alias("all_low_discount"),
             F.expr("bool_or(l_tax > 0.07)").alias("any_high_tax"),
             F.min("l_linestatus").alias("first_status"),
-            F.round(
-                F.avg(F.expr("cast(l_quantity >= 25 as int)")), 6
-            ).alias("share_heavy"),
+            # Integer ppm, not round(avg, 6): two engines' double
+            # round-to-6dp can differ in the last ulp and the driver
+            # hashes bit patterns (VERDICT r4 item 1). sum*1e6 div n
+            # is exact bigint arithmetic on both engines.
+            F.expr(
+                "sum(cast(l_quantity >= 25 as bigint)) * 1000000L div count(*)"
+            ).alias("share_heavy_ppm"),
         )
         .orderBy("l_returnflag")
     )
@@ -1407,11 +1411,12 @@ def q45_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q45_SQL = """
 SELECT l_returnflag,
-       count_if(l_quantity > 40) AS n_large,
+       CAST(count_if(l_quantity > 40) AS BIGINT) AS n_large,
        bool_and(l_discount <= 0.1) AS all_low_discount,
        bool_or(l_tax > 0.07) AS any_high_tax,
        MIN(l_linestatus) AS first_status,
-       round(AVG(CAST(l_quantity >= 25 AS INT)), 6) AS share_heavy
+       CAST(SUM(CAST(l_quantity >= 25 AS INT)) * 1000000 // COUNT(*) AS BIGINT)
+         AS share_heavy_ppm
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -1631,7 +1636,8 @@ SPARK_SQL: dict[str, str] = {
     # correlated LATERAL ... LIMIT 2; the fluent form is the window
     # decorrelation
     "q47_lateral_topk": Q47_ORACLE,
-    "q45_conditional_aggregates": Q45_SQL,
+    # dialect seam: DuckDB integer division is `//`, Spark's is `div`
+    "q45_conditional_aggregates": Q45_SQL.replace("* 1000000 //", "* 1000000 div"),
     # dialect-neutral: the WINDOW clause parses identically in Spark SQL
     "q29_price_rank_battery": Q29_ORACLE,
     "q31_cohort_retention": """

@@ -269,7 +269,7 @@ WITH ranked AS (
 ),
 per_user AS (
   SELECT OwnerUserId,
-         SUM(FavoriteCount) AS FavoriteTotal,
+         CAST(SUM(FavoriteCount) AS BIGINT) AS FavoriteTotal,
          MAX(CASE WHEN rn = 1 THEN Title END) AS MostFavoriteQuestion,
          MAX(FavoriteCount) AS MostFavoriteQuestionLikes
   FROM ranked GROUP BY OwnerUserId
@@ -375,7 +375,7 @@ def task5_comment_scores(spark: SparkSession, data_dir: str) -> DataFrame:
 
 TASK5_ORACLE = """
 WITH CmtTotScr AS (
-  SELECT PostId, UserId, SUM(Score) AS CommentsTotalScore
+  SELECT PostId, UserId, CAST(SUM(Score) AS BIGINT) AS CommentsTotalScore
   FROM Comments GROUP BY PostId, UserId
 )
 SELECT p.Title, c.CommentsTotalScore
