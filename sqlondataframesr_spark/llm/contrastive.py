@@ -23,6 +23,11 @@ reported cosines rounded to 6 dp.
 Scale: identical posture to llm/semdedup.semdedup — one corpus-sized
 assignment pass, per-cluster pair joins keyed on the cluster id, and
 a keyed argmax (max_by) per anchor with map-side partial aggregation.
+Since round 5 the candidate side of the pair join is capped to the
+CLUSTER_PAIR_CAP smallest-id members per cluster (semdedup.
+capped_partners), bounding a hot cluster at O(|cluster| * CAP) pairs
+instead of O(|cluster|^2); the cap never binds at tested scales and
+both SQL duals replay it.
 """
 
 from __future__ import annotations
@@ -30,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..materialize import materialize
-from .semdedup import _final_assign_sql
+from .semdedup import _cap_cte, _final_assign_sql, capped_partners
 from .similarity import (
     KM_ITERS,
     _COS,
@@ -63,7 +68,10 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("a_id"), F.col("list_id").alias("a_list"),
         F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
-    b = members.select(
+    # candidate side capped to the CAP smallest ids per cluster —
+    # bounds pair fan-out linearly in cluster size (never binds at
+    # tested scales; argmax ties already prefer the smaller id)
+    b = capped_partners(members).select(
         F.col("vec_id").alias("b_id"), F.col("list_id").alias("b_list"),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
@@ -107,17 +115,18 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _contrastive_oracle() -> str:
-    cos = _COS_DUCK.format(a="a.v", b="b.v", na="a.nrm", nb="b.nrm")
+def _contrastive_sql(cos_tpl: str, parts: list[str]) -> str:
+    cos = cos_tpl.format(a="a.v", b="b.v", na="a.nrm", nb="b.nrm")
     return (
         "WITH "
-        + ",\n".join(_kmeans_parts())
+        + ",\n".join(parts)
         + f",\ncent AS (SELECT c_id, cv, cn FROM c{KM_ITERS}),\n"
-        + _final_assign_sql(_COS_DUCK)
+        + _final_assign_sql(cos_tpl)
         + f""",
+{_cap_cte()},
 pairs AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos} AS cos
-  FROM m a JOIN m b ON a.list_id = b.list_id AND a.vec_id <> b.vec_id),
+  FROM m a JOIN ma b ON a.list_id = b.list_id AND a.vec_id <> b.vec_id),
 pos AS (
   SELECT a_id, b_id AS pos_id, ROUND(cos, 6) AS pos_cos FROM (
     SELECT a_id, b_id, cos,
@@ -142,4 +151,8 @@ ORDER BY m.vec_id"""
 
 
 QUERIES = {"contrastive_pairs": contrastive_pairs}
-ORACLES = {"contrastive_pairs": _contrastive_oracle()}
+ORACLES = {"contrastive_pairs": _contrastive_sql(_COS_DUCK, _kmeans_parts())}
+# Spark-SQL N-version twin (three-way agreement like semdedup)
+SPARK_SQL: dict[str, str] = {
+    "contrastive_pairs": _contrastive_sql(_COS, _kmeans_spark_parts())
+}

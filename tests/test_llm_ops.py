@@ -411,3 +411,41 @@ def test_pq_codebook_members_encode_losslessly(spark, sf_dir):
     for q, rows in by_q.items():
         dists = [r.adc_dist for r in sorted(rows, key=lambda r: r.rnk)]
         assert dists == sorted(dists), q
+
+
+def test_capped_partners_bounds_hot_cluster_pairs(spark):
+    """VERDICT r4 item 4: the in-cluster pair join must stay linear on
+    a hot cluster. One 200-member cluster, cap=16 -> the partner side
+    is exactly the 16 smallest ids and pair fan-out is n*cap, never
+    n^2; the small-id preference matches the keep-policy."""
+    from sqlondataframesr_spark.llm.semdedup import capped_partners
+
+    members = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("list_id"),
+        F.array(F.lit(1.0)).alias("v"),
+        F.lit(1.0).alias("nrm"),
+    )
+    capped = capped_partners(members, cap=16)
+    got = sorted(r.vec_id for r in capped.select("vec_id").collect())
+    assert got == list(range(16))
+    anchors = members.select(F.col("vec_id").alias("b_id"), "list_id")
+    pairs = capped.select(F.col("vec_id").alias("a_id"), "list_id").join(
+        anchors, "list_id"
+    )
+    assert pairs.count() == 200 * 16  # |cluster| * cap, not |cluster|^2
+
+
+def test_cluster_pair_cap_never_binds_at_tested_scales():
+    """The capped algorithm equals the exact one whenever CAP exceeds
+    the largest possible cluster (= the whole embeddings table). Guard
+    that invariant against testdata growth so the green oracles keep
+    certifying the exact semantics too."""
+    import duckdb
+
+    from sqlondataframesr_spark.llm.semdedup import CLUSTER_PAIR_CAP
+
+    n = duckdb.sql(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.1/embeddings.parquet')"
+    ).fetchone()[0]
+    assert n < CLUSTER_PAIR_CAP
