@@ -117,7 +117,15 @@ def byte_histogram(media: DataFrame, buckets: int = HIST_BUCKETS) -> DataFrame:
 
 
 def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return byte_histogram(media_frame(spark, sf_dir)).orderBy("doc_id")
+    """Long form (doc_id, bucket, share) — posexploded so every cell
+    is a scalar the driver's hasher can sort and hash (arrays are not
+    in the oracle-type whitelist); :func:`byte_histogram` keeps the
+    array-per-doc feature shape for library use."""
+    return (
+        byte_histogram(media_frame(spark, sf_dir))
+        .select("doc_id", F.posexplode("hist").alias("bucket", "share"))
+        .orderBy("doc_id", "bucket")
+    )
 
 
 # --- decoders --------------------------------------------------------
@@ -457,16 +465,33 @@ QUERIES = {
     "mm_audio_features": mm_audio_features,
     "mm_media_checksum": mm_media_checksum,
     "mm_frame_plan": mm_frame_plan,
-    # mapInPandas stages: not SQL-expressible in DuckDB (byte-level
-    # blob iteration) → rows-only driver check; pytest pins the values.
     "mm_byte_histogram": mm_byte_histogram,
     "mm_image_decode": mm_image_decode,
     "mm_sample_frames": mm_sample_frames,
 }
 
+
+def _featurizer_oracles() -> dict[str, str]:
+    """The mapInPandas featurizers have no SQL spelling (byte-level
+    blob iteration), so their oracles are precomputed local-numpy
+    replays (multimodal/expected.py) read back as parquet — the gate
+    checks distributed Arrow execution against a sequential reference,
+    upgrading these four from rows-only to full hash rows (VERDICT r4
+    item 5)."""
+    from .expected import oracle
+
+    return {
+        "mm_byte_histogram": oracle("mm_byte_histogram", ["doc_id", "bucket"]),
+        "mm_image_decode": oracle("mm_image_decode", ["doc_id"]),
+        "mm_audio_features": oracle("mm_audio_features", ["doc_id"]),
+        "mm_sample_frames": oracle("mm_sample_frames", ["doc_id", "frame_idx"]),
+    }
+
+
 ORACLES = {
     "mm_media_checksum": MM_MEDIA_CHECKSUM_ORACLE,
     "mm_frame_plan": MM_FRAME_PLAN_ORACLE,
+    **_featurizer_oracles(),
 }
 
 # Spark-SQL N-version forms for the metadata/plan queries (the
