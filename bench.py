@@ -57,11 +57,34 @@ def main() -> None:
     }
     is_ref = ref_names.__contains__
 
+    # The LITERAL SE workload at reference magnitude (VERDICT r4 item
+    # 3): BASELINE.md's per-task medians were measured on the real
+    # travel.stackexchange.com dump (~85k posts / ~400k votes,
+    # RDataFramesSQL.Rmd:26-33); fixture_dir(scale=100) reproduces
+    # that magnitude, so the se100_* rows are the first direct
+    # performance comparison of the literal tasks (the driver's
+    # correctness gate stays on the scale-1 fixture).
+    from sqlondataframesr_spark.queries import stackexchange as _se
+
+    se_scale = float(os.environ.get("SPARK_GRAFT_SE_SCALE", "100"))
+    se_dir = _se.fixture_dir(scale=se_scale)
+    se_queries = [
+        (f"se100_{name}", (lambda f: lambda spark, _sf: f(spark, se_dir))(fn))
+        for name, (fn, _) in _se.TASKS.items()
+    ]
+    se_names = {n for n, _ in se_queries}
+    # latency family = toy-scale sub-second relational queries: the
+    # six transposed refs + the literal SE tasks (same confs, 11 runs)
+    is_latency = lambda n: is_ref(n) or n in se_names  # noqa: E731
+
     # Time the six baseline-comparable queries FIRST, in a fresh JVM,
     # so heap/GC state left by the (heavier) extension operators can't
-    # leak into the headline medians; extensions follow alphabetically.
-    queries = sorted(
-        registry.queries().items(), key=lambda kv: (not is_ref(kv[0]), kv[0])
+    # leak into the headline medians; the literal SE tasks follow
+    # (same latency family), then extensions alphabetically.
+    queries = (
+        sorted((kv for kv in registry.queries().items() if is_ref(kv[0])))
+        + se_queries
+        + sorted((kv for kv in registry.queries().items() if not is_ref(kv[0])))
     )
 
     # Global JVM warm-up: a fresh JVM spends the first few actions
@@ -103,7 +126,7 @@ def main() -> None:
         # progress marker (stderr; stdout stays the one-line contract)
         # — without it a stalled query is undiagnosable from outside
         print(f"[bench] {name}", file=sys.stderr, flush=True)
-        for k, v in (ref_confs if is_ref(name) else default_confs).items():
+        for k, v in (ref_confs if is_latency(name) else default_confs).items():
             spark.conf.set(k, v)
         # Per-query warm-up: JIT, parquet footer cache, AQE stats.
         # Materialization is Arrow-batched toPandas — columnar
@@ -119,7 +142,7 @@ def main() -> None:
         # happens outside the timed window.)
         release_all()
         samples = []
-        for _ in range(REF_RUNS if is_ref(name) else EXT_RUNS):
+        for _ in range(REF_RUNS if is_latency(name) else EXT_RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).toPandas()
             samples.append(time.perf_counter() - t0)
@@ -165,6 +188,15 @@ def main() -> None:
         "q4_price_spread": 0.297,
         "q5_user_event_totals": 0.534,
         "q6_distinct_suppliers_of_qualifying_brands": 0.253,
+        # the same medians, against the LITERAL tasks at the magnitude
+        # they were measured at (reference dump scale, sqldf column of
+        # BASELINE.md) — the direct apples-to-apples rows
+        "se100_task1_upvotes_per_year": 1.331,
+        "se100_task2_top_favorited_users": 0.316,
+        "se100_task3_top_positive_answer_counts": 0.211,
+        "se100_task4_best_vs_accepted": 0.297,
+        "se100_task5_comment_scores": 0.534,
+        "se100_task6_valuable_badges": 0.253,
     }
     floor_analysis = {}
     for name, base in BASELINE_SQLDF.items():
@@ -189,6 +221,14 @@ def main() -> None:
         # baseline-comparable queries only; every extension timing goes
         # to BENCH_DETAILS.json and to the chunked lines above.
         "queries": {k: v for k, v in timings.items() if is_ref(k)},
+        # literal SE tasks at reference magnitude: name -> [median,
+        # baseline_sqldf, ratio] (compact — the line must stay small)
+        "se_tasks": {
+            k: [timings[k], BASELINE_SQLDF[k], round(timings[k] / BASELINE_SQLDF[k], 2)]
+            for k in sorted(se_names)
+            if k in timings
+        },
+        "se_scale": se_scale,
         "sf": sf,
         "n_queries_timed": len(timings),
         "total_all_queries": round(sum(timings.values()), 4),
@@ -212,7 +252,7 @@ def main() -> None:
     # chunked per-family detail lines (human/log audit; each line small;
     # the one-line headline stays LAST and minimal — the driver records
     # only the tail of stdout)
-    ext = sorted((k, v) for k, v in timings.items() if not is_ref(k))
+    ext = sorted((k, v) for k, v in timings.items() if not is_latency(k))
     for i in range(0, len(ext), 8):
         print(json.dumps({"detail": dict(ext[i : i + 8])}))
     for name in sorted(floor_analysis):

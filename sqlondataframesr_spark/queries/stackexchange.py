@@ -38,6 +38,7 @@ import random
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..materialize import materialize
 from ..sources.io import read_csv
 
 SCHEMAS = {
@@ -57,13 +58,20 @@ _BADGE_NAMES = [f"badge_{i}" for i in range(24)]
 _LOCATIONS = ["Warsaw", "Lisbon", "Kyoto", "Quito", "Tunis", "Oslo"]
 
 
-def generate_fixture(out_dir: str, seed: int = 42) -> dict[str, str]:
+def generate_fixture(out_dir: str, seed: int = 42, scale: float = 1.0) -> dict[str, str]:
     """Write a deterministic Stack-Exchange-shaped CSV dump.
 
     Pure ``random.Random(seed)`` — same bytes on every run/platform.
     Shapes per FIXTURES.md §A: answers point at questions (ParentId),
     questions at accepted answers; NULL density on the columns whose
     NULL paths the reference exercises.
+
+    ``scale`` multiplies every table's row count; scale=1 preserves
+    the historical byte-identical fixture (same rng draw order).
+    scale=100 reproduces the magnitude of the reference's real
+    travel.stackexchange.com dump (RDataFramesSQL.Rmd:26-33 — ~400k
+    votes, ~85k posts; BASELINE.md's per-task medians were measured
+    there), which is what bench.py times the literal tasks against.
     """
     rng = random.Random(seed)
     os.makedirs(out_dir, exist_ok=True)
@@ -77,7 +85,9 @@ def generate_fixture(out_dir: str, seed: int = 42) -> dict[str, str]:
             w.writerows(rows)
         paths[name] = path
 
-    n_users, n_questions, n_answers = 150, 400, 450
+    n_users, n_questions, n_answers = (
+        int(150 * scale), int(400 * scale), int(450 * scale)
+    )
     users = [
         [
             uid,
@@ -152,7 +162,7 @@ def generate_fixture(out_dir: str, seed: int = 42) -> dict[str, str]:
             rng.choice([1, 2, 2, 2, 3, 5]),
             f"{rng.randint(2015, 2019)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}",
         ]
-        for vid in range(1, 4001)
+        for vid in range(1, int(4000 * scale) + 1)
     ]
     write("Votes", ["Id", "PostId", "VoteTypeId", "CreationDate"], votes)
 
@@ -163,7 +173,7 @@ def generate_fixture(out_dir: str, seed: int = 42) -> dict[str, str]:
             rng.randint(1, n_users) if rng.random() > 0.1 else None,
             rng.randint(-2, 15),
         ]
-        for cid in range(1, 1501)
+        for cid in range(1, int(1500 * scale) + 1)
     ]
     write("Comments", ["Id", "PostId", "UserId", "Score"], comments)
 
@@ -174,7 +184,7 @@ def generate_fixture(out_dir: str, seed: int = 42) -> dict[str, str]:
             rng.choice(_BADGE_NAMES),
             rng.choice([1, 1, 2, 3]),
         ]
-        for bid in range(1, 501)
+        for bid in range(1, int(500 * scale) + 1)
     ]
     write("Badges", ["Id", "UserId", "Name", "Class"], badges)
 
@@ -286,6 +296,9 @@ def task3_top_positive_answer_counts(spark: SparkSession, data_dir: str) -> Data
     """Rmd:289-298 — top-10 questions by count of positively-scored
     answers (derived table self-join)."""
     t = load_se(spark, data_dir)
+    # Posts feeds both sides of the self-join, but each branch prunes
+    # to 2-3 columns — two pruned CSV scans beat a full-width cache
+    # (measured: materialize() here was 0.40 -> 0.47 s at scale=100)
     posts2 = (
         t["Posts"]
         .filter((F.col("PostTypeId") == 2) & (F.col("Score") > 0))
@@ -317,7 +330,9 @@ def task4_best_vs_accepted(spark: SparkSession, data_dir: str) -> DataFrame:
     """Rmd:396-412 — questions whose best answer beats the accepted
     answer by > 50 (3-way self-join; alias-in-WHERE inlined)."""
     t = load_se(spark, data_dir)
-    posts = t["Posts"]
+    # Posts feeds three branches (best / questions / accepted) — one
+    # parsed scan, two cache reads, instead of three CSV parses
+    posts = materialize(t["Posts"])
     best = (
         posts.filter(F.col("PostTypeId") == 2)
         .groupBy("ParentId")
@@ -453,14 +468,27 @@ TASKS = {
 # engines, same differential contract as tests/test_stackexchange.py.
 
 
-def fixture_dir() -> str:
-    """Generate (once) and return the shared deterministic fixture."""
+def fixture_dir(scale: float = 1.0) -> str:
+    """Generate (once) and return the shared deterministic fixture.
+
+    The cache directory is keyed by an md5 of the GENERATOR'S SOURCE
+    plus (seed, scale) — a generator edit can never silently reuse
+    stale CSVs (VERDICT r4 item 8; the old hand-bumped ``_v1`` suffix
+    relied on a human remembering to bump it). scale=100 is the
+    bench-time reference-magnitude fixture; the driver gate stays on
+    scale=1.
+    """
+    import hashlib
+    import inspect
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), "sqlondataframesr_se_fixture_v1")
+    ver = hashlib.md5(
+        f"{inspect.getsource(generate_fixture)}:42:{scale}".encode()
+    ).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"sqlondataframesr_se_fixture_{ver}")
     if not os.path.isdir(d):
         stage = f"{d}.stage.{os.getpid()}"
-        generate_fixture(stage)
+        generate_fixture(stage, scale=scale)
         try:
             os.rename(stage, d)  # atomic; loser of a race cleans up
         except OSError:

@@ -61,3 +61,28 @@ def test_fixture_exercises_null_paths(spark, se_dir):
     assert t["Posts"].filter("FavoriteCount IS NULL AND PostTypeId = 1").count() > 0
     assert t["Users"].filter("Age IS NULL").count() > 0
     assert t["Comments"].filter("UserId IS NULL").count() > 0
+
+
+def test_fixture_dir_is_keyed_by_generator_source_and_scale():
+    """VERDICT r4 item 8: a generator edit must produce a NEW cache
+    dir — the suffix is md5(source + seed + scale), so any source or
+    scale change rolls the key; stale CSVs can never be silently
+    reused."""
+    import hashlib
+    import inspect
+
+    from sqlondataframesr_spark.queries import stackexchange as se
+
+    src = inspect.getsource(se.generate_fixture)
+    ver = hashlib.md5(f"{src}:42:1.0".encode()).hexdigest()[:12]
+    d = se.fixture_dir()
+    assert d.endswith(ver)
+    # a source edit (here: simulated by perturbing the hashed text)
+    # yields a different key
+    assert hashlib.md5(f"{src}#edited:42:1.0".encode()).hexdigest()[:12] != ver
+    # a different scale is a different fixture dir (cheap 2x build)
+    d2 = se.fixture_dir(scale=2.0)
+    assert d2 != d
+    import os
+
+    assert os.path.isdir(d2)
