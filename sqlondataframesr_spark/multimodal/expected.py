@@ -173,15 +173,20 @@ def expected_dir() -> str:
     concatenated, keyed by sf_key."""
     import tempfile
 
+    # Key = md5(module source + resolved sfs list): editing the
+    # reference math OR changing SPARK_GRAFT_MM_EXPECTED_SFS rolls the
+    # cache dir — an env-var change can never silently reuse a cache
+    # built without the new scale (ADVICE r5).
+    sfs_env = os.environ.get("SPARK_GRAFT_MM_EXPECTED_SFS", _DEFAULT_SFS)
     with open(__file__, "rb") as f:
-        ver = hashlib.md5(f.read()).hexdigest()[:12]
+        ver = hashlib.md5(f.read() + b":" + sfs_env.encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"sqlondataframesr_mm_expected_{ver}")
     if os.path.isdir(d):
         return d
 
     import pandas as pd
 
-    sfs = os.environ.get("SPARK_GRAFT_MM_EXPECTED_SFS", _DEFAULT_SFS).split(":")
+    sfs = sfs_env.split(":")
     per_sf = [_expected_frames(sf) for sf in sfs]
     stage = f"{d}.stage.{os.getpid()}"
     os.makedirs(stage, exist_ok=True)

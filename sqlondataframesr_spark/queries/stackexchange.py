@@ -482,8 +482,10 @@ def fixture_dir(scale: float = 1.0) -> str:
     import inspect
     import tempfile
 
+    # normalize scale (ADVICE r5): 100 and 100.0 must key the same
+    # dir or an int/float caller regenerates an identical fixture
     ver = hashlib.md5(
-        f"{inspect.getsource(generate_fixture)}:42:{scale}".encode()
+        f"{inspect.getsource(generate_fixture)}:42:{float(scale):g}".encode()
     ).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"sqlondataframesr_se_fixture_{ver}")
     if not os.path.isdir(d):
@@ -557,6 +559,16 @@ def _self_contained(name: str, oracle: str) -> str:
 
 
 QUERIES = {f"se_{name}": _driver_task(name, fn) for name, (fn, _) in TASKS.items()}
-ORACLES = {
-    f"se_{name}": _self_contained(name, sql) for name, (fn, sql) in TASKS.items()
-}
+
+
+def __getattr__(name: str):
+    """Lazy ``ORACLES`` (PEP 562): ``_self_contained`` calls
+    ``fixture_dir()``, which generates the CSV fixture under /tmp —
+    importing the package must not touch the filesystem (same
+    discipline as multimodal/media.py, ADVICE r5). Resolved when
+    registry.oracles() first asks."""
+    if name == "ORACLES":
+        return {
+            f"se_{n}": _self_contained(n, sql) for n, (_fn, sql) in TASKS.items()
+        }
+    raise AttributeError(name)

@@ -436,6 +436,60 @@ def test_capped_partners_bounds_hot_cluster_pairs(spark):
     assert pairs.count() == 200 * 16  # |cluster| * cap, not |cluster|^2
 
 
+def test_capped_partners_skips_window_for_cool_clusters(spark):
+    """VERDICT r5 item 8: when every cluster is at-or-under the cap,
+    no row may enter the per-cluster rank window — the r5 version
+    serialized a hot cluster's whole sort onto one task even when the
+    cap never bound. The r6 shape pre-filters with a K-row size
+    aggregate: the Window's input subtree must be the hot-cluster
+    semi-join (csz > cap), and with all clusters under cap the drop
+    side is empty so the result passes through untouched."""
+    from sqlondataframesr_spark.llm.semdedup import capped_partners
+
+    members = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 10).alias("list_id"),  # 10 clusters of 10
+        F.array(F.lit(1.0)).alias("v"),
+        F.lit(1.0).alias("nrm"),
+    )
+    capped = capped_partners(members, cap=16)
+    # result identity: nothing dropped when the cap doesn't bind
+    assert capped.count() == 100
+    # plan shape: the window ranks only the semi-joined hot slice —
+    # its input subtree carries the cluster-size filter, so an
+    # all-cool corpus contributes zero rows to the sort
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    window_pos = plan.find("Window")
+    assert window_pos != -1, plan
+    assert "csz" in plan[window_pos:], plan
+
+
+def test_semdedup_cap_report_signals_binding(spark):
+    """ADVICE r5: the cap-binding signal. On the sf0.001 corpus the
+    cap must NOT bind (that is what keeps the green oracles certifying
+    exact semantics); the report's arithmetic is checked against a
+    direct recount of the assignment."""
+    from sqlondataframesr_spark.llm.semdedup import (
+        CLUSTER_PAIR_CAP,
+        semdedup,
+        semdedup_cap_report,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rep = semdedup_cap_report(spark, sf_dir).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r.pair_cap == CLUSTER_PAIR_CAP
+    assert not r.cap_binds
+    assert r.max_cluster_size <= CLUSTER_PAIR_CAP
+    # recount from the dedup output's own cluster assignment
+    sizes = (
+        semdedup(spark, sf_dir).groupBy("c_id").count().collect()
+    )
+    assert r.n_clusters == len(sizes)
+    assert r.max_cluster_size == max(s["count"] for s in sizes)
+
+
 def test_cluster_pair_cap_never_binds_at_tested_scales():
     """The capped algorithm equals the exact one whenever CAP exceeds
     the largest possible cluster (= the whole embeddings table). Guard
