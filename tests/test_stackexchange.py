@@ -74,12 +74,15 @@ def test_fixture_dir_is_keyed_by_generator_source_and_scale():
     from sqlondataframesr_spark.queries import stackexchange as se
 
     src = inspect.getsource(se.generate_fixture)
-    ver = hashlib.md5(f"{src}:42:1.0".encode()).hexdigest()[:12]
+    # scale is normalized via %g (ADVICE r5): 1, 1.0 → "1" — int and
+    # float callers key the same directory
+    ver = hashlib.md5(f"{src}:42:1".encode()).hexdigest()[:12]
     d = se.fixture_dir()
     assert d.endswith(ver)
+    assert se.fixture_dir(scale=1) == d == se.fixture_dir(scale=1.0)
     # a source edit (here: simulated by perturbing the hashed text)
     # yields a different key
-    assert hashlib.md5(f"{src}#edited:42:1.0".encode()).hexdigest()[:12] != ver
+    assert hashlib.md5(f"{src}#edited:42:1".encode()).hexdigest()[:12] != ver
     # a different scale is a different fixture dir (cheap 2x build)
     d2 = se.fixture_dir(scale=2.0)
     assert d2 != d
