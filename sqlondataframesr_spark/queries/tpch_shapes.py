@@ -562,6 +562,208 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETW
 """
 
 
+def q47_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity order revenue): average yearly
+    revenue lost if small orders of one brand/type class were no
+    longer taken — a CORRELATED scalar aggregate threshold
+    (``l_quantity < 0.2 * avg(l_quantity) of the same part``),
+    decorrelated as a per-part aggregate joined back.
+
+    Determinism: quantities in the synthetic data are integral, so
+    the 0.2·avg comparison is evaluated in exact integer arithmetic —
+    ``5·qty·cnt < sum(qty)`` ⟺ ``qty < 0.2·(sum/cnt)`` — immune to
+    the summation-order float drift a naive AVG comparison inherits;
+    revenue is cent-quantized before summing.
+
+    Plan/scale: the brand/type filter prunes part at the scan and the
+    pruned part broadcasts into lineitem; the per-part threshold is
+    computed AFTER that semi-restriction (aggregate only qualifying
+    parts' rows, not all of lineitem) and joined back on l_partkey —
+    the aggregation and the join-back share one shuffle key. The
+    final scalar is a single partial-aggregated reduce.
+    """
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#4") & F.col("p_type").like("S%"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.expr("cast(l_quantity as bigint)").alias("qty"),
+            F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("price_c"),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    th = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(th, "l_partkey")
+        .filter(F.col("qty") * F.col("cnt") * F.lit(5) < F.col("sum_qty"))
+        .agg(
+            F.round(
+                F.sum("price_c").cast("double") / 100.0 / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+Q47_SQL = """
+SELECT round(CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey) t ON t.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4' AND p.p_type LIKE 'S%'
+  AND CAST(l.l_quantity AS BIGINT) * t.cnt * 5 < t.sum_qty
+"""
+
+
+def q48_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds a threshold, with their customer and order
+    detail — the grouped-``HAVING``-subquery-feeds-``IN`` pattern.
+
+    Decorrelation: the per-order quantity aggregate is computed ONCE
+    and reused both as the membership filter and as the reported
+    ``total_qty`` — a naive translation aggregates lineitem twice.
+
+    Plan/scale: one lineitem shuffle (orderkey agg, partial map-side);
+    the ~0.1%-selective survivor set then drives the orders/customer
+    joins (AQE broadcasts it at runtime), and top-100 lowers to
+    TakeOrderedAndProject. total_qty is exact bigint.
+    """
+    oq = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.expr("cast(l_quantity as bigint)").alias("qty"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        oq.join(ords, oq.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+Q48_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, t.total_qty
+FROM (SELECT l_orderkey,
+             -- DuckDB SUM(BIGINT) yields HUGEINT; pin to BIGINT so
+             -- the driver's declared-type hash matches Spark's long
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 150) t
+JOIN orders o ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q49_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for one
+    nation, count per supplier the finished multi-supplier orders
+    where THIS supplier shipped late and NO OTHER supplier did — the
+    double-correlated ``EXISTS`` + ``NOT EXISTS`` shape, the hardest
+    join pattern in the TPC-H suite.
+
+    Adaptation: the synthetic lineitem has no commit/receipt dates, so
+    "late" := ``l_shipdate > o_orderdate + 90 days`` (documented
+    substitute with the same per-line semantics).
+
+    Decorrelation (the 100 TB-safe plan): instead of two correlated
+    sub-scans of lineitem per outer row, build each order's supplier
+    profile ONCE — ``n_supp`` distinct suppliers and ``n_late_supp``
+    distinct LATE suppliers per finished order (one shuffle on
+    orderkey) — then the EXISTS pair collapses to the filter
+    ``n_supp > 1 AND n_late_supp = 1`` joined back to the late lines.
+    supplier/nation are broadcast dims; the SQL twin keeps the
+    correlated EXISTS spelling, so the differential also proves the
+    rewrite ≡ the textbook form.
+    """
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "late",
+            F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL '90' DAY"),
+        )
+    )
+    prof = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    return (
+        li.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey").distinct()
+        .join(
+            prof.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(25)
+    )
+
+
+Q49_SQL = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN (SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM lineitem l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l1.l_shipdate > o.o_orderdate + INTERVAL '90' DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o.o_orderdate + INTERVAL '90' DAY)
+     ) w ON w.l_suppkey = s.s_suppkey
+WHERE n.n_name = 'NATION_3'
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 25
+"""
+
+
 QUERIES = {
     "q34_market_share": q34_market_share,
     "q35_order_count_distribution": q35_order_count_distribution,
@@ -573,6 +775,9 @@ QUERIES = {
     "q41_nation_trade_volume": q41_nation_trade_volume,
     "q42_returned_item_revenue": q42_returned_item_revenue,
     "q43_disjunctive_promo": q43_disjunctive_promo,
+    "q47_small_quantity_revenue": q47_small_quantity_revenue,
+    "q48_large_order_customers": q48_large_order_customers,
+    "q49_waiting_suppliers": q49_waiting_suppliers,
 }
 
 # The SQL strings above are written in the dialect intersection of
@@ -591,6 +796,9 @@ ORACLES = {
     "q41_nation_trade_volume": Q41_SQL,
     "q42_returned_item_revenue": Q42_SQL,
     "q43_disjunctive_promo": Q43_SQL,
+    "q47_small_quantity_revenue": Q47_SQL,
+    "q48_large_order_customers": Q48_SQL,
+    "q49_waiting_suppliers": Q49_SQL,
 }
 
 SPARK_SQL: dict[str, str] = dict(ORACLES)
