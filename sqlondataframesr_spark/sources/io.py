@@ -95,6 +95,40 @@ def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw-file ingestion via the built-in ``binaryFile`` source —
+    how image/audio/video payloads actually enter a multimodal
+    pipeline before they become the typed ``payload: binary`` column
+    (`multimodal/media.py` works on exactly that shape downstream).
+
+    Output schema (fixed by the source): path, modificationTime,
+    length, content (binary). ``glob`` filters by filename pattern
+    (``pathGlobFilter``, e.g. ``*.png``) AT THE LISTING, so excluded
+    files are never opened. Scale: each file is one row; the source
+    parallelizes over files and caps per-task bytes via
+    ``spark.sql.files.maxPartitionBytes``. Pair with a metadata
+    sidecar join (path → doc_id) rather than parsing ids out of
+    paths with UDFs.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole: bool = False
+) -> DataFrame:
+    """Line-oriented text scan (``value: string`` per line), or whole
+    files as single rows with ``wholetext`` — the raw-corpus entry
+    point before parsing gives it a schema. Splittable per line
+    (uncompressed), so 100 TB of logs parallelizes without any layout
+    preparation."""
+    return spark.read.text(path, wholetext=whole)
+
+
 def write_csv(
     df: DataFrame, path: str, header: bool = True, mode: str = "error"
 ) -> None:

@@ -116,3 +116,33 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_binary_file_source_reads_payload_bytes(spark, tmp_path):
+    """binaryFile ingestion: bytes round-trip exactly, the glob filter
+    excludes non-matching files at listing time, and the output shape
+    is the multimodal payload contract (path + binary content)."""
+    payloads = {f"doc{i}.bin": bytes([i] * (10 + i)) for i in range(5)}
+    for name, blob in payloads.items():
+        (tmp_path / name).write_bytes(blob)
+    (tmp_path / "ignore.txt").write_text("not binary payload")
+
+    df = io.read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {os.path.basename(r.path): bytes(r.content) for r in df.collect()}
+    assert rows == payloads
+    assert {f.name for f in df.schema.fields} == {
+        "path", "modificationTime", "length", "content"
+    }
+    # length column matches the actual byte count (usable for
+    # size-partitioning upstream of decode)
+    for r in df.collect():
+        assert r.length == len(bytes(r.content))
+
+
+def test_text_source_lines_and_wholetext(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("line1\nline2\n")
+    (tmp_path / "b.txt").write_text("line3\n")
+    lines = io.read_text(spark, str(tmp_path))
+    assert sorted(r.value for r in lines.collect()) == ["line1", "line2", "line3"]
+    whole = io.read_text(spark, str(tmp_path), whole=True)
+    assert sorted(r.value for r in whole.collect()) == ["line1\nline2\n", "line3\n"]
