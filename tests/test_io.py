@@ -146,3 +146,29 @@ def test_text_source_lines_and_wholetext(spark, tmp_path):
     assert sorted(r.value for r in lines.collect()) == ["line1", "line2", "line3"]
     whole = io.read_text(spark, str(tmp_path), whole=True)
     assert sorted(r.value for r in whole.collect()) == ["line1\nline2\n", "line3\n"]
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    """50 tiny input files -> sized output: file count from REAL byte
+    totals, rows preserved exactly, evenly-sized outputs."""
+    src, dst = str(tmp_path / "tiny"), str(tmp_path / "compacted")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(50).write.parquet(src)
+    n_in = len(glob.glob(os.path.join(src, "*.parquet")))
+    assert n_in == 50
+
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(src, "*.parquet"))
+    )
+    target = max(1, total // 3)  # force ~3-4 output files
+    n_out = io.compact_parquet(spark, src, dst, target_bytes=target)
+    files = glob.glob(os.path.join(dst, "*.parquet"))
+    assert len(files) == n_out == -(-total // target)
+    # data survives the rewrite exactly
+    before = sorted(r.o_orderkey for r in orders.collect())
+    after = sorted(r.o_orderkey for r in spark.read.parquet(dst).collect())
+    assert before == after
+    # round-robin repartition -> roughly even output sizes (the point
+    # of paying the shuffle instead of coalesce)
+    sizes = sorted(os.path.getsize(f) for f in files)
+    assert sizes[0] > 0.5 * sizes[-1], sizes
