@@ -238,6 +238,55 @@ def main() -> None:
         lambda: load_table(spark, sf_dir, "lineitem").select("l_orderkey").count()
     )
 
+    # N-version engine table (the reference's own format: each task
+    # timed on EVERY implementation — sqldf/base/dplyr/data.table,
+    # RDataFramesSQL.Rmd:139-152). Our analogue for the headline six:
+    # the fluent DataFrame plan (already in `timings`), the Spark-SQL
+    # text form (same engine, independent plan derivation), and the
+    # DuckDB oracle SQL (a genuinely different engine, single-process
+    # — expect it to win at toy SF exactly like the floor analysis
+    # predicts, and to lose the moment data outgrows one machine).
+    # Reported in BENCH_DETAILS only; the headline contract stays the
+    # six fluent medians vs BASELINE.md.
+    from sqlondataframesr_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    for k, v in ref_confs.items():
+        spark.conf.set(k, v)
+    sql_forms = registry.spark_sql()
+    oracle_forms = registry.oracles()
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    nversion: dict[str, dict[str, float]] = {}
+    for name in sorted(ref_names):
+        row = {"fluent": timings[name]}
+        if name in sql_forms:
+            fn = lambda: spark.sql(sql_forms[name]).toPandas()  # noqa: E731
+            fn()
+            s = []
+            for _ in range(REF_RUNS):
+                t0 = time.perf_counter()
+                fn()
+                s.append(time.perf_counter() - t0)
+            row["spark_sql"] = round(statistics.median(s), 4)
+        if name in oracle_forms:
+            dfn = lambda: con.execute(oracle_forms[name]).fetchall()  # noqa: E731
+            dfn()
+            s = []
+            for _ in range(REF_RUNS):
+                t0 = time.perf_counter()
+                dfn()
+                s.append(time.perf_counter() - t0)
+            row["duckdb"] = round(statistics.median(s), 4)
+        nversion[name] = row
+    con.close()
+
     #: BASELINE.md "sqldf" medians for the six reference tasks (the
     #: contract comparison; same numbers the judge reads).
     BASELINE_SQLDF = {
@@ -331,6 +380,7 @@ def main() -> None:
                 "spreads": spreads,
                 "floor_sec": {"noop": floor_noop, "scan_count": floor_scan},
                 "vs_baseline": floor_analysis,
+                "nversion_engines": nversion,
             },
             fh,
             indent=1,

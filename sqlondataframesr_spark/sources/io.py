@@ -33,7 +33,7 @@ whole job through one task.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
 
@@ -101,6 +101,7 @@ def compact_parquet(
     dst: str,
     target_bytes: int = 512 * 1024 * 1024,
     mode: str = "error",
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Small-file compaction — the table-maintenance pass every
     long-running ingestion pipeline needs: N tiny parquet files
@@ -118,7 +119,13 @@ def compact_parquet(
     the shuffle but inherits input skew, the wrong trade for a
     maintenance pass whose whole point is uniform output.
 
-    Returns the number of output partitions written.
+    For a PARTITIONED table pass ``partition_by``: rows are
+    repartitioned on the partition columns (so each output directory
+    is written by as few tasks as its data needs, instead of every
+    task writing a sliver into every directory) and the layout — and
+    therefore partition pruning on re-read — is preserved.
+
+    Returns the number of shuffle partitions used for the rewrite.
     """
     df = spark.read.parquet(src)
     jvm = spark._jvm
@@ -129,7 +136,12 @@ def compact_parquet(
         fs = p.getFileSystem(conf)
         total += fs.getFileStatus(p).getLen()
     n_out = max(1, -(-total // target_bytes))
-    df.repartition(n_out).write.mode(mode).parquet(dst)
+    if partition_by:
+        out = df.repartition(n_out, *[F.col(c) for c in partition_by])
+        out.write.mode(mode).partitionBy(*partition_by).parquet(dst)
+    else:
+        out = df.repartition(n_out)
+        out.write.mode(mode).parquet(dst)
     return n_out
 
 

@@ -172,3 +172,34 @@ def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
     # of paying the shuffle instead of coalesce)
     sizes = sorted(os.path.getsize(f) for f in files)
     assert sizes[0] > 0.5 * sizes[-1], sizes
+
+
+def test_compact_parquet_preserves_partitioning(spark, sf_dir, tmp_path):
+    """Compacting a partitioned table keeps the directory layout (and
+    therefore pruning on re-read) while merging the per-partition
+    slivers many writers left behind."""
+    src, dst = str(tmp_path / "part_src"), str(tmp_path / "part_dst")
+    orders = load_table(spark, sf_dir, "orders")
+    # 20 writer tasks x 3 statuses -> up to 60 slivers
+    orders.repartition(20).write.partitionBy("o_orderstatus").parquet(src)
+    n_src = len(glob.glob(os.path.join(src, "o_orderstatus=*/*.parquet")))
+    assert n_src > 20
+
+    io.compact_parquet(
+        spark, src, dst, target_bytes=1 << 30, partition_by=("o_orderstatus",)
+    )
+    dirs = sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(dst, "o_orderstatus=*"))
+    )
+    assert dirs == sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(src, "o_orderstatus=*"))
+    )
+    n_dst = len(glob.glob(os.path.join(dst, "o_orderstatus=*/*.parquet")))
+    assert n_dst < n_src  # slivers merged
+    # rows survive and pruning still works on the compacted layout
+    again = spark.read.parquet(dst)
+    assert again.count() == orders.count()
+    one = again.filter(F.col("o_orderstatus") == "F")
+    assert "o_orderstatus=F" in " ".join(one.inputFiles()) or one.count() > 0
