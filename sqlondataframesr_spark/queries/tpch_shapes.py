@@ -764,6 +764,431 @@ LIMIT 25
 """
 
 
+def q50_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): count the quarter's
+    orders per priority where at least ONE line shipped late — the
+    textbook correlated ``EXISTS`` whose inner predicate references
+    BOTH sides (``l_shipdate > o_orderdate + 30 days``).
+
+    Adaptation: synthetic lineitem has no commit/receipt dates, so
+    "late" := shipped >30 days after order date (same per-line
+    semantics as Q49's substitute).
+
+    Plan/scale: the quarter filter prunes orders at the scan; the
+    EXISTS lowers to one LEFT SEMI hash join on orderkey with the
+    date inequality as the join residual — Spark dedups the probe
+    side internally, so lineitem is scanned once and never
+    aggregated. The SQL twin keeps the correlated spelling, proving
+    semi-join ≡ EXISTS differentially.
+    """
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        ords.join(
+            li,
+            (ords.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.expr("o_orderdate + INTERVAL '30' DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q50_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL '30' DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+def q51_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): 1997 revenue per ASIA
+    nation counting only lines where the CUSTOMER and the SUPPLIER
+    sit in the same nation — the 6-table join whose distinguishing
+    predicate (``c_nationkey = s_nationkey``) links two dimensions
+    that never join directly.
+
+    Plan/scale: the year filter prunes orders at the scan; the join
+    order is big-to-small (lineitem⋈orders⋈customer on their natural
+    keys — two keyed shuffles AQE can size — then supplier, then the
+    broadcast nation/region dims); the nation-equality predicate is
+    applied as a residual once both nationkeys are in scope, so no
+    cross-dimension shuffle exists. Revenue is cent-exact bigint.
+    """
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.expr(_REV_CENTS).alias("rev_c")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("rev_c").cast("double") / 100.0, 2).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+Q51_SQL = f"""
+SELECT n.n_name,
+       round(CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE) / 100.0, 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name ASC
+"""
+
+
+def q52_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier
+    nation per order year over one part class, where profit mixes
+    revenue with a cost term from ANOTHER table's column — the
+    Q9 signature (ps_supplycost · l_quantity) adapted to
+    ``p_retailprice · l_quantity`` since the synthetic schema has no
+    partsupp.
+
+    Determinism: both terms are cent-quantized bigints BEFORE the
+    subtraction, so profit is exact integer arithmetic at any SF and
+    any summation order (profit may legitimately be negative).
+
+    Plan/scale: the part-class filter prunes part at the scan and
+    broadcasts it into lineitem (map-side); supplier joins next, the
+    25-row nation broadcast resolves the group key, and the one
+    big-big shuffle is lineitem⋈orders on orderkey. Group-by is
+    (nation, year) — 25·7 cells, partials collapse map-side.
+    """
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select(
+            "p_partkey",
+            F.expr("cast(round(p_retailprice * 100) as bigint)").alias("cost_unit_c"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.expr("cast(l_quantity as bigint)").alias("qty"),
+        F.expr(_REV_CENTS).alias("rev_c"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .select(
+            "n_name",
+            "o_year",
+            (F.col("rev_c") - F.col("cost_unit_c") * F.col("qty")).alias("profit_c"),
+        )
+        .groupBy("n_name", "o_year")
+        .agg(F.round(F.sum("profit_c").cast("double") / 100.0, 2).alias("profit"))
+        .orderBy(F.col("n_name").asc(), F.col("o_year").desc())
+    )
+
+
+Q52_SQL = f"""
+SELECT n.n_name, year(o.o_orderdate) AS o_year,
+       round(CAST(SUM({_REV_CENTS_SQL}
+                      - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                        * CAST(l.l_quantity AS BIGINT)) AS DOUBLE) / 100.0, 2) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_type = 'PROMO'
+GROUP BY n.n_name, year(o.o_orderdate)
+ORDER BY n.n_name ASC, o_year DESC
+"""
+
+
+def q53_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts whose
+    total lineitem revenue exceeds a GLOBAL-aggregate-derived
+    threshold — the scalar-subquery-in-HAVING pattern.
+
+    Adaptation: Q11's ``> 0.0001/SF · Σvalue`` fraction is replaced
+    by ``> 1.5 × the mean per-part value``, which is scale-free by
+    construction (the qualifying share depends on the value
+    distribution's shape, not the row count — measured 2/29/252
+    qualifiers at sf0.001/0.01/0.1, ~1%). The comparison is
+    evaluated in exact integer cross-multiplied form
+    (``2 · value_c · n_parts > 3 · total_c``) — no float division on
+    either engine.
+
+    Plan/scale: ONE shuffle builds the per-part aggregate; the global
+    (total, count) pair is a 1-row reduce of that same aggregate,
+    broadcast back via scalar cross-join — the base table is scanned
+    once. At 100 TB the partkey shuffle with map-side partials is
+    the whole cost.
+    """
+    per_part = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", F.expr(_REV_CENTS).alias("rev_c"))
+        .groupBy("l_partkey")
+        .agg(F.sum("rev_c").alias("value_c"))
+    )
+    totals = per_part.agg(
+        F.sum("value_c").alias("total_c"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .filter(
+            F.lit(2) * F.col("value_c") * F.col("n_parts")
+            > F.lit(3) * F.col("total_c")
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("value_c").cast("double") / 100.0, 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+Q53_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS value_c
+  FROM lineitem l
+  GROUP BY l_partkey
+),
+totals AS (
+  SELECT CAST(SUM(value_c) AS BIGINT) AS total_c,
+         COUNT(*) AS n_parts
+  FROM per_part
+)
+SELECT p.l_partkey,
+       round(CAST(p.value_c AS DOUBLE) / 100.0, 2) AS part_value
+FROM per_part p CROSS JOIN totals t
+WHERE 2 * p.value_c * t.n_parts > 3 * t.total_c
+ORDER BY part_value DESC, p.l_partkey ASC
+"""
+
+
+def q54_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each part of one
+    size/type class, THE supplier with the minimum account balance
+    among the EUROPE-region suppliers that have actually shipped it —
+    Q2's correlated-MIN-subquery, decorrelated as a per-part
+    ``row_number`` window (acctbal ASC, suppkey ASC pins ties, which
+    the textbook MIN spelling leaves ambiguous).
+
+    Adaptation: no partsupp table, so "supplies part p" :=
+    ``DISTINCT (l_partkey, l_suppkey)`` from lineitem and the
+    minimized cost is ``s_acctbal`` (passes through unrounded — both
+    engines read the identical parquet doubles).
+
+    Plan/scale: the DISTINCT pair-set and the window share the
+    partkey-hash partitioning (one shuffle, no re-exchange); the
+    part-class filter broadcasts into the pair-set BEFORE the window,
+    so only qualifying partitions sort; supplier/nation/region are
+    broadcast dims. Per-part group sizes are bounded by |suppliers
+    per part| — no skew risk.
+    """
+    from pyspark.sql import Window
+
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+        )
+        .select("p_partkey", "p_brand")
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_brand", "l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        pairs.join(supp, pairs.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal", "n_name")
+        .orderBy(F.col("p_partkey").asc())
+    )
+
+
+Q54_SQL = """
+SELECT p_partkey, p_brand, s_name, s_acctbal, n_name
+FROM (
+  SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, n.n_name,
+         row_number() OVER (PARTITION BY p.p_partkey
+                            ORDER BY s.s_acctbal ASC, s.s_suppkey ASC) AS rn
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pl
+  JOIN part p ON pl.l_partkey = p.p_partkey
+  JOIN supplier s ON pl.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 20
+    AND r.r_name = 'EUROPE'
+) ranked
+WHERE rn = 1
+ORDER BY p_partkey ASC
+"""
+
+
+def q55_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who
+    shipped MORE THAN HALF of some ECONOMY-class part's total 1997
+    volume, with their nation — Q20's nested
+    IN-(grouped-HAVING-vs-aggregate-threshold) membership chain.
+
+    Adaptation: Q20's ``0.5 · available quantity`` (partsupp) becomes
+    ``0.5 · the part's total shipped quantity in the window``; the
+    comparison is the exact-integer cross-multiplied
+    ``2 · sup_qty > part_qty`` (11/90/1007 qualifying cells at
+    sf0.001/0.01/0.1). Q20's nation restriction is replaced by
+    REPORTING the nation — at small SF the 10-supplier pool makes
+    any single-region filter degenerate to zero rows, which would
+    leave the differential trivially green.
+
+    Plan/scale: ONE scan of the filtered lineitem aggregates to
+    (partkey, suppkey) cells; the per-part total is a window-SUM over
+    that aggregate, REUSING its partkey hash partitioning instead of
+    re-scanning lineitem (the SQL twin spells it as two grouped
+    subqueries — the differential proves window-over-agg ≡
+    agg-join-agg). Survivor suppkeys then LEFT SEMI into the
+    broadcast-dim-filtered supplier table.
+    """
+    from pyspark.sql import Window
+
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    cells = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", F.expr("cast(l_quantity as bigint)").alias("qty"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("sup_qty"))
+    )
+    winners = (
+        cells.withColumn(
+            "part_qty", F.sum("sup_qty").over(Window.partitionBy("l_partkey"))
+        )
+        .filter(F.lit(2) * F.col("sup_qty") > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    return (
+        supp.join(winners, supp.s_suppkey == winners.l_suppkey, "left_semi")
+        .orderBy(F.col("s_name").asc())
+    )
+
+
+Q55_SQL = """
+SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+    SELECT pq.l_suppkey
+    FROM (SELECT l.l_partkey, l.l_suppkey,
+                 CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sup_qty
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_type = 'ECONOMY'
+            AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l.l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY l.l_partkey, l.l_suppkey) pq
+    JOIN (SELECT l.l_partkey,
+                 CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS part_qty
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_type = 'ECONOMY'
+            AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l.l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY l.l_partkey) pt ON pq.l_partkey = pt.l_partkey
+    WHERE 2 * pq.sup_qty > pt.part_qty
+  )
+ORDER BY s.s_name ASC
+"""
+
+
 QUERIES = {
     "q34_market_share": q34_market_share,
     "q35_order_count_distribution": q35_order_count_distribution,
@@ -778,6 +1203,12 @@ QUERIES = {
     "q47_small_quantity_revenue": q47_small_quantity_revenue,
     "q48_large_order_customers": q48_large_order_customers,
     "q49_waiting_suppliers": q49_waiting_suppliers,
+    "q50_order_priority_exists": q50_order_priority_exists,
+    "q51_local_supplier_volume": q51_local_supplier_volume,
+    "q52_product_type_profit": q52_product_type_profit,
+    "q53_important_parts": q53_important_parts,
+    "q54_min_acctbal_supplier": q54_min_acctbal_supplier,
+    "q55_excess_quantity_suppliers": q55_excess_quantity_suppliers,
 }
 
 # The SQL strings above are written in the dialect intersection of
@@ -799,6 +1230,12 @@ ORACLES = {
     "q47_small_quantity_revenue": Q47_SQL,
     "q48_large_order_customers": Q48_SQL,
     "q49_waiting_suppliers": Q49_SQL,
+    "q50_order_priority_exists": Q50_SQL,
+    "q51_local_supplier_volume": Q51_SQL,
+    "q52_product_type_profit": Q52_SQL,
+    "q53_important_parts": Q53_SQL,
+    "q54_min_acctbal_supplier": Q54_SQL,
+    "q55_excess_quantity_suppliers": Q55_SQL,
 }
 
 SPARK_SQL: dict[str, str] = dict(ORACLES)
