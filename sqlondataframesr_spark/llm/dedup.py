@@ -768,8 +768,132 @@ ORDER BY doc_a, doc_b
 """
 
 
+#: span-level dedup segment width (words per span). CCNet dedups at
+#: paragraph granularity; the synthetic corpus is a single-line word
+#: stream, so consecutive fixed-width word spans stand in for
+#: paragraphs (same pipeline shape: segment → hash → global
+#: keep-first → reassemble).
+SPAN_K = 8
+
+
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document dedup: split every document into
+    consecutive ``SPAN_K``-word spans, keep only each span's GLOBALLY
+    FIRST occurrence (ordered by doc_id, then position), and
+    reassemble the surviving text — removing boilerplate that exact
+    and near-dup DOCUMENT dedup both miss (CCNet dedups paragraphs
+    against the whole shard for exactly this reason).
+
+    Keep-first is pinned by ``row_number`` over (doc_id, seg_idx) —
+    fully deterministic, unlike CCNet's shard-order heuristic.
+
+    Scale: two shuffles. (1) window over ``md5(span)`` — the shuffle
+    key is a 32-char hash, groups are tiny (global copies of one
+    span), so no skew; (2) ``groupBy(doc_id)`` to reassemble, whose
+    groups are bounded by words/SPAN_K spans per doc. The reassembled
+    text is ``array_join(array_sort(structs))`` — deterministic
+    regardless of ``collect_list`` arrival order. At 100 TB both
+    shuffles move ~(40B + span text) per span; the window never sees
+    full documents.
+    """
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    spans = (
+        docs.withColumn("w", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(w)/{SPAN_K}.0) as int) - 1),"
+                    f" i -> concat_ws(' ', slice(w, i*{SPAN_K}+1, {SPAN_K})))"
+                )
+            ).alias("seg_idx", "seg"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("seg")).orderBy(
+        F.col("doc_id").asc(), F.col("seg_idx").asc()
+    )
+    kept = spans.withColumn("keep", F.row_number().over(w) == F.lit(1))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("seg_idx", "seg"))
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SPANS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+spans AS (
+  SELECT doc_id, u.i AS seg_idx,
+         array_to_string(w[(u.i * {SPAN_K} + 1):(u.i * {SPAN_K} + {SPAN_K})], ' ') AS seg
+  FROM toks CROSS JOIN LATERAL
+       unnest(range(CAST(ceil(len(w) / {SPAN_K}.0) AS BIGINT))) AS u(i)
+),
+ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY md5(seg)
+                            ORDER BY doc_id ASC, seg_idx ASC) = 1 AS keep
+  FROM spans
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '')
+         AS clean_text
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+DEDUP_SPANS_SPARK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, split(text, ' ') AS w FROM documents
+),
+spans AS (
+  SELECT doc_id, pos AS seg_idx, seg
+  FROM toks
+  LATERAL VIEW posexplode(
+    transform(sequence(0, cast(ceil(size(w)/{SPAN_K}.0) as int) - 1),
+              i -> concat_ws(' ', slice(w, i*{SPAN_K}+1, {SPAN_K})))) t AS pos, seg
+),
+ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY md5(seg)
+                            ORDER BY doc_id ASC, seg_idx ASC) = 1 AS keep
+  FROM spans
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       SUM(CAST(keep AS BIGINT)) AS n_kept,
+       array_join(transform(array_sort(collect_list(
+           CASE WHEN keep THEN struct(seg_idx, seg) END)), x -> x.seg), ' ')
+         AS clean_text
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_spans": dedup_spans,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_substring_13gram": dedup_substring_13gram,
@@ -780,6 +904,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
+    "dedup_spans": DEDUP_SPANS_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_ORACLE,
     "dedup_ngram_jaccard_capped": DEDUP_NGRAM_JACCARD_CAPPED_ORACLE,
     "dedup_substring_13gram": DEDUP_SUBSTRING_13GRAM_ORACLE,
@@ -793,6 +918,7 @@ ORACLES = {
 # iterative (the oracle uses WITH RECURSIVE, which Spark SQL lacks).
 SPARK_SQL: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_ORACLE,  # dialect-neutral: valid in both engines
+    "dedup_spans": DEDUP_SPANS_SPARK_SQL,
     "dedup_ngram_jaccard": f"""
 WITH s AS ({_SHINGLES_SPARK_SQL}),
 e AS (SELECT doc_id, explode(sh) AS sx FROM s),

@@ -503,3 +503,42 @@ def test_cluster_pair_cap_never_binds_at_tested_scales():
         "SELECT count(*) FROM read_parquet('/root/testdata/sf0.1/embeddings.parquet')"
     ).fetchone()[0]
     assert n < CLUSTER_PAIR_CAP
+
+
+def test_dedup_spans_keep_first_semantics(spark, sf_dir):
+    """Span dedup invariants the DuckDB differential can't see in
+    isolation: (1) every kept span text is globally unique; (2) a
+    dropped span's text also appears as some KEPT span earlier in
+    (doc_id, seg_idx) order; (3) reassembled text of an all-kept doc
+    round-trips to the original; (4) span accounting covers the doc."""
+    import pyspark.sql.functions as F
+
+    from sqlondataframesr_spark.catalog import load_table
+    from sqlondataframesr_spark.llm.dedup import SPAN_K, dedup_spans
+
+    out = dedup_spans(spark, sf_dir)
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
+    rows = out.collect()
+    assert {r.doc_id for r in rows} == set(docs)
+
+    kept_spans: dict[str, tuple[int, int]] = {}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        words = docs[r.doc_id].split(" ")
+        n_spans = -(-len(words) // SPAN_K)
+        assert r.n_spans == n_spans
+        # 0 is legitimate: an exact-duplicate doc keeps nothing
+        assert 0 <= r.n_kept <= r.n_spans
+        if r.n_kept == r.n_spans:  # all kept → byte-exact round trip
+            assert r.clean_text == docs[r.doc_id]
+    # global uniqueness + drop justification, recomputed from scratch
+    seen: set[str] = set()
+    n_kept_by_doc: dict[int, int] = {}
+    for doc_id in sorted(docs):
+        words = docs[doc_id].split(" ")
+        for i in range(-(-len(words) // SPAN_K)):
+            seg = " ".join(words[i * SPAN_K : (i + 1) * SPAN_K])
+            if seg not in seen:
+                seen.add(seg)
+                n_kept_by_doc[doc_id] = n_kept_by_doc.get(doc_id, 0) + 1
+    for r in rows:
+        assert r.n_kept == n_kept_by_doc.get(r.doc_id, 0)
