@@ -774,6 +774,143 @@ _RP_SPARK_SQL = "SELECT vec_id, " + ", ".join(
 KMEANS_TRAIN_ORACLE = _kmeans_oracle()
 
 
+#: SQ8 search: candidates kept per query for exact re-ranking. 32 for
+#: top-5 is the standard ~6x over-fetch serving indexes use.
+SQ_RERANK = 32
+
+
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over int8 scalar-quantized codes (the SQ8 serving rung,
+    faiss ``SQ8``-style): rank candidates by the INTEGER dot product
+    of per-vector-scaled int8 codes — 64 B/vector instead of 512 B —
+    keep the top ``SQ_RERANK`` per query, then re-rank exactly on the
+    float vectors. Sits between brute force (exact, full-width) and
+    IVF (clustered) on the scale ladder: same scan shape as brute
+    force at 1/8 the memory bandwidth, no training step.
+
+    Determinism: codes are exact ints (half-up ``floor(x·scale+0.5)``);
+    the candidate ranking key ``idot / (scale·nrm)`` divides the exact
+    integer dot by per-CANDIDATE constants only (the query's own
+    factors are rank-invariant inside its partition) with the same
+    expression shape on both engines — identical IEEE doubles,
+    identical order; ties pinned by neighbor_id.
+
+    Scale: quantization is a pure map (codegen transform); scoring is
+    the brute-force broadcast pattern (query codes broadcast, ONE
+    stream over the corpus, no big-side shuffle); only
+    N_QUERIES·SQ_RERANK rows reach the exact re-rank join.
+    """
+    vec = _vectors(spark, sf_dir)
+    codes = (
+        vec.withColumn("maxabs", F.expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn(
+            "scale",
+            F.when(F.col("maxabs") > 0, F.lit(127.0) / F.col("maxabs")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "qe", F.expr("transform(v, x -> cast(floor(x * scale + 0.5d) as bigint))")
+        )
+        .select("vec_id", "nrm", "scale", "qe")
+    )
+    q = (
+        codes.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("qe").alias("qqe"),
+        )
+    )
+    cand = (
+        codes.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(qqe, qe, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+            ).alias("idot"),
+            "scale",
+            "nrm",
+        )
+        .withColumn(
+            "approx",
+            F.when(
+                F.col("scale") > 0,
+                F.col("idot").cast("double") / (F.col("scale") * F.col("nrm")),
+            ),
+        )
+        .withColumn(
+            "crnk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("approx").desc_nulls_last(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("crnk") <= SQ_RERANK)
+        .select("q_id", "neighbor_id")
+    )
+    qv = vec.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    ).filter(F.col("q_id") < N_QUERIES)
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(vec, cand.neighbor_id == vec.vec_id)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.expr(_COS.format(a="qv", b="v", na="qn", nb="nrm")).alias("cosine"),
+        )
+    )
+    return _topk(scored)
+
+
+_SQ8_CODES_DUCK = f"""
+  SELECT vec_id, nrm, scale,
+         [CAST(floor(v[i] * scale + 0.5) AS BIGINT) for i in range(1, {DIM + 1})] AS qe
+  FROM (SELECT vec_id, v, nrm,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                    THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                    ELSE 0.0 END AS scale
+        FROM vec)
+"""
+
+ANN_SQ8_TOPK_ORACLE = f"""
+WITH vec AS ({_VEC_SQL}),
+codes AS ({_SQ8_CODES_DUCK}),
+scored_int AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         list_sum([q.qe[i] * c.qe[i] for i in range(1, {DIM + 1})]) AS idot,
+         c.scale AS scale, c.nrm AS nrm
+  FROM codes q JOIN codes c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT q_id, neighbor_id
+  FROM (SELECT q_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q_id
+                 ORDER BY (CASE WHEN scale > 0
+                           THEN CAST(idot AS DOUBLE) / (scale * nrm) END)
+                          DESC NULLS LAST, neighbor_id ASC) AS crnk
+        FROM scored_int)
+  WHERE crnk <= {SQ_RERANK}
+),
+scored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         {_COS_DUCK.format(a='q.v', b='c.v', na='q.nrm', nb='c.nrm')} AS cosine
+  FROM cand
+  JOIN vec q ON q.vec_id = cand.q_id
+  JOIN vec c ON c.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= {TOP_K} ORDER BY q_id, rnk
+"""
+
+
 QUERIES = {
     "kmeans_train": kmeans_train,
     "emb_random_projection": emb_random_projection,
@@ -782,6 +919,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_trained": ann_ivf_trained,
+    "ann_sq8_topk": ann_sq8_topk,
     "emb_label_centroid": emb_label_centroid,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
@@ -794,6 +932,7 @@ ORACLES = {
     "ann_lsh_topk": ANN_LSH_TOPK_ORACLE,
     "ann_ivf_topk": ANN_IVF_TOPK_ORACLE,
     "ann_ivf_trained": _ivf_trained_oracle(),
+    "ann_sq8_topk": ANN_SQ8_TOPK_ORACLE,
     "emb_label_centroid": EMB_LABEL_CENTROID_ORACLE,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_ORACLE,
 }
@@ -835,6 +974,47 @@ r AS (
   FROM scored
 )
 SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= {TOP_K} ORDER BY q_id, rnk
+"""
+
+
+ANN_SQ8_TOPK_SPARK_SQL = f"""
+WITH vec AS ({_VEC_SPARK_SQL}),
+codes AS (
+  SELECT vec_id, nrm, scale,
+         transform(v, x -> cast(floor(x * scale + 0.5d) as bigint)) AS qe
+  FROM (SELECT vec_id, v, nrm,
+               CASE WHEN array_max(transform(v, x -> abs(x))) > 0
+                    THEN 127.0D / array_max(transform(v, x -> abs(x)))
+                    ELSE 0.0D END AS scale
+        FROM vec)
+),
+scored_int AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         aggregate(zip_with(q.qe, c.qe, (a, b) -> a * b), 0L,
+                   (acc, x) -> acc + x) AS idot,
+         c.scale AS scale, c.nrm AS nrm
+  FROM codes q JOIN codes c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT q_id, neighbor_id
+  FROM (SELECT q_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q_id
+                 ORDER BY (CASE WHEN scale > 0
+                           THEN CAST(idot AS DOUBLE) / (scale * nrm) END)
+                          DESC NULLS LAST, neighbor_id ASC) AS crnk
+        FROM scored_int)
+  WHERE crnk <= {SQ_RERANK}
+),
+scored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         {_COS.format(a='q.v', b='c.v', na='q.nrm', nb='c.nrm')} AS cosine
+  FROM cand
+  JOIN vec q ON q.vec_id = cand.q_id
+  JOIN vec c ON c.vec_id = cand.neighbor_id
+),
+{_TOPK_TAIL_SPARK}
 """
 
 
@@ -912,6 +1092,7 @@ def _kmeans_spark_sql() -> str:
 
 
 SPARK_SQL: dict[str, str] = {
+    "ann_sq8_topk": ANN_SQ8_TOPK_SPARK_SQL,
     "ann_cosine_topk": f"""
 WITH vec AS ({_VEC_SPARK_SQL}),
 scored AS (
