@@ -974,10 +974,16 @@ def q53_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/scale: ONE shuffle builds the per-part aggregate; the global
     (total, count) pair is a 1-row reduce of that same aggregate,
     broadcast back via scalar cross-join — the base table is scanned
-    once. At 100 TB the partkey shuffle with map-side partials is
-    the whole cost.
+    once. The per-part aggregate feeds two consumers (the filter and
+    the totals reduce), so it is pinned via ``materialize`` — without
+    the pin Catalyst recomputes the branch and lineitem is scanned
+    TWICE (caught by the plan test). The pinned frame is |parts| rows
+    (key + bigint), not lineitem. At 100 TB the partkey shuffle with
+    map-side partials is the whole cost.
     """
-    per_part = (
+    from ..materialize import materialize
+
+    per_part = materialize(
         load_table(spark, sf_dir, "lineitem")
         .select("l_partkey", F.expr(_REV_CENTS).alias("rev_c"))
         .groupBy("l_partkey")

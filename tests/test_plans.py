@@ -259,3 +259,63 @@ def test_winnow_pairs_join_reads_cache_not_recompute(spark, sf_dir):
     # hash shows up once per InMemoryRelation rendering
     for frag in a.text.split("InMemoryRelation")[0:1]:
         assert "md5" not in frag  # nothing above/outside the cache
+
+
+def test_q50_exists_lowers_to_semi_join_with_pushed_quarter(spark, sf_dir):
+    """Q4-shape: the correlated EXISTS must run as ONE left-semi hash
+    join (no aggregate, no second lineitem pass) and the quarter band
+    must be evaluated by the parquet reader."""
+    a = _audit(spark, sf_dir, "q50_order_priority_exists")
+    assert "LeftSemi" in a.text
+    assert "GreaterThanOrEqual(o_orderdate" in a.text
+    assert not a.has_cartesian
+
+
+def test_q51_pushes_year_band_and_broadcasts_dims(spark, sf_dir):
+    """Q5-shape: the order-year band reaches the orders scan; nation/
+    region resolve as broadcasts; the cross-dimension nation equality
+    is a join residual, never its own shuffle."""
+    a = _audit(spark, sf_dir, "q51_local_supplier_volume")
+    assert "GreaterThanOrEqual(o_orderdate" in a.text
+    assert "BroadcastExchange" in a.text
+    assert not a.has_cartesian
+
+
+def test_q53_scalar_threshold_is_broadcast_single_lineitem_scan(spark, sf_dir):
+    """Q11-shape: the global (total, count) pair must come back as a
+    1-row broadcast, and lineitem must be scanned exactly once — the
+    scalar subquery reuses the per-part aggregate, it does not rescan."""
+    a = _audit(spark, sf_dir, "q53_important_parts")
+    assert "BroadcastExchange" in a.text or "BroadcastNestedLoopJoin" in a.text
+    assert not a.has_cartesian
+    # both consumers (threshold filter + totals reduce) must read the
+    # PINNED per-part aggregate — the plan text embeds the cached
+    # subtree's FileScan once per consumer, but physically the cache
+    # is built from ONE lineitem pass (materialize contract)
+    assert a.text.count("InMemoryTableScan") == 2
+
+
+def test_q55_window_over_agg_single_lineitem_scan(spark, sf_dir):
+    """Q20-shape: the per-part total is a window over the (part, supp)
+    aggregate — same partitioning, NO second lineitem scan (the SQL
+    twin's two grouped subqueries would scan twice; the fluent plan
+    must not)."""
+    a = _audit(spark, sf_dir, "q55_excess_quantity_suppliers")
+    assert a.text.count("lineitem.parquet") == 1
+    assert not a.has_cartesian
+
+
+def test_sq8_query_codes_are_broadcast(spark, sf_dir):
+    """SQ8 ANN keeps the brute-force scan shape: query codes broadcast
+    against one stream over the corpus — the big side never shuffles
+    for scoring."""
+    a = _audit(spark, sf_dir, "ann_sq8_topk")
+    assert "BroadcastNestedLoopJoin" in a.text or "BroadcastExchange" in a.text
+    assert not a.has_cartesian
+
+
+def test_dedup_spans_no_cartesian_two_keyed_shuffles(spark, sf_dir):
+    """Span dedup is window (span-hash) + reassembly (doc_id): keyed
+    exchanges only — no pair join, no cartesian anywhere."""
+    a = _audit(spark, sf_dir, "dedup_spans")
+    assert not a.has_cartesian
