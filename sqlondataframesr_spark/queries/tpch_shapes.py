@@ -1195,6 +1195,105 @@ ORDER BY s.s_name ASC
 """
 
 
+def q56_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the scan-only
+    aggregate — one year band, a discount band, a quantity cap, ONE
+    global SUM of ``l_extendedprice · l_discount``. The simplest and
+    most IO-bound of the 22: its entire 100 TB story is pushdown (all
+    three predicates must reach the parquet reader) and map-side
+    partial aggregation; there is no join and no group key.
+
+    Determinism: the product is quantized to hundredths-of-cents
+    bigints before summing (two factors of 100; discounts are
+    2-decimal, prices 2-decimal, so the product is exact at 1e-4).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.02, 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(
+                F.expr(
+                    "cast(round(l_extendedprice * 100) as bigint)"
+                    " * cast(round(l_discount * 100) as bigint)"
+                )
+            ).cast("double")
+            / 10000.0,
+            2,
+        ).alias("revenue_delta")
+    )
+
+
+Q56_SQL = """
+SELECT round(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / 10000.0, 2) AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def q57_priority_shipping_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes & order priority): per line
+    class, how many CRITICAL (1-URGENT/2-HIGH) vs non-critical orders
+    it carried — the conditional-CASE-count-inside-GROUP-BY pattern.
+
+    Adaptation: no l_shipmode column; the grouped class is
+    ``l_returnflag`` restricted to lines shipped >60 days after the
+    order date in 1997 (Q12's "received late within the year" band,
+    same late-predicate substitute as Q49/Q50).
+
+    Plan/scale: one orderkey join (lineitem⋈orders, the only
+    shuffle-sized edge; at toy SF AQE broadcasts the date-pruned
+    orders side), both CASE-sums collapse in one grouped pass over
+    ~|returnflag| cells, partials map-side.
+    """
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(ords, (li.l_orderkey == ords.o_orderkey))
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL '60' DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, F.lit(1)).otherwise(F.lit(0))).alias("high_line_count"),
+            F.sum(F.when(~crit, F.lit(1)).otherwise(F.lit(0))).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q57_SQL = """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
 QUERIES = {
     "q34_market_share": q34_market_share,
     "q35_order_count_distribution": q35_order_count_distribution,
@@ -1215,6 +1314,8 @@ QUERIES = {
     "q53_important_parts": q53_important_parts,
     "q54_min_acctbal_supplier": q54_min_acctbal_supplier,
     "q55_excess_quantity_suppliers": q55_excess_quantity_suppliers,
+    "q56_forecast_revenue_change": q56_forecast_revenue_change,
+    "q57_priority_shipping_split": q57_priority_shipping_split,
 }
 
 # The SQL strings above are written in the dialect intersection of
@@ -1242,6 +1343,8 @@ ORACLES = {
     "q53_important_parts": Q53_SQL,
     "q54_min_acctbal_supplier": Q54_SQL,
     "q55_excess_quantity_suppliers": Q55_SQL,
+    "q56_forecast_revenue_change": Q56_SQL,
+    "q57_priority_shipping_split": Q57_SQL,
 }
 
 SPARK_SQL: dict[str, str] = dict(ORACLES)

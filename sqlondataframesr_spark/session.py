@@ -45,6 +45,13 @@ SQL_CONFS = {
     # layer ALSO canonicalizes ntz -> timestamp by type, so either
     # defense alone suffices (e.g. under an externally-built session).
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Plan-string truncation elides PushedFilters / ReadSchema
+    # metadata mid-token (maxMetadataStringLength caps each scan-node
+    # metadata entry at 100 chars; maxToStringFields caps field
+    # lists), blinding plans/audit.py and dump_plans.py; the audit
+    # layer is a first-class surface here, so print plans whole.
+    "spark.sql.debug.maxToStringFields": "500",
+    "spark.sql.maxMetadataStringLength": "10000",
 }
 
 

@@ -319,3 +319,16 @@ def test_dedup_spans_no_cartesian_two_keyed_shuffles(spark, sf_dir):
     exchanges only — no pair join, no cartesian anywhere."""
     a = _audit(spark, sf_dir, "dedup_spans")
     assert not a.has_cartesian
+
+
+def test_q56_all_three_predicates_pushed(spark, sf_dir):
+    """Q6-shape is pure scan+reduce: the year band, discount band and
+    quantity cap must ALL reach the parquet reader (its whole 100 TB
+    cost model is row-group pruning), and the plan must contain no
+    join and no shuffle beyond the single-partition reduce."""
+    a = _audit(spark, sf_dir, "q56_forecast_revenue_change")
+    p = a.text
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "GreaterThanOrEqual(l_discount" in p and "LessThanOrEqual(l_discount" in p
+    assert "LessThan(l_quantity" in p
+    assert not a.join_strategies
