@@ -1,0 +1,262 @@
+"""Data-quality operators: table profiling and rule-based validation.
+
+Production pipelines gate ingestion on exactly these two shapes (dbt
+tests / Great-Expectations / Deequ): a per-column PROFILE (row counts,
+null counts, distinct counts, min/max) and a battery of DQ RULES
+(primary-key uniqueness, FK orphans, domain checks) whose violation
+counts must be zero before a partition is published. Amazon Deequ runs
+this same design on Spark; this module is the engine-native analogue,
+oracle-checked like every other query.
+
+Reference scope note: the reference notebook (RDataFramesSQL.Rmd) has
+no data-validation surface at all — this is north-star tooling a
+100 TB ingestion pipeline cannot run without.
+
+Determinism: profile min/max are emitted as TYPED columns (numerics →
+``min_num``/``max_num`` doubles, with timestamps as unix seconds;
+strings → ``min_str``/``max_str``) rather than stringified values —
+cross-engine number→string formatting is not stable, typed values are.
+
+Scale: the profile is ONE full-width aggregate pass (every metric is
+an agg expression over the same scan — partials map-side, a
+single-partition reduce of ~|columns|·4 scalars). The rule battery's
+FK checks are LEFT ANTI joins keyed on the FK (one shuffle each, or
+broadcast when the dimension side is bounded); uniqueness is one
+keyed count. Nothing quadratic, nothing collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+
+#: orders columns profiled, with their kind ('num' | 'ts' | 'str')
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+]
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``orders``: rows, nulls, exact distinct
+    count, typed min/max — the ANALYZE/Deequ profile shape.
+
+    One aggregate pass computes every metric (6 columns × 4 stats as
+    agg expressions over a single scan); the per-column rows are then
+    unpivoted driver-side from the 1-row result via a literal
+    ``stack`` — no second scan, no shuffle beyond the global reduce.
+    """
+    ords = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}_nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}_distinct"))
+        if kind == "num":
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"{c}_min"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"{c}_max"))
+        elif kind == "ts":
+            aggs.append(
+                F.expr(f"cast(unix_seconds(min({c})) as double)").alias(f"{c}_min")
+            )
+            aggs.append(
+                F.expr(f"cast(unix_seconds(max({c})) as double)").alias(f"{c}_max")
+            )
+        else:
+            aggs.append(F.min(F.col(c)).alias(f"{c}_min"))
+            aggs.append(F.max(F.col(c)).alias(f"{c}_max"))
+    one = ords.agg(*aggs)
+
+    stack_parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "str":
+            num_min, num_max = "cast(null as double)", "cast(null as double)"
+            str_min, str_max = f"{c}_min", f"{c}_max"
+        else:
+            num_min, num_max = f"{c}_min", f"{c}_max"
+            str_min, str_max = "cast(null as string)", "cast(null as string)"
+        stack_parts.append(
+            f"'{c}', {c}_nulls, {c}_distinct, {num_min}, {num_max}, {str_min}, {str_max}"
+        )
+    stacked = one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, "
+            + ", ".join(stack_parts)
+            + ") as (col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
+        ),
+    )
+    return stacked.select(
+        "col_name", "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    ).orderBy("col_name")
+
+
+def _profile_oracle() -> str:
+    selects = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            smn = smx = "CAST(NULL AS VARCHAR)"
+        elif kind == "ts":
+            mn = f"CAST(epoch(MIN({c})) AS DOUBLE)"
+            mx = f"CAST(epoch(MAX({c})) AS DOUBLE)"
+            smn = smx = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            smn, smx = f"MIN({c})", f"MAX({c})"
+        selects.append(f"""
+  SELECT '{c}' AS col_name,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         COUNT(DISTINCT {c}) AS n_distinct,
+         {mn} AS min_num, {mx} AS max_num,
+         {smn} AS min_str, {smx} AS max_str
+  FROM orders""")
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY col_name"
+
+
+PROFILE_ORDERS_ORACLE = _profile_oracle()
+
+
+def _profile_spark_sql() -> str:
+    """Spark-dialect dual: same UNION-ALL spelling (the differential
+    then proves single-pass-stack ≡ per-column scans)."""
+    selects = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            smn = smx = "CAST(NULL AS STRING)"
+        elif kind == "ts":
+            mn = f"CAST(unix_seconds(MIN({c})) AS DOUBLE)"
+            mx = f"CAST(unix_seconds(MAX({c})) AS DOUBLE)"
+            smn = smx = "CAST(NULL AS STRING)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            smn, smx = f"MIN({c})", f"MAX({c})"
+        selects.append(f"""
+  SELECT '{c}' AS col_name,
+         COUNT(*) AS n_rows,
+         SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         COUNT(DISTINCT {c}) AS n_distinct,
+         {mn} AS min_num, {mx} AS max_num,
+         {smn} AS min_str, {smx} AS max_str
+  FROM orders""")
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY col_name"
+
+
+PROFILE_ORDERS_SPARK_SQL = _profile_spark_sql()
+
+
+def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based validation battery (the dbt-test / Deequ-check
+    shape): each row is one named rule with its violation count — a
+    publish gate requires every count to be 0. Rules cover the three
+    families production suites are built from: uniqueness (PK),
+    referential integrity (FK anti-joins), and domain constraints.
+
+    The integrity rules all pass (count 0) on the generator's clean
+    data — those rows certify both engines agree the data is clean.
+    The ``orders_backfill_window`` rule is the discriminating one: it
+    validates a hypothetical "pre-2000 backfill" contract the
+    synthetic data deliberately violates (orders run to 2001), so the
+    differential also certifies a NONZERO count path.
+    """
+    ords = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    pk_dups = (
+        ords.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_pk_unique").alias("rule"), "violations")
+    )
+    fk_cust = (
+        ords.join(cust, ords.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_custkey_fk").alias("rule"), "violations")
+    )
+    fk_ord = (
+        li.select("l_orderkey")
+        .join(ords.select("o_orderkey"), li.l_orderkey == ords.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("lineitem_orderkey_fk").alias("rule"), "violations")
+    )
+    nonpos_price = (
+        ords.filter(F.col("o_totalprice") <= 0)
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_totalprice_positive").alias("rule"), "violations")
+    )
+    null_keys = (
+        ords.filter(F.col("o_orderkey").isNull() | F.col("o_custkey").isNull())
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_keys_not_null").alias("rule"), "violations")
+    )
+    discount_domain = (
+        li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("lineitem_discount_domain").alias("rule"), "violations")
+    )
+    backfill_window = (
+        ords.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_backfill_window").alias("rule"), "violations")
+    )
+    return (
+        pk_dups.unionAll(fk_cust)
+        .unionAll(fk_ord)
+        .unionAll(nonpos_price)
+        .unionAll(null_keys)
+        .unionAll(discount_domain)
+        .unionAll(backfill_window)
+        .orderBy("rule")
+    )
+
+
+DQ_VIOLATIONS_ORACLE = """
+SELECT 'orders_pk_unique' AS rule,
+       (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+        GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS violations
+UNION ALL
+SELECT 'orders_custkey_fk',
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+UNION ALL
+SELECT 'orders_keys_not_null',
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL OR o_custkey IS NULL)
+UNION ALL
+SELECT 'lineitem_discount_domain',
+       (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+UNION ALL
+SELECT 'orders_backfill_window',
+       (SELECT COUNT(*) FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+ORDER BY rule
+"""
+
+
+QUERIES = {
+    "profile_orders": profile_orders,
+    "dq_violations": dq_violations,
+}
+
+ORACLES = {
+    "profile_orders": PROFILE_ORDERS_ORACLE,
+    "dq_violations": DQ_VIOLATIONS_ORACLE,
+}
+
+SPARK_SQL: dict[str, str] = {
+    "profile_orders": PROFILE_ORDERS_SPARK_SQL,
+    # the scalar-subquery UNION spelling is dialect-neutral
+    "dq_violations": DQ_VIOLATIONS_ORACLE,
+}

@@ -27,7 +27,7 @@ from .llm import (
 )
 from .multimodal import media
 from .operators import aggmerge, asof, graph, grouped, rangejoin, salt, udtf
-from .queries import extensions, reference, stackexchange, tpch_shapes
+from .queries import extensions, quality, reference, stackexchange, tpch_shapes
 from .streaming import dedup_sink as streaming_dedup_sink
 from .streaming import windows as streaming_windows
 
@@ -36,6 +36,7 @@ _MODULES = [
     extensions,
     stackexchange,
     tpch_shapes,
+    quality,
     text,
     bloom,
     decontam,
