@@ -52,6 +52,12 @@ SQL_CONFS = {
     # layer is a first-class surface here, so print plans whole.
     "spark.sql.debug.maxToStringFields": "500",
     "spark.sql.maxMetadataStringLength": "10000",
+    # Write timestamps as TIMESTAMP(MICROS), not legacy INT96: INT96
+    # columns carry NO parquet min/max statistics, so every
+    # timestamp-range predicate on our own output would lose
+    # row-group/file pruning — the whole point of the clustered
+    # layout (sources/io.write_clustered, pinned in test_io).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

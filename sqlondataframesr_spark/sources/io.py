@@ -224,3 +224,55 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int,
+    n_shards: int | None = None,
+    mode: str = "error",
+) -> None:
+    """Size-bounded parquet export — the training-data delivery path.
+
+    Downstream trainers stream shards; they need MANY files of a
+    BOUNDED size, not one file per Spark partition. Two controls
+    compose: ``repartition(n_shards)`` sets the parallel writer count
+    (round-robin, so shards are even with no key skew) and
+    ``spark.sql.files.maxRecordsPerFile`` caps rows per physical file
+    (a writer with more rows rolls to part-N files). At 100 TB
+    n_shards is the write parallelism; the row cap is the contract
+    with the consumer.
+    """
+    writer_df = df.repartition(n_shards) if n_shards else df
+    (
+        writer_df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int = 8,
+    mode: str = "error",
+) -> None:
+    """Range-clustered parquet layout for data skipping.
+
+    ``repartitionByRange`` + ``sortWithinPartitions`` on the cluster
+    columns gives each output file a narrow, near-disjoint min/max
+    range on those columns; parquet stores those stats per row group,
+    so a later point/range filter prunes whole files+row-groups at
+    the footer (the poor man's Z-order — exact for one leading
+    column, which covers the dominant scan predicate of a fact
+    table, e.g. events by ts). Without this, every file spans the
+    full value domain and min/max stats prune nothing.
+    """
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cluster_by])
+        .sortWithinPartitions(*cluster_by)
+        .write.mode(mode)
+        .parquet(path)
+    )

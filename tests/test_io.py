@@ -203,3 +203,49 @@ def test_compact_parquet_preserves_partitioning(spark, sf_dir, tmp_path):
     assert again.count() == orders.count()
     one = again.filter(F.col("o_orderstatus") == "F")
     assert "o_orderstatus=F" in " ".join(one.inputFiles()) or one.count() > 0
+
+
+def test_write_sharded_bounds_file_sizes(spark, sf_dir, tmp_path):
+    """Every physical file must respect maxRecordsPerFile and the full
+    dataset must round-trip — the training-export contract."""
+    import pyarrow.parquet as pq
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    path = str(tmp_path / "lineitem_sharded")
+    io.write_sharded(li, path, max_records_per_file=1000, n_shards=3)
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(files) >= n // 1000  # the cap forces a multi-file layout
+    per_file = [pq.ParquetFile(f).metadata.num_rows for f in files]
+    assert all(c <= 1000 for c in per_file), per_file
+    assert sum(per_file) == n
+    assert spark.read.parquet(path).count() == n
+
+
+def test_write_clustered_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
+    """Range clustering is only worth its shuffle if the resulting
+    files carry near-disjoint min/max stats on the cluster column —
+    that is what lets parquet footers prune whole files for a range
+    predicate. Assert the per-file [min, max] intervals do not
+    overlap (boundary duplicates excepted)."""
+    import pyarrow.parquet as pq
+
+    ords = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_clustered")
+    io.write_clustered(ords, path, cluster_by=["o_orderdate"], n_files=8)
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        ci = pf.schema_arrow.names.index("o_orderdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo, (a_hi, b_lo)
+    assert spark.read.parquet(path).count() == ords.count()
