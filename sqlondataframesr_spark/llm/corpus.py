@@ -404,7 +404,83 @@ ORDER BY source
 """
 
 
+#: sequence-example context length (events per training context)
+SEQ_CTX = 3
+
+
+def evt_sequence_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event-prediction training examples from per-user event
+    streams: for every event with >= SEQ_CTX predecessors, one row
+    (context = the previous SEQ_CTX event types in time order,
+    target = this event's type) — the sliding-window corpus
+    construction behind behavior-sequence / session models, the
+    event-stream twin of ``text_chunks``.
+
+    Determinism: the window order key is (unix_micros(ts), event_id)
+    — unique, so the frame content and its accumulation order are
+    pinned on both engines (collect_list/list fill in frame order).
+    The 1-in-20 user sample keeps the checked output driver-sized at
+    every SF without changing the shape.
+
+    Scale: ONE shuffle (user_id window partition); the frame is
+    bounded (SEQ_CTX rows), so state per row is constant — at 100 TB
+    this is a sort within user partitions plus a linear pass,
+    exactly how a sequence-feature backfill should lower.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), F.col("event_id"))
+        .rowsBetween(-SEQ_CTX, -1)
+    )
+    t = ev.select("user_id", "event_id", "event_type", "ts").withColumn(
+        "context", F.array_join(F.collect_list("event_type").over(w), " ")
+    ).withColumn("n_ctx", F.count(F.lit(1)).over(w))
+    return (
+        t.filter(F.col("n_ctx") == SEQ_CTX)
+        .select(
+            "user_id",
+            F.col("event_id").alias("target_event_id"),
+            "context",
+            F.col("event_type").alias("target"),
+        )
+        .orderBy("user_id", "target_event_id")
+    )
+
+
+EVT_SEQUENCE_EXAMPLES_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_id, event_type,
+         array_to_string(list(event_type) OVER w, ' ') AS context,
+         COUNT(*) OVER w AS n_ctx
+  FROM events
+  WHERE user_id % 20 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS target_event_id, context, event_type AS target
+FROM t WHERE n_ctx = 3
+ORDER BY user_id, target_event_id
+"""
+
+EVT_SEQUENCE_EXAMPLES_SPARK_SQL = """
+WITH t AS (
+  SELECT user_id, event_id, event_type,
+         array_join(collect_list(event_type) OVER w, ' ') AS context,
+         COUNT(*) OVER w AS n_ctx
+  FROM events
+  WHERE user_id % 20 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts), event_id
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS target_event_id, context, event_type AS target
+FROM t WHERE n_ctx = 3
+ORDER BY user_id, target_event_id
+"""
+
+
 QUERIES = {
+    "evt_sequence_examples": evt_sequence_examples,
     "corpus_boilerplate_strip": corpus_boilerplate_strip,
     "text_gopher_rules": text_gopher_rules,
     "sample_mixture_weighted": sample_mixture_weighted,
@@ -414,6 +490,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "evt_sequence_examples": EVT_SEQUENCE_EXAMPLES_ORACLE,
     "corpus_boilerplate_strip": CORPUS_BOILERPLATE_STRIP_ORACLE,
     "text_gopher_rules": TEXT_GOPHER_RULES_ORACLE,
     "sample_mixture_weighted": SAMPLE_MIXTURE_WEIGHTED_ORACLE,
@@ -424,6 +501,7 @@ ORACLES = {
 
 # Spark-SQL N-version twins (fluent ≡ SQL, tests/test_reference_queries.py)
 SPARK_SQL: dict[str, str] = {
+    "evt_sequence_examples": EVT_SEQUENCE_EXAMPLES_SPARK_SQL,
     "corpus_boilerplate_strip": f"""
 WITH words AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
 segs AS (SELECT doc_id, k, array_join(slice(w, k * {SEG_W} + 1, {SEG_W}), ' ') AS seg
