@@ -30,6 +30,10 @@ def q7_rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cent-quantize before SUM: the rollup's grand total sums every
     # order — a raw double sum's error grows with SF and its order
     # differs between engines; the bigint cent sum is exact at any SF
+    # subtotal markers surface as 'ALL', not NULL: the driver's row
+    # compare sorts raw tuples, and a count tie between a subtotal row
+    # and a detail row would hit None-vs-str (unorderable) — the
+    # grouping semantics under test are unchanged
     return (
         orders.rollup("o_orderpriority", "o_orderstatus")
         .agg(
@@ -39,17 +43,24 @@ def q7_rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double") / F.lit(100.0), 2
             ).alias("total_price"),
         )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            "n_orders",
+            "total_price",
+        )
         .orderBy("o_orderpriority", "o_orderstatus")
     )
 
 
 Q7_ORACLE = """
-SELECT o_orderpriority, o_orderstatus,
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
        COUNT(*) AS n_orders,
        ROUND(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_price
 FROM orders
 GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
-ORDER BY o_orderpriority, o_orderstatus
+ORDER BY COALESCE(o_orderpriority, 'ALL'), COALESCE(o_orderstatus, 'ALL')
 """
 
 
@@ -1553,7 +1564,102 @@ ORDER BY n.n_name, t.rk
 """
 
 
+def q58_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics battery: the cross-engine divergence hot spots,
+    pinned differentially on a frame with INJECTED nulls (every 5th
+    order's status, every 7th order's amount):
+
+    - NULL forms its own GROUP BY group (SQL three-valued equality
+      does NOT apply to grouping);
+    - COUNT(*) vs COUNT(col) (null-skipping) vs COUNT(DISTINCT col)
+      (nulls excluded from the distinct set);
+    - SUM over a mixed group skips nulls; over an all-null group it
+      returns NULL, not 0;
+    - ORDER BY null placement — Spark defaults NULLS FIRST on ASC,
+      DuckDB defaults NULLS LAST: the query must pin it explicitly or
+      the row order (and the driver hash) diverges.
+
+    Scale: one grouped aggregate over a derived projection — the same
+    single-shuffle profile as any GROUP BY; the point is semantics.
+    """
+    ords = load_table(spark, sf_dir, "orders")
+    base = ords.select(
+        F.when(F.col("o_orderkey") % 5 != 0, F.col("o_orderstatus")).alias("grp"),
+        F.when(
+            F.col("o_orderkey") % 7 != 0,
+            F.expr("cast(round(o_totalprice * 100) as bigint)"),
+        ).alias("v_c"),
+    )
+    return (
+        base.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("v_c").alias("n_v"),
+            F.count_distinct("v_c").alias("n_distinct_v"),
+            F.sum("v_c").alias("sum_v_c"),
+        )
+        .select(
+            # display form: the NULL group is grouped as NULL (the
+            # semantic under test) but EMITTED as a sentinel — the
+            # driver's row sort compares raw tuples, and None vs str
+            # is unorderable in Python
+            F.coalesce(F.col("grp"), F.lit("<null>")).alias("grp"),
+            "n_rows", "n_v", "n_distinct_v", "sum_v_c",
+        )
+        .orderBy(F.col("grp").asc())
+    )
+
+
+Q58_ORACLE = """
+WITH base AS (
+  SELECT CASE WHEN o_orderkey % 5 != 0 THEN o_orderstatus END AS grp,
+         CASE WHEN o_orderkey % 7 != 0
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) END AS v_c
+  FROM orders
+)
+SELECT COALESCE(grp, '<null>') AS grp,
+       COUNT(*) AS n_rows,
+       COUNT(v_c) AS n_v,
+       COUNT(DISTINCT v_c) AS n_distinct_v,
+       CAST(SUM(v_c) AS BIGINT) AS sum_v_c
+FROM base
+GROUP BY grp
+ORDER BY COALESCE(grp, '<null>') ASC
+"""
+
+
+def q59_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe vs regular equality join, counted side by side: the
+    regular equi-join drops NULL keys (NULL = NULL is UNKNOWN), the
+    null-safe operator (Spark ``<=>``, SQL ``IS NOT DISTINCT FROM``)
+    matches them — the difference IS the number of null-keyed pairs.
+    Joining the 4-row distinct key set keeps it semantics-only.
+    """
+    ords = load_table(spark, sf_dir, "orders")
+    g = ords.select(
+        F.when(F.col("o_orderkey") % 5 != 0, F.col("o_orderstatus")).alias("grp")
+    ).distinct()
+    a, b = g.alias("a"), g.alias("b")
+    n_eq = a.join(b, F.col("a.grp") == F.col("b.grp")).count()
+    n_ns = a.join(b, F.col("a.grp").eqNullSafe(F.col("b.grp"))).count()
+    return spark.createDataFrame(
+        [(n_eq, n_ns)], "n_eq bigint, n_nullsafe bigint"
+    )
+
+
+Q59_ORACLE = """
+WITH g AS (
+  SELECT DISTINCT CASE WHEN o_orderkey % 5 != 0 THEN o_orderstatus END AS grp
+  FROM orders
+)
+SELECT (SELECT COUNT(*) FROM g a JOIN g b ON a.grp = b.grp) AS n_eq,
+       (SELECT COUNT(*) FROM g a JOIN g b
+        ON a.grp IS NOT DISTINCT FROM b.grp) AS n_nullsafe
+"""
+
 QUERIES = {
+    "q58_null_semantics": q58_null_semantics,
+    "q59_nullsafe_join": q59_nullsafe_join,
     "q27_event_funnel": q27_event_funnel,
     "q44_grouping_sets_revenue": q44_grouping_sets_revenue,
     "q45_conditional_aggregates": q45_conditional_aggregates,
@@ -1588,6 +1694,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q58_null_semantics": Q58_ORACLE,
+    "q59_nullsafe_join": Q59_ORACLE,
     "q44_grouping_sets_revenue": Q44_SQL,
     "q45_conditional_aggregates": Q45_SQL,
     "q46_window_frame_battery": Q46_SQL,
@@ -1628,6 +1736,8 @@ ORACLES = {
 # q17 — so the check proves Catalyst's rewrite (RewritePredicateSubquery
 # / decorrelation) lands on the same results as the explicit plan.
 SPARK_SQL: dict[str, str] = {
+    "q58_null_semantics": Q58_ORACLE,  # dialect-neutral incl. NULLS FIRST
+    "q59_nullsafe_join": Q59_ORACLE,  # IS NOT DISTINCT FROM: both dialects
     "q7_rollup_order_counts": Q7_ORACLE,
     # one dialect seam: ANSI/DuckDB multi-arg GROUPING(a, b) is
     # spelled grouping_id(a, b) in Spark SQL (same bitmask)
