@@ -285,6 +285,29 @@ def main() -> None:
                 s.append(time.perf_counter() - t0)
             row["duckdb"] = round(statistics.median(s), 4)
         nversion[name] = row
+    # 4th engine — pandas (the single-machine dataframe-library rung,
+    # completing the reference's sqldf/base/dplyr/DT 4-engine format;
+    # correctness vs the DuckDB oracle is pinned in
+    # tests/test_nversion_pandas.py). Tables are pre-loaded OUTSIDE
+    # the timed region: the baseline engines were timed on in-memory
+    # frames too (microbenchmark over loaded data.frames).
+    from sqlondataframesr_spark.nversion_pandas import PANDAS_QUERIES, load_tables
+
+    pd_tables = load_tables(
+        sf_dir, ["lineitem", "orders", "customer", "events", "part",
+                 "supplier", "nation"]
+    )
+    for name in sorted(ref_names):
+        tabs, pfn = PANDAS_QUERIES[name]
+        sub = {k: pd_tables[k] for k in tabs}
+        pfn(sub)
+        s = []
+        for _ in range(REF_RUNS):
+            t0 = time.perf_counter()
+            pfn(sub)
+            s.append(time.perf_counter() - t0)
+        nversion[name]["pandas"] = round(statistics.median(s), 4)
+    del pd_tables
     con.close()
 
     #: BASELINE.md "sqldf" medians for the six reference tasks (the
