@@ -1657,7 +1657,105 @@ SELECT (SELECT COUNT(*) FROM g a JOIN g b ON a.grp = b.grp) AS n_eq,
         ON a.grp IS NOT DISTINCT FROM b.grp) AS n_nullsafe
 """
 
+def q60_array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function battery over the token arrays of
+    ``documents``: filter / exists / forall / aggregate (fold) /
+    array_sort / slice in ONE map-only projection — the lambda-
+    expression surface that keeps per-row array logic inside
+    whole-stage codegen instead of a Python UDF.
+
+    Scale: zero shuffles (pure map over the scan) plus the final
+    presentation sort; at 100 TB this is scan-bandwidth-bound.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.split("text", " ").alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.expr("size(filter(t, x -> length(x) > 4))").alias("n_long"),
+            F.expr("exists(t, x -> x = 'spark')").alias("has_spark"),
+            F.expr("forall(t, x -> length(x) <= 10)").alias("all_short"),
+            F.expr("aggregate(t, 0L, (a, x) -> a + length(x))").alias("sum_len"),
+            F.expr("array_join(slice(array_sort(t), 1, 5), ' ')").alias("first5_sorted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q60_ORACLE = """
+SELECT doc_id,
+       CAST(len(list_filter(t, x -> length(x) > 4)) AS BIGINT) AS n_long,
+       list_contains(t, 'spark') AS has_spark,
+       len(list_filter(t, x -> length(x) > 10)) = 0 AS all_short,
+       CAST(list_sum([length(x) for x in t]) AS BIGINT) AS sum_len,
+       array_to_string(list_sort(t)[1:5], ' ') AS first5_sorted
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+ORDER BY doc_id
+"""
+
+Q60_SPARK_SQL = """
+SELECT doc_id,
+       size(filter(t, x -> length(x) > 4)) AS n_long,
+       exists(t, x -> x = 'spark') AS has_spark,
+       forall(t, x -> length(x) <= 10) AS all_short,
+       aggregate(t, 0L, (a, x) -> a + length(x)) AS sum_len,
+       array_join(slice(array_sort(t), 1, 5), ' ') AS first5_sorted
+FROM (SELECT doc_id, split(text, ' ') AS t FROM documents)
+ORDER BY doc_id
+"""
+
+
+def q61_regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex battery over ``documents.text``, deliberately confined to
+    the dialect-portable subset (character classes + quantifiers — no
+    boundaries, no lookaround: Spark runs java.util.regex, DuckDB runs
+    RE2, and only the common core is safe to rely on cross-engine).
+    Covers extract-first, extract-all-count, global replace, and LIKE.
+
+    Scale: map-only over the scan; regex cost is per-row CPU inside
+    codegen — the kind of pass that motivates spread_scan on
+    under-split inputs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_extract("text", "[a-z]+k", 0).alias("first_k_word"),
+            F.expr("size(regexp_extract_all(text, '[a-z]+k', 0))").alias("n_k_words"),
+            F.length(F.regexp_replace("text", "[aeiou]", "")).alias("novowel_len"),
+            F.col("text").like("%spark%").alias("mentions_spark"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q61_ORACLE = """
+SELECT doc_id,
+       regexp_extract(text, '[a-z]+k') AS first_k_word,
+       CAST(len(regexp_extract_all(text, '[a-z]+k')) AS BIGINT) AS n_k_words,
+       CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+         AS novowel_len,
+       text LIKE '%spark%' AS mentions_spark
+FROM documents
+ORDER BY doc_id
+"""
+
+Q61_SPARK_SQL = """
+SELECT doc_id,
+       regexp_extract(text, '[a-z]+k', 0) AS first_k_word,
+       size(regexp_extract_all(text, '[a-z]+k', 0)) AS n_k_words,
+       length(regexp_replace(text, '[aeiou]', '')) AS novowel_len,
+       text LIKE '%spark%' AS mentions_spark
+FROM documents
+ORDER BY doc_id
+"""
+
 QUERIES = {
+    "q60_array_hof_battery": q60_array_hof_battery,
+    "q61_regex_battery": q61_regex_battery,
     "q58_null_semantics": q58_null_semantics,
     "q59_nullsafe_join": q59_nullsafe_join,
     "q27_event_funnel": q27_event_funnel,
@@ -1694,6 +1792,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q60_array_hof_battery": Q60_ORACLE,
+    "q61_regex_battery": Q61_ORACLE,
     "q58_null_semantics": Q58_ORACLE,
     "q59_nullsafe_join": Q59_ORACLE,
     "q44_grouping_sets_revenue": Q44_SQL,
@@ -1736,6 +1836,8 @@ ORACLES = {
 # q17 — so the check proves Catalyst's rewrite (RewritePredicateSubquery
 # / decorrelation) lands on the same results as the explicit plan.
 SPARK_SQL: dict[str, str] = {
+    "q60_array_hof_battery": Q60_SPARK_SQL,
+    "q61_regex_battery": Q61_SPARK_SQL,
     "q58_null_semantics": Q58_ORACLE,  # dialect-neutral incl. NULLS FIRST
     "q59_nullsafe_join": Q59_ORACLE,  # IS NOT DISTINCT FROM: both dialects
     "q7_rollup_order_counts": Q7_ORACLE,
