@@ -1753,7 +1753,56 @@ FROM documents
 ORDER BY doc_id
 """
 
+def q62_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-function battery on the dialect-portable subset:
+    ``date_trunc`` (month/quarter), ``extract(quarter)``,
+    ``last_day``, and timestamp ``+ INTERVAL`` arithmetic — the
+    calendar toolkit every reporting query leans on. (Deliberately
+    excluded as non-portable: ``dayofweek``/``extract(dow)`` — Spark
+    counts 1=Sunday, DuckDB 0=Sunday — and ``months_between``/
+    ``add_months``, which DuckDB lacks; INTERVAL arithmetic covers
+    them.)
+
+    Scale: month-truncate then group — 80 cells, partial agg
+    map-side; the battery's point is function semantics.
+    """
+    ords = load_table(spark, sf_dir, "orders")
+    return (
+        ords.select(
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.expr("cast(extract(quarter from o_orderdate) as bigint)").alias("q"),
+            F.expr("last_day(cast(o_orderdate as date))").alias("eom"),
+            F.expr(
+                "date_trunc('quarter', o_orderdate) + INTERVAL '3' MONTH"
+            ).alias("next_q_start"),
+        )
+        .groupBy("month_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("q").alias("quarter"),
+            F.max("eom").alias("month_end"),
+            F.min("next_q_start").alias("next_quarter_start"),
+        )
+        .orderBy("month_start")
+    )
+
+
+Q62_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       -- cast pins the return type: DuckDB's month-truncate yields
+       -- DATE, Spark's yields TIMESTAMP
+       COUNT(*) AS n_orders,
+       MIN(CAST(extract(quarter FROM o_orderdate) AS BIGINT)) AS quarter,
+       MAX(last_day(CAST(o_orderdate AS DATE))) AS month_end,
+       MIN(date_trunc('quarter', o_orderdate) + INTERVAL '3' MONTH)
+         AS next_quarter_start
+FROM orders
+GROUP BY date_trunc('month', o_orderdate)
+ORDER BY month_start
+"""
+
 QUERIES = {
+    "q62_datetime_battery": q62_datetime_battery,
     "q60_array_hof_battery": q60_array_hof_battery,
     "q61_regex_battery": q61_regex_battery,
     "q58_null_semantics": q58_null_semantics,
@@ -1792,6 +1841,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q62_datetime_battery": Q62_SQL,
     "q60_array_hof_battery": Q60_ORACLE,
     "q61_regex_battery": Q61_ORACLE,
     "q58_null_semantics": Q58_ORACLE,
@@ -1836,6 +1886,7 @@ ORACLES = {
 # q17 — so the check proves Catalyst's rewrite (RewritePredicateSubquery
 # / decorrelation) lands on the same results as the explicit plan.
 SPARK_SQL: dict[str, str] = {
+    "q62_datetime_battery": Q62_SQL,  # fully dialect-portable text
     "q60_array_hof_battery": Q60_SPARK_SQL,
     "q61_regex_battery": Q61_SPARK_SQL,
     "q58_null_semantics": Q58_ORACLE,  # dialect-neutral incl. NULLS FIRST
