@@ -383,8 +383,79 @@ ORDER BY click_id, purchase_id
 """
 
 
+def click_purchase_left(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, with its in-horizon
+    purchases — or a NULL purchase when none arrives within 2h.
+
+    The outer side is the hard case of streaming joins: an unmatched
+    click can only be emitted once the watermark proves no future
+    purchase can still match (watermark > click_ts + horizon), so
+    null-padded rows trail the inner results by up to
+    horizon + watermark-delay. The stream≡batch test compares on the
+    CLOSED horizon (clicks old enough that the final watermark
+    flushed them) — the tail younger than that is withheld by design,
+    not wrong.
+
+    Scale: same state story as the inner join — the time-range bound
+    plus the watermark evicts click state at watermark - 2h; without
+    them outer state is unbounded.
+    """
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {JOIN_HORIZON}")),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("dt_us"),
+    )
+
+
+def evt_click_purchase_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # click_ts is canonical session-TZ micros; emit unix micros so the
+    # driver hash sees an integer, not a tz-rendered timestamp
+    return (
+        click_purchase_left(load_table(spark, sf_dir, "events"))
+        .select(
+            "user_id",
+            "click_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            "purchase_id",
+            "dt_us",
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
+EVT_CLICK_PURCHASE_LEFT_ORACLE = """
+SELECT c.user_id, c.event_id AS click_id,
+       epoch_us(c.ts) AS click_us,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS dt_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 2 HOURS
+ORDER BY click_id, purchase_id
+"""
+
 QUERIES = {
     "evt_click_purchase_pairs": evt_click_purchase_pairs,
+    "evt_click_purchase_left": evt_click_purchase_left,
     "evt_tumbling_daily": evt_tumbling_daily,
     "evt_sliding_12h": evt_sliding_12h,
     "evt_sessions_1h": evt_sessions_1h,
@@ -393,6 +464,7 @@ QUERIES = {
 
 ORACLES = {
     "evt_click_purchase_pairs": EVT_CLICK_PURCHASE_PAIRS_ORACLE,
+    "evt_click_purchase_left": EVT_CLICK_PURCHASE_LEFT_ORACLE,
     "evt_segment_daily": EVT_SEGMENT_DAILY_ORACLE,
     "evt_tumbling_daily": EVT_TUMBLING_DAILY_ORACLE,
     "evt_sliding_12h": EVT_SLIDING_12H_ORACLE,
@@ -402,6 +474,19 @@ ORACLES = {
 # Spark-SQL N-version forms — the SQL spelling of event-time windows
 # (GROUP BY window(...)) against the fluent F.window plan.
 SPARK_SQL: dict[str, str] = {
+    "evt_click_purchase_left": """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       unix_micros(c.ts) AS click_us,
+       p.event_id AS purchase_id,
+       unix_micros(p.ts) - unix_micros(c.ts) AS dt_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts < c.ts + INTERVAL 2 HOURS
+ORDER BY click_id, purchase_id
+""",
     "evt_tumbling_daily": """
 SELECT w.window.start AS ws, w.event_type, w.n_events, w.total_value
 FROM (

@@ -275,3 +275,35 @@ def test_foreachbatch_incremental_dedup_keeps_first_across_batches(
     )
     incremental_dedup_sink(stream2, out, ckpt).awaitTermination()
     assert spark.read.parquet(out).count() == 3
+
+
+def test_stream_stream_left_join_matches_batch_on_closed_horizon(spark, sf_dir):
+    """LEFT OUTER stream-stream join: inner matches must equal batch
+    exactly; null-padded (unmatched-click) rows must equal batch for
+    every click whose horizon the final watermark has closed
+    (click_ts + 2h < max_ts - delay). Younger unmatched clicks are
+    withheld by design — the watermark cannot yet prove no purchase
+    is coming."""
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = W.click_purchase_left(ev)
+    stream = W.click_purchase_left(W.with_watermark(W.stream_events(spark, sf_dir)))
+    got = _run_stream(spark, stream, mode="append")
+
+    # inner results emit immediately: exact equality, no horizon carve-out
+    assert not compare_frames(
+        got.filter("purchase_id IS NOT NULL"),
+        batch.filter("purchase_id IS NOT NULL"),
+    )
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = (
+        F.lit(max_ts)
+        - F.expr(f"INTERVAL {W.WATERMARK_DELAY}")
+        - F.expr(f"INTERVAL {W.JOIN_HORIZON}")
+    )
+    closed_b = batch.filter(F.col("click_ts") < cutoff)
+    closed_g = got.filter(F.col("click_ts") < cutoff)
+    assert closed_b.filter("purchase_id IS NULL").count() > 0  # non-vacuous
+    assert not compare_frames(closed_g, closed_b)
