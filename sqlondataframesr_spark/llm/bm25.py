@@ -1,0 +1,164 @@
+"""BM25 lexical retrieval over ``documents`` — the inverted-index
+ranking path that complements the embedding ANN rungs (production
+retrieval stacks run both and fuse).
+
+Okapi BM25 (Robertson/Sparck Jones; the +1 idf variant Lucene uses so
+idf stays positive):
+
+    idf(t)      = ln((N - df + 0.5) / (df + 0.5) + 1)
+    score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf / (tf + k1·(1 - b + b·dl/avgdl))
+
+Determinism: tf/df/dl are exact integers; avgdl is one exact-sum
+division; idf/score use the IDENTICAL expression text in Spark and
+DuckDB (same IEEE ops in the same order), and scores are rounded to
+6 dp before ranking with doc_id tie-breaks.
+
+Scale: the classic BM25 plan — a postings list (term, doc, tf) built
+once (one shuffle on term for df, one on doc for dl), query terms
+BROADCAST into the postings join, per-(query, doc) partial-aggregated
+scores, top-k per query. The corpus never joins itself; hot terms are
+bounded by the df they contribute (a stopword's postings are long but
+its idf → 0; production adds a df cap like dedup's SHINGLE_DF_CAP).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+from ..materialize import materialize, spread_scan
+
+K1 = 1.2
+B = 0.75
+#: query set: the terms of documents with doc_id < BM25_N_QUERIES
+BM25_N_QUERIES = 5
+BM25_TOP_K = 5
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    # postings: exact tf per (doc, term) + exact doc length
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    postings = materialize(tf.join(dl, "doc_id"))
+    n_docs = docs.count()
+    avgdl_df = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    df_ = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q_terms = (
+        postings.filter(F.col("doc_id") < BM25_N_QUERIES)
+        .select(F.col("doc_id").alias("q_id"), "term")
+        .distinct()
+    )
+    scored = (
+        postings.join(F.broadcast(q_terms), "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(avgdl_df))
+        .withColumn(
+            "contrib",
+            F.expr(
+                f"ln(({n_docs} - df + 0.5) / (df + 0.5) + 1)"
+                f" * tf / (tf + {K1} * (1 - {B} + {B} * dl / avgdl))"
+            ),
+        )
+        .groupBy("q_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BM25_TOP_K)
+        .select("q_id", "doc_id", "score", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+def _oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+postings AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl FROM tf JOIN dl USING (doc_id)),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+q_terms AS (
+  SELECT DISTINCT doc_id AS q_id, term FROM postings
+  WHERE doc_id < {BM25_N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, p.doc_id,
+         round(SUM(
+           ln((n.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+           * p.tf / (p.tf + {K1} * (1 - {B} + {B} * p.dl / s.avgdl))
+         ), 6) AS score
+  FROM postings p
+  JOIN q_terms q ON p.term = q.term AND p.doc_id != q.q_id
+  JOIN dfreq f ON f.term = p.term
+  CROSS JOIN stats s CROSS JOIN n
+  GROUP BY q.q_id, p.doc_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT q_id, doc_id, score, rnk FROM r WHERE rnk <= {BM25_TOP_K}
+ORDER BY q_id, rnk
+"""
+
+
+BM25_TOPK_ORACLE = _oracle()
+
+
+def _spark_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, explode(split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+postings AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl FROM tf JOIN dl USING (doc_id)),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+q_terms AS (
+  SELECT DISTINCT doc_id AS q_id, term FROM postings
+  WHERE doc_id < {BM25_N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, p.doc_id,
+         round(SUM(
+           ln((n.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+           * p.tf / (p.tf + {K1} * (1 - {B} + {B} * p.dl / s.avgdl))
+         ), 6) AS score
+  FROM postings p
+  JOIN q_terms q ON p.term = q.term AND p.doc_id != q.q_id
+  JOIN dfreq f ON f.term = p.term
+  CROSS JOIN stats s CROSS JOIN n
+  GROUP BY q.q_id, p.doc_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT q_id, doc_id, score, rnk FROM r WHERE rnk <= {BM25_TOP_K}
+ORDER BY q_id, rnk
+"""
+
+
+QUERIES = {"bm25_topk": bm25_topk}
+ORACLES = {"bm25_topk": BM25_TOPK_ORACLE}
+SPARK_SQL: dict[str, str] = {"bm25_topk": _spark_sql()}

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .llm import (
     bloom,
+    bm25,
     contrastive,
     corpus,
     curation,
@@ -39,6 +40,7 @@ _MODULES = [
     quality,
     text,
     bloom,
+    bm25,
     decontam,
     dedup,
     dsir,
