@@ -78,10 +78,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle() -> str:
-    return f"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+def _ctes(tok_expr: str) -> str:
+    """The shared CTE chain (everything WITH..r) parameterized only by
+    the tokenizer spelling — DuckDB ``unnest(string_split(..))`` vs
+    Spark ``explode(split(..))``; reused by the hybrid-RRF oracle."""
+    return f"""toks AS (
+  SELECT doc_id, {tok_expr} AS term FROM documents
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
@@ -107,58 +109,26 @@ scored AS (
   CROSS JOIN stats s CROSS JOIN n
   GROUP BY q.q_id, p.doc_id
 ),
-r AS (
+bm25_ranked AS (
   SELECT *, row_number() OVER (PARTITION BY q_id
                                ORDER BY score DESC, doc_id ASC) AS rnk
   FROM scored
+)"""
+
+
+BM25_CTES_DUCK = _ctes("unnest(string_split(text, ' '))")
+BM25_CTES_SPARK = _ctes("explode(split(text, ' '))")
+
+
+BM25_FINAL_SELECT = (
+    "SELECT q_id, doc_id, score, rnk FROM bm25_ranked"
+    " WHERE rnk <= {k} ORDER BY q_id, rnk".format(k=BM25_TOP_K)
 )
-SELECT q_id, doc_id, score, rnk FROM r WHERE rnk <= {BM25_TOP_K}
-ORDER BY q_id, rnk
-"""
 
-
-BM25_TOPK_ORACLE = _oracle()
-
-
-def _spark_sql() -> str:
-    return f"""
-WITH toks AS (
-  SELECT doc_id, explode(split(text, ' ')) AS term FROM documents
-),
-tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
-dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
-postings AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl FROM tf JOIN dl USING (doc_id)),
-stats AS (
-  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
-),
-n AS (SELECT COUNT(*) AS n_docs FROM documents),
-dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
-q_terms AS (
-  SELECT DISTINCT doc_id AS q_id, term FROM postings
-  WHERE doc_id < {BM25_N_QUERIES}
-),
-scored AS (
-  SELECT q.q_id, p.doc_id,
-         round(SUM(
-           ln((n.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
-           * p.tf / (p.tf + {K1} * (1 - {B} + {B} * p.dl / s.avgdl))
-         ), 6) AS score
-  FROM postings p
-  JOIN q_terms q ON p.term = q.term AND p.doc_id != q.q_id
-  JOIN dfreq f ON f.term = p.term
-  CROSS JOIN stats s CROSS JOIN n
-  GROUP BY q.q_id, p.doc_id
-),
-r AS (
-  SELECT *, row_number() OVER (PARTITION BY q_id
-                               ORDER BY score DESC, doc_id ASC) AS rnk
-  FROM scored
-)
-SELECT q_id, doc_id, score, rnk FROM r WHERE rnk <= {BM25_TOP_K}
-ORDER BY q_id, rnk
-"""
-
+BM25_TOPK_ORACLE = "WITH " + BM25_CTES_DUCK + "\n" + BM25_FINAL_SELECT
 
 QUERIES = {"bm25_topk": bm25_topk}
 ORACLES = {"bm25_topk": BM25_TOPK_ORACLE}
-SPARK_SQL: dict[str, str] = {"bm25_topk": _spark_sql()}
+SPARK_SQL: dict[str, str] = {
+    "bm25_topk": "WITH " + BM25_CTES_SPARK + "\n" + BM25_FINAL_SELECT,
+}

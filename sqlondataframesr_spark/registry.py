@@ -16,6 +16,7 @@ from .llm import (
     decontam,
     dedup,
     dsir,
+    hybrid,
     incremental,
     minhash,
     pipeline,
@@ -44,6 +45,7 @@ _MODULES = [
     decontam,
     dedup,
     dsir,
+    hybrid,
     incremental,
     minhash,
     pq,
