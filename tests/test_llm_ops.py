@@ -542,3 +542,24 @@ def test_dedup_spans_keep_first_semantics(spark, sf_dir):
                 n_kept_by_doc[doc_id] = n_kept_by_doc.get(doc_id, 0) + 1
     for r in rows:
         assert r.n_kept == n_kept_by_doc.get(r.doc_id, 0)
+
+
+def test_sq8_recall_vs_bruteforce(spark, sf_dir):
+    """SQ8 is an approximation: assert its top-5 keeps >= 80% of the
+    exact brute-force top-5 per query on the test corpus — the
+    quality contract that makes the cheaper rung usable (the
+    oracle differential alone only proves the algorithm is replayed
+    faithfully, not that it is any good)."""
+    from sqlondataframesr_spark.llm.similarity import ann_cosine_topk, ann_sq8_topk
+
+    exact = ann_cosine_topk(spark, sf_dir).collect()
+    approx = ann_sq8_topk(spark, sf_dir).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r.q_id, set()).add(r.neighbor_id)
+    got: dict[int, set[int]] = {}
+    for r in approx:
+        got.setdefault(r.q_id, set()).add(r.neighbor_id)
+    assert set(got) == set(truth)
+    recalls = [len(got[q] & truth[q]) / len(truth[q]) for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls

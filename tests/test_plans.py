@@ -332,3 +332,12 @@ def test_q56_all_three_predicates_pushed(spark, sf_dir):
     assert "GreaterThanOrEqual(l_discount" in p and "LessThanOrEqual(l_discount" in p
     assert "LessThan(l_quantity" in p
     assert not a.join_strategies
+
+
+def test_bm25_query_terms_and_df_are_broadcast(spark, sf_dir):
+    """BM25's postings join must probe with BROADCAST query terms and
+    document frequencies — shuffling the postings list on term for a
+    5-query workload would move the whole inverted index."""
+    a = _audit(spark, sf_dir, "bm25_topk")
+    assert "BroadcastExchange" in a.text
+    assert not a.has_cartesian
