@@ -355,6 +355,179 @@ ORDER BY doc_a, doc_b
 """
 
 
+#: asymmetric containment threshold: fraction of the CONTAINED
+#: document's shingles that must appear in the container
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def _containment_pairs(docs: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Ordered (container, contained, containment) pairs over an
+    arbitrary (doc_id, text) frame — body of :func:`dedup_containment`,
+    split out so tests can run it on planted corpora."""
+    shingled = _with_shingles(docs).transform(materialize)
+    exploded = shingled.select(
+        "doc_id", F.explode("sh").alias("s")
+    ).transform(materialize)
+    rare = (
+        exploded.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= cap)
+        .select("s")
+    )
+    per_shingle = (
+        exploded.join(rare, "s", "left_semi")
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)), y ->"
+        " struct(x AS doc_a, y AS doc_b))))"
+    )
+    cand = (
+        per_shingle
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .distinct()
+        .transform(materialize)
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_sh = shingled.join(cand_docs, "doc_id", "left_semi").transform(materialize)
+    sha = cand_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = cand_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    v = (
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    both = v.select(
+        F.col("doc_a").alias("container_id"),
+        F.col("doc_b").alias("contained_id"),
+        F.round(
+            F.col("n_common").cast("double") / F.size("sh_b").cast("double"), 6
+        ).alias("containment"),
+    ).union(
+        v.select(
+            F.col("doc_b").alias("container_id"),
+            F.col("doc_a").alias("contained_id"),
+            F.round(
+                F.col("n_common").cast("double") / F.size("sh_a").cast("double"), 6
+            ).alias("containment"),
+        )
+    )
+    return both.filter(F.col("containment") >= CONTAINMENT_THRESHOLD).orderBy(
+        "container_id", "contained_id"
+    )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-superset detection: ordered pairs (container, contained)
+    where >= 90% of the contained document's word-3-shingles appear in
+    the container — the asymmetric cousin of Jaccard dedup.
+
+    Jaccard misses the quote/template/expansion case: a short document
+    fully embedded in a much longer one has low Jaccard (union is
+    dominated by the container) but containment 1.0. Training-data
+    curation wants these pairs — the contained doc contributes nothing
+    the container doesn't already, so the keeper policy can drop it.
+
+    Candidates come from the same DF-capped inverted index as
+    :func:`dedup_ngram_jaccard_capped` (pair blow-up bounded by
+    cap x postings, linear in corpus size); verification is exact via
+    ``array_intersect`` on the full shingle arrays of candidate docs
+    only. Each unordered candidate pair is tested in BOTH directions
+    (b-in-a and a-in-b) from the single intersection count — no second
+    join. The DuckDB oracle replicates the capped candidate generation,
+    so the cap's recall contract is itself under test.
+
+    Scale: identical posture to the capped Jaccard — one shuffle of
+    (shingle, doc_id) postings, map-side pair expansion bounded by the
+    cap, verify touches candidate docs' arrays only.
+    """
+    return _containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+WITH s AS ({_SHINGLES_SQL}),
+e AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+rare AS (SELECT sh FROM e GROUP BY sh HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
+p AS (SELECT e.doc_id, e.sh FROM e JOIN rare USING (sh)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN e ea ON ea.doc_id = c.doc_a
+  JOIN e eb ON eb.doc_id = c.doc_b AND eb.sh = ea.sh
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT cm.doc_a, cm.doc_b, cm.n_common,
+         len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM common cm
+  JOIN s sa ON sa.doc_id = cm.doc_a
+  JOIN s sb ON sb.doc_id = cm.doc_b
+),
+dirs AS (
+  SELECT doc_a AS container_id, doc_b AS contained_id,
+         ROUND(CAST(n_common AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS containment
+  FROM verified
+  UNION ALL
+  SELECT doc_b, doc_a,
+         ROUND(CAST(n_common AS DOUBLE) / CAST(na AS DOUBLE), 6)
+  FROM verified
+)
+SELECT container_id, contained_id, containment
+FROM dirs
+WHERE containment >= {CONTAINMENT_THRESHOLD}
+ORDER BY container_id, contained_id
+"""
+
+DEDUP_CONTAINMENT_SPARK_SQL = f"""
+WITH s AS ({_SHINGLES_SPARK_SQL}),
+e AS (SELECT doc_id, explode(sh) AS sh FROM s),
+rare AS (SELECT sh FROM e GROUP BY sh HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
+p AS (SELECT e.doc_id, e.sh FROM e JOIN rare USING (sh)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN e ea ON ea.doc_id = c.doc_a
+  JOIN e eb ON eb.doc_id = c.doc_b AND eb.sh = ea.sh
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT cm.doc_a, cm.doc_b, cm.n_common,
+         size(sa.sh) AS na, size(sb.sh) AS nb
+  FROM common cm
+  JOIN s sa ON sa.doc_id = cm.doc_a
+  JOIN s sb ON sb.doc_id = cm.doc_b
+),
+dirs AS (
+  SELECT doc_a AS container_id, doc_b AS contained_id,
+         ROUND(CAST(n_common AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS containment
+  FROM verified
+  UNION ALL
+  SELECT doc_b, doc_a,
+         ROUND(CAST(n_common AS DOUBLE) / CAST(na AS DOUBLE), 6)
+  FROM verified
+)
+SELECT container_id, contained_id, containment
+FROM dirs
+WHERE containment >= {CONTAINMENT_THRESHOLD}D
+ORDER BY container_id, contained_id
+"""
+
+
 #: exact-substring window length (tokens) — the classic 13-gram
 #: training-data contamination/dedup criterion
 SUBSTR_K = 13
@@ -896,6 +1069,7 @@ QUERIES = {
     "dedup_spans": dedup_spans,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
+    "dedup_containment": dedup_containment,
     "dedup_substring_13gram": dedup_substring_13gram,
     "dedup_clusters": dedup_clusters,
     "doc_winnow_fingerprint": doc_winnow_fingerprint,
@@ -907,6 +1081,7 @@ ORACLES = {
     "dedup_spans": DEDUP_SPANS_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_ORACLE,
     "dedup_ngram_jaccard_capped": DEDUP_NGRAM_JACCARD_CAPPED_ORACLE,
+    "dedup_containment": DEDUP_CONTAINMENT_ORACLE,
     "dedup_substring_13gram": DEDUP_SUBSTRING_13GRAM_ORACLE,
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
     "doc_winnow_fingerprint": DOC_WINNOW_ORACLE,
@@ -919,6 +1094,7 @@ ORACLES = {
 SPARK_SQL: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_ORACLE,  # dialect-neutral: valid in both engines
     "dedup_spans": DEDUP_SPANS_SPARK_SQL,
+    "dedup_containment": DEDUP_CONTAINMENT_SPARK_SQL,
     "dedup_ngram_jaccard": f"""
 WITH s AS ({_SHINGLES_SPARK_SQL}),
 e AS (SELECT doc_id, explode(sh) AS sx FROM s),

@@ -563,3 +563,27 @@ def test_sq8_recall_vs_bruteforce(spark, sf_dir):
     assert set(got) == set(truth)
     recalls = [len(got[q] & truth[q]) / len(truth[q]) for q in truth]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_containment_detects_embedded_doc_jaccard_misses(spark):
+    """The asymmetric operator's reason to exist: a short doc fully
+    embedded in a much longer one is containment 1.0 but low Jaccard —
+    the pair must appear in dedup_containment (contained side only)
+    and NOT in the Jaccard pair set."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = (
+        "intro words before the quote " + short
+        + " and a long tail of unrelated commentary continuing for many"
+        " more tokens so the union dwarfs the intersection entirely"
+    )
+    rows = [(1, long), (2, short), (3, "completely different text about other things")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cont = {
+        (r.container_id, r.contained_id): r.containment
+        for r in dedup._containment_pairs(df).collect()
+    }
+    assert cont.get((1, 2)) == 1.0          # short fully inside long
+    assert (2, 1) not in cont               # long not inside short
+    jac = {(r.doc_a, r.doc_b) for r in dedup._jaccard_pairs(df).collect()}
+    assert (1, 2) not in jac                # Jaccard blind to this pair
