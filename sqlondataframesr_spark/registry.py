@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .llm import (
     bloom,
     bm25,
+    bpe,
     contrastive,
     corpus,
     curation,
@@ -42,6 +43,7 @@ _MODULES = [
     text,
     bloom,
     bm25,
+    bpe,
     decontam,
     dedup,
     dsir,

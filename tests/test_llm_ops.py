@@ -587,3 +587,52 @@ def test_containment_detects_embedded_doc_jaccard_misses(spark):
     assert (2, 1) not in cont               # long not inside short
     jac = {(r.doc_a, r.doc_b) for r in dedup._jaccard_pairs(df).collect()}
     assert (1, 2) not in jac                # Jaccard blind to this pair
+
+
+def test_bpe_learns_textbook_merges(spark):
+    """Planted corpus with a known merge sequence, checked against a
+    from-scratch local BPE (Sennrich-style greedy left-to-right):
+    the distributed learner must reproduce ranks, pairs AND counts."""
+    from collections import Counter
+
+    from sqlondataframesr_spark.llm.bpe import MERGES, _learn_merges
+
+    texts = [
+        "banana bandana cabana",
+        "banana banana bandana!",
+        "Ban the bandana cabal.",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    # local reference
+    import re
+
+    words = Counter(
+        w for t in texts for w in re.split("[^a-z]+", t.lower()) if len(w) >= 2
+    )
+    syms = {w: list(w) for w in words}
+    expected = []
+    for rank in range(1, MERGES + 1):
+        pairs = Counter()
+        for w, f in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rank, l, r, cnt))
+        for w in words:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in _learn_merges(df).collect()
+    ]
+    assert got == expected
