@@ -157,16 +157,83 @@ FROM cum
 """
 
 
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: count MinHash-LSH near-dup
+    pairs by the (train/val/test) splits of their two endpoints.
+
+    A hash split is leak-proof against EXACT duplicates only if the
+    hash key is the content; splitting on doc_id (as done here and in
+    most pipelines) lets near-duplicates straddle the boundary — a val
+    doc whose near-twin sits in train inflates eval scores. This
+    operator is the audit: every off-diagonal row (``is_leak = true``)
+    is an eval-integrity violation to resolve before training.
+
+    Composition, not new machinery: the pair set is exactly
+    :func:`llm.minhash.dedup_minhash_lsh` (banded signatures, so the
+    audit scales like the dedup pass — no new shuffle shape); split
+    assignment is exactly :func:`sample_hash_split` (map-only). The
+    pair-direction is canonicalized by split name (least/greatest) so
+    (train,val) and (val,train) aggregate into one row.
+    """
+    from .minhash import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sp = sample_hash_split(spark, sf_dir).select("doc_id", "split")
+    pa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    pb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_1"),
+            F.greatest("sa", "sb").alias("split_2"),
+        )
+        .groupBy("split_1", "split_2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_1") != F.col("split_2"))
+        .orderBy("split_1", "split_2")
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from .minhash import DEDUP_MINHASH_LSH_ORACLE
+
+    return f"""
+WITH pairs AS ({DEDUP_MINHASH_LSH_ORACLE}),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN {_BUCKET_DUCK} < {TRAIN_PCT} THEN 'train'
+              WHEN {_BUCKET_DUCK} < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+j AS (
+  SELECT least(sa.split, sb.split) AS split_1,
+         greatest(sa.split, sb.split) AS split_2
+  FROM pairs p
+  JOIN splits sa ON sa.doc_id = p.doc_a
+  JOIN splits sb ON sb.doc_id = p.doc_b
+)
+SELECT split_1, split_2, COUNT(*) AS n_pairs,
+       (split_1 <> split_2) AS is_leak
+FROM j
+GROUP BY split_1, split_2
+ORDER BY split_1, split_2
+"""
+
+
 QUERIES = {
     "sample_hash_split": sample_hash_split,
     "sample_stratified_topn": sample_stratified_topn,
     "pack_token_budget": pack_token_budget,
+    "split_leakage_report": split_leakage_report,
 }
 
 ORACLES = {
     "sample_hash_split": SAMPLE_HASH_SPLIT_ORACLE,
     "sample_stratified_topn": SAMPLE_STRATIFIED_TOPN_ORACLE,
     "pack_token_budget": PACK_TOKEN_BUDGET_ORACLE,
+    "split_leakage_report": _split_leakage_oracle(),
 }
 
 # Spark-SQL N-version forms (fluent ≡ SQL, tests/test_reference_queries.py)
