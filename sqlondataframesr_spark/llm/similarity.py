@@ -169,6 +169,66 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored)
 
 
+#: neighbors per vector in the corpus-wide kNN graph
+KNN_K = 3
+
+
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate kNN graph: top-3 cosine neighbors for
+    EVERY vector, candidates from LSH band collisions.
+
+    The all-vectors sibling of :func:`ann_lsh_topk` (which serves a
+    small query set): semantic dedup, SSL-prototype mining and graph-
+    based curation (e.g. SemDeDup-style cluster pruning) all start
+    from this artifact. Brute force is O(n^2); here candidates are
+    pairs agreeing on >= 1 of 4 signature bands, so the join cost is
+    sum over (band, bucket) of bucket_size^2 — dense semantic regions
+    pay for exactly the comparisons that matter. The oracle replicates
+    the bucketing, so the check pins the algorithm, not ideal-kNN
+    (recall < 1 by design, same contract as ann_lsh_topk).
+
+    Scale: signatures map-side (one fused fold per plane); the band
+    self-join shuffles 4 fixed-width rows per vector; exact cosines
+    only on candidate pairs; hot buckets split by AQE skew handling.
+    Vectors with no band collision have no row — at production scale
+    you union a random-neighbor fallback for isolated points.
+    """
+    vec = _vectors(spark, sf_dir).transform(materialize)
+    # bands feed both sides of the self-join — checkpoint once
+    bands = _bands(with_signature(vec)).transform(materialize)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("q_id"), F.col("b.vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = vec.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    nv = vec.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm")
+    scored = (
+        cand.join(qv, "q_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.expr(_COS.format(a="qv", b="v", na="qn", nb="nrm")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select(F.col("q_id").alias("vec_id"), "neighbor_id", "cosine", "rnk")
+        .orderBy("vec_id", "rnk")
+    )
+
+
 #: IVF coarse quantizer: number of inverted lists and probed lists
 NLIST = 8
 NPROBE = 2
@@ -523,6 +583,29 @@ r AS (
   FROM scored
 )
 SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= {TOP_K} ORDER BY q_id, rnk
+"""
+
+KNN_GRAPH_LSH_ORACLE = f"""
+WITH vec AS ({_VEC_SQL}),
+sig AS ({_SIG_SQL}),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+  FROM bands q JOIN bands c ON q.band = c.band AND q.bkey = c.bkey AND c.vec_id != q.vec_id
+),
+scored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         {_COS_DUCK.format(a='q.v', b='c.v', na='q.nrm', nb='c.nrm')} AS cosine
+  FROM cand
+  JOIN vec q ON q.vec_id = cand.q_id
+  JOIN vec c ON c.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT q_id AS vec_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= {KNN_K}
+ORDER BY vec_id, rnk
 """
 
 ANN_LSH_TOPK_ORACLE = f"""
@@ -917,6 +1000,7 @@ QUERIES = {
     "emb_quantize_int8": emb_quantize_int8,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "knn_graph_lsh": knn_graph_lsh,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_trained": ann_ivf_trained,
     "ann_sq8_topk": ann_sq8_topk,
@@ -930,6 +1014,7 @@ ORACLES = {
     "emb_quantize_int8": EMB_QUANTIZE_INT8_ORACLE,
     "ann_cosine_topk": ANN_COSINE_TOPK_ORACLE,
     "ann_lsh_topk": ANN_LSH_TOPK_ORACLE,
+    "knn_graph_lsh": KNN_GRAPH_LSH_ORACLE,
     "ann_ivf_topk": ANN_IVF_TOPK_ORACLE,
     "ann_ivf_trained": _ivf_trained_oracle(),
     "ann_sq8_topk": ANN_SQ8_TOPK_ORACLE,
@@ -1121,6 +1206,29 @@ scored AS (
   JOIN vec c ON c.vec_id = cand.neighbor_id
 ),
 {_TOPK_TAIL_SPARK}
+""",
+    "knn_graph_lsh": f"""
+WITH vec AS ({_VEC_SPARK_SQL}),
+sigt AS ({_SIG_SPARK_SQL}),
+bands AS ({_BANDS_SPARK_SQL}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+  FROM bands q JOIN bands c
+    ON q.band = c.band AND q.bkey = c.bkey AND c.vec_id != q.vec_id
+),
+scored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         {_COS.format(a='q.v', b='c.v', na='q.nrm', nb='c.nrm')} AS cosine
+  FROM cand
+  JOIN vec q ON q.vec_id = cand.q_id
+  JOIN vec c ON c.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT q_id AS vec_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= {KNN_K}
+ORDER BY vec_id, rnk
 """,
     "ann_ivf_topk": f"""
 WITH vec AS ({_VEC_SPARK_SQL}),
