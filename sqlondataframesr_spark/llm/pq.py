@@ -40,7 +40,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..materialize import materialize
 from .similarity import (
     N_QUERIES,
+    NLIST,
+    NPROBE,
     TOP_K,
+    _COS,
+    _COS_DUCK,
     _VEC_SPARK_SQL,
     _VEC_SQL,
     _vectors,
@@ -162,6 +166,177 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ADC shortlist size per query before the exact rerank — sized so the
+#: coarse stand-in codebook's ranking noise (KSUB=16) still keeps the
+#: IVF-exact top-5 in the shortlist (recall-vs-IVF pinned in tests)
+ADC_SHORTLIST = 40
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact refine — the production composition (FAISS
+    IndexIVFPQ + refine): coarse quantizer prunes the corpus to NPROBE
+    lists per query, ADC ranks ONLY those candidates in the compressed
+    domain, the top ADC_SHORTLIST get exact cosine reranked to TOP_K.
+
+    This is the rung the others exist for: ann_ivf_topk prunes but
+    scores full vectors; ann_pq_adc compresses but scans everything;
+    composed, per query the engine touches ~NPROBE/NLIST of the corpus
+    and reads 8 code bytes (not 256 float bytes) per touched vector —
+    the only full-width vector reads are the SHORTLIST rerank rows.
+
+    Output: (q_id, neighbor_id, adc_dist, cosine, rnk) — adc_dist kept
+    for recall observability. Recall < 1 by design (coarse pruning x
+    quantization error); the oracle replicates both stages, pinning
+    the algorithm, not ideal-kNN.
+
+    Scale: centroid set (NLIST rows) and LUT (queries x 128) broadcast;
+    candidate generation is the probes-to-lists join (each query reads
+    NPROBE postings lists); ADC is one groupBy(q, neighbor) over 8-row
+    code joins, map-combined; the rerank touches SHORTLIST x queries
+    full vectors. No stage shuffles the corpus' float payload.
+    """
+    vec = _vectors(spark, sf_dir).transform(materialize)
+    # --- IVF coarse stage (stand-in centroids: first NLIST by id,
+    # same convention + caveats as ann_ivf_topk) ---
+    cent = vec.filter(F.col("vec_id") < NLIST).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    asg_scored = vec.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "c_id",
+        F.expr(_COS.format(a="v", b="cv", na="nrm", nb="cn")).alias("ccos"),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.col("c_id"))
+    ranked = asg_scored.withColumn("arnk", F.row_number().over(aw))
+    asg = ranked.filter(F.col("arnk") == 1).select(
+        "vec_id", F.col("c_id").alias("list_id")
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("arnk") <= NPROBE))
+        .select(F.col("vec_id").alias("q_id"), F.col("c_id").alias("list_id"))
+    )
+    cand = (
+        asg.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .transform(materialize)
+    )
+    # --- PQ/ADC stage over candidates only ---
+    sub = _subvectors(vec)
+    cb = sub.filter(F.col("vec_id") < KSUB).select(
+        F.col("vec_id").alias("cw_id"), "m", F.col("subv").alias("cw")
+    )
+    codes = _encoded(vec).select("vec_id", "m", "code")
+    lut = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "m", F.col("subv").alias("qsub"))
+        .join(F.broadcast(cb), "m")
+        .select(
+            "q_id", "m", "cw_id",
+            F.expr(_D_US_SPARK.format(a="qsub", b="cw")).alias("d_us"),
+        )
+    )
+    cand_codes = cand.join(
+        codes, cand.neighbor_id == codes.vec_id
+    ).select("q_id", "neighbor_id", "m", "code")
+    approx = (
+        cand_codes.join(
+            F.broadcast(lut),
+            (cand_codes.q_id == lut.q_id)
+            & (cand_codes.m == lut.m)
+            & (cand_codes.code == lut.cw_id),
+        )
+        .drop(lut.q_id)
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.sum("d_us").alias("dist_us"))
+    )
+    sw = Window.partitionBy("q_id").orderBy("dist_us", "neighbor_id")
+    short = (
+        approx.withColumn("srnk", F.row_number().over(sw))
+        .filter(F.col("srnk") <= ADC_SHORTLIST)
+    )
+    # --- exact refine on the shortlist ---
+    qv = vec.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    nv = vec.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm")
+    rer = (
+        short.join(F.broadcast(qv), "q_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(F.col("dist_us").cast("double") / 1000000.0, 6).alias("adc_dist"),
+            F.expr(_COS.format(a="qv", b="v", na="qn", nb="nrm")).alias("cosine"),
+        )
+    )
+    rw = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "neighbor_id", "adc_dist", "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+def _ivf_pq_sql(dialect: str) -> str:
+    """Both-stage oracle: IVF probe candidates -> ADC shortlist ->
+    exact cosine rerank, unrolled in the target dialect."""
+    d_us = _D_US_DUCK if dialect == "duck" else _D_US_SPARK
+    cos = _COS_DUCK if dialect == "duck" else _COS
+    return (
+        "WITH "
+        + ",\n".join(_pq_parts(dialect))
+        + f""",
+cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vec WHERE vec_id < {NLIST}),
+asg_scored AS (
+  SELECT vec.vec_id, cent.c_id,
+         {cos.format(a='vec.v', b='cent.cv', na='vec.nrm', nb='cent.cn')} AS ccos
+  FROM vec CROSS JOIN cent),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, c_id) AS arnk
+  FROM asg_scored),
+asg AS (SELECT vec_id, c_id AS list_id FROM ranked WHERE arnk = 1),
+probes AS (
+  SELECT vec_id AS q_id, c_id AS list_id FROM ranked
+  WHERE vec_id < {N_QUERIES} AND arnk <= {NPROBE}),
+cand AS (
+  SELECT probes.q_id, asg.vec_id AS neighbor_id
+  FROM asg JOIN probes USING (list_id)
+  WHERE asg.vec_id != probes.q_id),
+lut AS (
+  SELECT q.vec_id AS q_id, q.m, cb.cw_id,
+         {d_us.format(a='q.subv', b='cb.cw')} AS d_us
+  FROM sub q JOIN cb ON q.m = cb.m
+  WHERE q.vec_id < {N_QUERIES}),
+approx AS (
+  SELECT c.q_id, c.neighbor_id, SUM(lut.d_us) AS dist_us
+  FROM cand c
+  JOIN best ON best.vec_id = c.neighbor_id
+  JOIN lut ON lut.q_id = c.q_id AND lut.m = best.m AND lut.cw_id = best.code
+  GROUP BY c.q_id, c.neighbor_id),
+short AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY dist_us, neighbor_id) AS srnk
+  FROM approx),
+rer AS (
+  SELECT s.q_id, s.neighbor_id,
+         round(CAST(s.dist_us AS DOUBLE) / 1000000.0, 6) AS adc_dist,
+         {cos.format(a='q.v', b='c.v', na='q.nrm', nb='c.nrm')} AS cosine
+  FROM short s
+  JOIN vec q ON q.vec_id = s.q_id
+  JOIN vec c ON c.vec_id = s.neighbor_id
+  WHERE s.srnk <= {ADC_SHORTLIST}),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM rer)
+SELECT q_id, neighbor_id, adc_dist, cosine, rnk FROM r WHERE rnk <= {TOP_K}
+ORDER BY q_id, rnk"""
+    )
+
+
 def _pq_parts(dialect: str) -> list[str]:
     """Shared CTE list: vec -> sub -> cb -> dist -> best (per-vector
     per-subspace nearest codeword). dialect in {'duck', 'spark'}."""
@@ -238,12 +413,18 @@ FROM r WHERE rnk <= {TOP_K} ORDER BY q_id, rnk"""
     )
 
 
-QUERIES = {"emb_pq_encode": emb_pq_encode, "ann_pq_adc": ann_pq_adc}
+QUERIES = {
+    "emb_pq_encode": emb_pq_encode,
+    "ann_pq_adc": ann_pq_adc,
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
+}
 ORACLES = {
     "emb_pq_encode": _pq_encode_sql("duck"),
     "ann_pq_adc": _pq_adc_sql("duck"),
+    "ann_ivf_pq_topk": _ivf_pq_sql("duck"),
 }
 SPARK_SQL: dict[str, str] = {
     "emb_pq_encode": _pq_encode_sql("spark"),
     "ann_pq_adc": _pq_adc_sql("spark"),
+    "ann_ivf_pq_topk": _ivf_pq_sql("spark"),
 }

@@ -636,3 +636,30 @@ def test_bpe_learns_textbook_merges(spark):
         for r in _learn_merges(df).collect()
     ]
     assert got == expected
+
+
+def test_ivf_pq_recall_decomposed(spark, sf_dir):
+    """IVF-PQ composes TWO approximations; hold each to its own
+    contract. (1) PQ-stage loss: vs ann_ivf_topk — the SAME coarse
+    candidates scored exactly — the ADC shortlist + refine must keep
+    >= 0.8 of the top-5 (a bug in the code/LUT joins would crater
+    this). (2) End-to-end vs brute force only gets a weak floor
+    (>= 0.3): the stand-in centroids' pruning dominates that number
+    and is already pinned by the IVF rung's own tests."""
+    from sqlondataframesr_spark.llm.pq import ann_ivf_pq_topk
+    from sqlondataframesr_spark.llm.similarity import ann_cosine_topk, ann_ivf_topk
+
+    def topk(rows):
+        out: dict[int, set[int]] = {}
+        for r in rows:
+            out.setdefault(r.q_id, set()).add(r.neighbor_id)
+        return out
+
+    got = topk(ann_ivf_pq_topk(spark, sf_dir).collect())
+    ivf = topk(ann_ivf_topk(spark, sf_dir).collect())
+    brute = topk(ann_cosine_topk(spark, sf_dir).collect())
+    assert set(got) == set(brute)
+    vs_ivf = [len(got[q] & ivf[q]) / len(ivf[q]) for q in ivf]
+    assert sum(vs_ivf) / len(vs_ivf) >= 0.8, vs_ivf
+    vs_brute = [len(got[q] & brute[q]) / len(brute[q]) for q in brute]
+    assert sum(vs_brute) / len(vs_brute) >= 0.3, vs_brute
