@@ -83,15 +83,28 @@ def _pair_counts(w: DataFrame) -> DataFrame:
 def _learn_merges(docs: DataFrame) -> DataFrame:
     """Merge table over an arbitrary (doc_id, text) frame — body of
     :func:`bpe_learn_merges`, split out for planted-corpus tests."""
-    words = (
+    merges, _ = _merge_chain(docs)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.union(m)
+    return out.orderBy("merge_rank")
+
+
+def _merge_chain(docs: DataFrame):
+    """Run the MERGES learning rounds; return (per-round merge-table
+    DataFrames, the word-type table with ALL merges applied). The
+    second element is what :func:`bpe_apply_token_counts` consumes —
+    training and application share one chain."""
+    w = (
         _word_freqs(docs)
         .select(
-            F.expr("trim(regexp_replace(word, '(.)', '$1  '))").alias("sp"), "freq"
+            "word",
+            F.expr("trim(regexp_replace(word, '(.)', '$1  '))").alias("sp"),
+            "freq",
         )
         .transform(materialize)
     )
     merges = []
-    w = words
     for i in range(MERGES):
         best = (
             _pair_counts(w)
@@ -107,23 +120,20 @@ def _learn_merges(docs: DataFrame) -> DataFrame:
                 F.col("cnt").alias("pair_count"),
             )
         )
-        if i + 1 < MERGES:  # last round's fused table feeds nothing
-            w = (
-                w.crossJoin(F.broadcast(best.select("lft", "rgt")))
-                .select(
-                    F.expr(
-                        "trim(replace(concat(' ', sp, ' '),"
-                        " concat(' ', lft, '  ', rgt, ' '),"
-                        " concat(' ', lft, rgt, ' ')))"
-                    ).alias("sp"),
-                    "freq",
-                )
-                .transform(materialize)
+        w = (
+            w.crossJoin(F.broadcast(best.select("lft", "rgt")))
+            .select(
+                "word",
+                F.expr(
+                    "trim(replace(concat(' ', sp, ' '),"
+                    " concat(' ', lft, '  ', rgt, ' '),"
+                    " concat(' ', lft, rgt, ' ')))"
+                ).alias("sp"),
+                "freq",
             )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.union(m)
-    return out.orderBy("merge_rank")
+            .transform(materialize)
+        )
+    return merges, w
 
 
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,11 +145,51 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _learn_merges(load_table(spark, sf_dir, "documents"))
 
 
-def _oracle_sql(dialect: str) -> str:
+def bpe_apply_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply: tokenize every document with the merges just
+    learned, returning per-doc (n_words, n_tokens) — the end-to-end
+    artifact (how many BPE tokens is my corpus?) that drives packing
+    budgets and compute estimates.
+
+    Application is a JOIN, not a re-scan: merges act on word TYPES, so
+    the fully-merged type table maps word -> post-merge symbol count
+    once, and documents aggregate over their word occurrences against
+    that map. At 100 TB the map is the (small) vocabulary — broadcast —
+    and the apply pass is the same one shuffle as any per-doc count.
+    Words under MIN_WORD_LEN are outside the trained population and
+    excluded from both counts (same contract as learning).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    _, merged = _merge_chain(docs)
+    wmap = merged.select(
+        "word",
+        F.size(F.split("sp", "  ")).cast("bigint").alias("n_sym"),
+    )
+    occ = (
+        spread_scan(docs, "doc_id")
+        .select(
+            "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        )
+        .filter(F.length("word") >= MIN_WORD_LEN)
+    )
+    return (
+        occ.join(wmap, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_sql(dialect: str, mode: str = "learn") -> str:
     """Unrolled CTE chain for the identical computation.
 
     dialect='duck': DuckDB list slicing + parallel unnest.
     dialect='spark': explode(zip_with(...)) pair extraction.
+    mode='learn': emit the merge table; mode='apply': emit per-doc
+    post-merge token counts from the fully-merged type table.
     """
     if dialect == "duck":
         words = r"""
@@ -148,19 +198,32 @@ def _oracle_sql(dialect: str) -> str:
         FROM documents)
   WHERE length(w) >= 2
   GROUP BY w"""
-        w0 = r"SELECT trim(regexp_replace(word, '(.)', '\1  ', 'g')) AS sp, freq FROM words"
+        w0 = (
+            r"SELECT word, trim(regexp_replace(word, '(.)', '\1  ', 'g')) AS sp,"
+            " freq FROM words"
+        )
         pairs = (
             "SELECT unnest(l[1:len(l)-1]) AS lft, unnest(l[2:len(l)]) AS rgt, freq"
             " FROM (SELECT string_split(sp, '  ') AS l, freq FROM {w})"
         )
         cnt = "CAST(SUM(freq) AS BIGINT)"
+        n_sym = "CAST(len(string_split(sp, '  ')) AS BIGINT)"
+        occ = """
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents)
+  WHERE length(w) >= 2"""
+        agg = "CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(map.n_sym) AS BIGINT) AS n_tokens"
     else:
         words = r"""
   SELECT w AS word, COUNT(*) AS freq
   FROM (SELECT explode(split(lower(text), '[^a-z]+')) AS w FROM documents)
   WHERE length(w) >= 2
   GROUP BY w"""
-        w0 = "SELECT trim(regexp_replace(word, '(.)', '$1  ')) AS sp, freq FROM words"
+        w0 = (
+            "SELECT word, trim(regexp_replace(word, '(.)', '$1  ')) AS sp,"
+            " freq FROM words"
+        )
         pairs = (
             "SELECT p.lft AS lft, p.rgt AS rgt, freq"
             " FROM (SELECT explode(zip_with(slice(l, 1, size(l) - 1),"
@@ -168,6 +231,12 @@ def _oracle_sql(dialect: str) -> str:
             " freq FROM (SELECT split(sp, '  ') AS l, freq FROM {w}))"
         )
         cnt = "SUM(freq)"
+        n_sym = "CAST(size(split(sp, '  ')) AS BIGINT)"
+        occ = """
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id, explode(split(lower(text), '[^a-z]+')) AS w FROM documents)
+  WHERE length(w) >= 2"""
+        agg = "COUNT(*) AS n_words, SUM(map.n_sym) AS n_tokens"
     ctes = [f"words AS ({words})", f"w0 AS ({w0})"]
     for i in range(MERGES):
         ctes.append(
@@ -178,23 +247,42 @@ def _oracle_sql(dialect: str) -> str:
             f"b{i} AS (SELECT lft, rgt, cnt FROM c{i}"
             " ORDER BY cnt DESC, lft, rgt LIMIT 1)"
         )
-        if i + 1 < MERGES:
-            ctes.append(
-                f"w{i + 1} AS (SELECT trim(replace(' ' || sp || ' ',"
-                f" ' ' || b.lft || '  ' || b.rgt || ' ',"
-                f" ' ' || b.lft || b.rgt || ' ')) AS sp, freq FROM w{i}, b{i} b)"
-            )
-    unions = "\nUNION ALL\n".join(
-        f"SELECT {i + 1} AS merge_rank, lft AS left_sym, rgt AS right_sym,"
-        f" cnt AS pair_count FROM b{i}"
-        for i in range(MERGES)
-    )
-    return "WITH " + ",\n".join(ctes) + "\n" + unions + "\nORDER BY merge_rank"
+        ctes.append(
+            f"w{i + 1} AS (SELECT word, trim(replace(' ' || sp || ' ',"
+            f" ' ' || b.lft || '  ' || b.rgt || ' ',"
+            f" ' ' || b.lft || b.rgt || ' ')) AS sp, freq FROM w{i}, b{i} b)"
+        )
+    if mode == "learn":
+        tail = "\nUNION ALL\n".join(
+            f"SELECT {i + 1} AS merge_rank, lft AS left_sym, rgt AS right_sym,"
+            f" cnt AS pair_count FROM b{i}"
+            for i in range(MERGES)
+        ) + "\nORDER BY merge_rank"
+    else:
+        ctes.append(f"occ AS ({occ})")
+        ctes.append(f"map AS (SELECT word, {n_sym} AS n_sym FROM w{MERGES})")
+        tail = (
+            f"SELECT occ.doc_id, {agg}\n"
+            "FROM occ JOIN map USING (word)\n"
+            "GROUP BY occ.doc_id\nORDER BY doc_id"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + tail
 
 
 BPE_LEARN_ORACLE = _oracle_sql("duck")
 BPE_LEARN_SPARK_SQL = _oracle_sql("spark")
+BPE_APPLY_ORACLE = _oracle_sql("duck", mode="apply")
+BPE_APPLY_SPARK_SQL = _oracle_sql("spark", mode="apply")
 
-QUERIES = {"bpe_learn_merges": bpe_learn_merges}
-ORACLES = {"bpe_learn_merges": BPE_LEARN_ORACLE}
-SPARK_SQL = {"bpe_learn_merges": BPE_LEARN_SPARK_SQL}
+QUERIES = {
+    "bpe_learn_merges": bpe_learn_merges,
+    "bpe_apply_token_counts": bpe_apply_token_counts,
+}
+ORACLES = {
+    "bpe_learn_merges": BPE_LEARN_ORACLE,
+    "bpe_apply_token_counts": BPE_APPLY_ORACLE,
+}
+SPARK_SQL = {
+    "bpe_learn_merges": BPE_LEARN_SPARK_SQL,
+    "bpe_apply_token_counts": BPE_APPLY_SPARK_SQL,
+}
