@@ -341,3 +341,41 @@ def test_bm25_query_terms_and_df_are_broadcast(spark, sf_dir):
     a = _audit(spark, sf_dir, "bm25_topk")
     assert "BroadcastExchange" in a.text
     assert not a.has_cartesian
+
+
+def test_knn_graph_band_join_is_equijoin_no_cartesian(spark, sf_dir):
+    """The kNN graph's candidate stage must be an equi-join on
+    (band, bkey) — the whole point of LSH is never materializing the
+    all-pairs product."""
+    a = _audit(spark, sf_dir, "knn_graph_lsh")
+    assert not a.has_cartesian
+    # the candidate stage is a HASHED equi-join on (band, bkey) — at
+    # test scale AQE picks BroadcastHashJoin, at 100 TB SortMergeJoin;
+    # a BroadcastNestedLoopJoin would mean the equi-keys were lost
+    assert "BroadcastNestedLoopJoin" not in a.text
+    assert (
+        "BroadcastHashJoin [band" in a.text
+        or "SortMergeJoin [band" in a.text
+        or "ShuffledHashJoin [band" in a.text
+    )
+
+
+def test_ivf_pq_broadcasts_small_sides_only(spark, sf_dir):
+    """IVF-PQ: the centroid set, the probes and the ADC LUT broadcast;
+    the only cartesian is the NLIST-row centroid assignment crossJoin
+    (a broadcast nested loop over 8 rows, same contract as
+    ann_ivf_topk). The corpus' float payload must never ride an
+    exchange keyed on anything but its own ids."""
+    a = _audit(spark, sf_dir, "ann_ivf_pq_topk")
+    assert a.text.count("BroadcastExchange") >= 3
+    assert "BroadcastNestedLoopJoin" in a.text  # the NLIST-row crossJoin
+
+
+def test_bpe_merge_rounds_broadcast_single_row(spark, sf_dir):
+    """Each BPE merge round crossJoins the word-type table with the
+    1-row argmax merge — all four must be broadcast nested loops (1-row
+    inner side), never a shuffle of the type table against itself."""
+    a = _audit(spark, sf_dir, "bpe_learn_merges")
+    assert a.text.count("BroadcastNestedLoopJoin") >= 1
+    # TakeOrderedAndProject = the limit(1) argmax never global-sorts
+    assert "TakeOrderedAndProject" in a.text
