@@ -29,6 +29,7 @@ from .llm import (
     text,
 )
 from .multimodal import media
+from .sources import binary as sources_binary
 from .operators import aggmerge, asof, graph, grouped, rangejoin, salt, udtf
 from .queries import extensions, quality, reference, stackexchange, tpch_shapes
 from .streaming import dedup_sink as streaming_dedup_sink
@@ -62,6 +63,7 @@ _MODULES = [
     streaming_windows,
     streaming_dedup_sink,
     media,
+    sources_binary,
     grouped,
     aggmerge,
     asof,
