@@ -179,9 +179,9 @@ ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_ORACLE,
 }
 
-# Spark-SQL N-version form (fluent ≡ SQL, tests/test_reference_queries.py)
-SPARK_SQL: dict[str, str] = {
-    "dedup_minhash_lsh": f"""
+# Spark-SQL N-version form (fluent ≡ SQL, tests/test_reference_queries.py);
+# named so llm/sampling.split_leakage_report can compose its dual on it
+DEDUP_MINHASH_LSH_SPARK_SQL = f"""
 WITH s AS ({_SHINGLES_SPARK_SQL}),
 sigt AS (
   SELECT doc_id,
@@ -216,5 +216,9 @@ SELECT doc_a, doc_b, est_jaccard
 FROM est
 WHERE est_jaccard >= {EST_THRESHOLD}D
 ORDER BY doc_a, doc_b
-""",
+"""
+
+SPARK_SQL: dict[str, str] = {
+    "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SPARK_SQL,
 }
+

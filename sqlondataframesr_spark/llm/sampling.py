@@ -236,8 +236,36 @@ ORACLES = {
     "split_leakage_report": _split_leakage_oracle(),
 }
 
+def _split_leakage_spark_sql() -> str:
+    from .minhash import DEDUP_MINHASH_LSH_SPARK_SQL
+
+    return f"""
+WITH pairs AS ({DEDUP_MINHASH_LSH_SPARK_SQL}),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN {_BUCKET_SPARK} < {TRAIN_PCT} THEN 'train'
+              WHEN {_BUCKET_SPARK} < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+j AS (
+  SELECT least(sa.split, sb.split) AS split_1,
+         greatest(sa.split, sb.split) AS split_2
+  FROM pairs p
+  JOIN splits sa ON sa.doc_id = p.doc_a
+  JOIN splits sb ON sb.doc_id = p.doc_b
+)
+SELECT split_1, split_2, COUNT(*) AS n_pairs,
+       (split_1 <> split_2) AS is_leak
+FROM j
+GROUP BY split_1, split_2
+ORDER BY split_1, split_2
+"""
+
+
 # Spark-SQL N-version forms (fluent ≡ SQL, tests/test_reference_queries.py)
 SPARK_SQL: dict[str, str] = {
+    "split_leakage_report": _split_leakage_spark_sql(),
     "sample_hash_split": f"""
 SELECT doc_id, lang,
        {_BUCKET_SPARK} AS bucket,
