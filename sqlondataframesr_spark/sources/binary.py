@@ -17,14 +17,13 @@ filesystem — the oracle SQL embeds a PURE path computation
 function, which the driver always runs before the oracle.
 
 Scale (100 TB posture): ``binaryFile`` parallelizes by file across
-executors and carries (path, modificationTime, length, content) —
-list-and-read scales with the file count; for multi-GB media you cap
-``spark.sql.files.maxPartitionBytes`` irrelevance aside, the pattern
-is: ingest ONCE into parquet with the binary column + typed metadata
-(this op's output is exactly that schema), then run the mapInPandas
-featurizers (multimodal/media.py) over the parquet, never re-listing
-small files. Checksums shard perfectly (per-file map work, no
-shuffle); the only shuffle here is the output ORDER BY.
+executors and carries (path, modificationTime, length, content).
+The production pattern: ingest ONCE into parquet with the binary
+column + typed metadata (this op's output is exactly that schema),
+then run the mapInPandas featurizers (multimodal/media.py) over the
+parquet — never re-list millions of small files per query. Checksums
+shard perfectly (per-file map work, no shuffle); the only shuffle
+here is the output ORDER BY.
 """
 
 from __future__ import annotations
@@ -130,3 +129,18 @@ ORDER BY file_name
 
 QUERIES = {"mm_binary_ingest": mm_binary_ingest}
 ORACLES = {"mm_binary_ingest": MM_BINARY_INGEST_ORACLE}
+
+
+#: Spark-SQL N-version twin: the `binaryFile.` path-table syntax reads
+#: the same files straight from SQL (path is the pure fixture_path()
+#: computation — no import-time I/O; the fluent twin builds the files)
+MM_BINARY_INGEST_SPARK_SQL = f"""
+SELECT element_at(split(path, '/'), -1) AS file_name,
+       length AS n_bytes,
+       md5(hex(content)) AS content_md5,
+       {_SNIFF_CASE.format(h="hex(content)")} AS media_type
+FROM binaryFile.`{fixture_path()}/*.bin`
+ORDER BY file_name
+"""
+
+SPARK_SQL = {"mm_binary_ingest": MM_BINARY_INGEST_SPARK_SQL}
