@@ -221,3 +221,39 @@ def test_arrow_twin_equals_pandas_featurizer(spark, sf_dir):
     for ra, rb in zip(a, b):
         assert ra.doc_id == rb.doc_id
         assert ra.hist == rb.hist
+
+
+def test_binary_fixture_is_deterministic_and_balanced():
+    """The blob fixture must be bit-stable across regenerations (the
+    oracle and the Spark side read it at different times) and carry
+    all four magic types evenly."""
+    import hashlib
+
+    from sqlondataframesr_spark.sources import binary
+
+    h = hashlib.md5()
+    for i in range(binary.N_FILES):
+        h.update(binary._content(i))
+    # pinned digest: any generator edit rolls fixture_path() too —
+    # assert the two change together (stale-cache guard)
+    assert h.hexdigest() == "d6fda2f662650cbd8c6b11557e7f49ca", (
+        "fixture bytes changed — fixture_path() must have rolled: "
+        + binary.fixture_path()
+    )
+    types = [binary._content(i)[:4] for i in range(binary.N_FILES)]
+    from collections import Counter
+
+    assert len(Counter(types)) == 4
+    assert set(Counter(types).values()) == {binary.N_FILES // 4}
+
+
+def test_binary_ingest_sniffs_all_types(spark):
+    from sqlondataframesr_spark.sources.binary import mm_binary_ingest
+
+    rows = mm_binary_ingest(spark, "unused").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.media_type, 0)
+        by_type[r.media_type] += 1
+    assert by_type == {"png": 16, "jpeg": 16, "riff": 16, "mp4": 16}
+    assert all(r.n_bytes > 0 for r in rows)
