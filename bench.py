@@ -16,6 +16,13 @@ timed too and reported under "queries" with the grand total in
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS  (default os.cpu_count()).
+
+Protocol note (r6, measured): run on an otherwise-IDLE machine. A
+bench launched right after (or beside) another Spark workload reads
+20-40% high across EVERY family — page cache + CPU contention, not a
+plan change (the floor rows look normal, which is the tell: compare
+`floor_sec` AND a known-stable query against the last committed
+BENCH_DETAILS before believing a regression).
 """
 
 from __future__ import annotations
