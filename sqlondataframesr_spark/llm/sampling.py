@@ -157,6 +157,68 @@ FROM cum
 """
 
 
+#: weighted-reservoir sample size
+RESERVOIR_K = 20
+
+#: md5-uniform u(doc_id) in (0, 1] — deterministic, so the "random"
+#: sample is a pure row property (repo-standard reproducibility)
+_U_SPARK = (
+    "((cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as double)"
+    " + 1.0) / 4294967296.0)"
+)
+_U_DUCK = (
+    "((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " + 1.0) / 4294967296.0)"
+)
+
+
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted random sample WITHOUT replacement: the top-K documents
+    by the Efraimidis-Spirakis exponential key u^(1/w) (A-ES, IPL
+    2006), weight = n_chars — longer docs proportionally likelier, yet
+    the pass is one scan + a top-K, never a full sort or a rejection
+    loop. THE distributed weighted-sampling construction: keys are
+    independent per row, so executors compute them map-side and any
+    top-K machinery (here TakeOrderedAndProject; a treeAggregate heap
+    at extreme K) finishes the job — and it composes with streaming
+    (keep a running K-heap over arriving keys).
+
+    Determinism: u is md5-uniform (a pure function of doc_id), the key
+    is rounded to 6 dp BEFORE ranking on both engines (pow() may
+    differ in the last ulp across libm implementations — the repo-
+    standard cosine trick), ties break on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.round(
+        F.expr(f"power({_U_SPARK}, 1.0 / cast(n_chars as double))"), 6
+    )
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(RESERVOIR_K)
+    )
+
+
+SAMPLE_WEIGHTED_RESERVOIR_ORACLE = f"""
+SELECT doc_id, n_chars,
+       ROUND(POW({_U_DUCK}, 1.0 / CAST(n_chars AS DOUBLE)), 6) AS es_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY es_key DESC, doc_id
+LIMIT {RESERVOIR_K}
+"""
+
+SAMPLE_WEIGHTED_RESERVOIR_SPARK_SQL = f"""
+SELECT doc_id, n_chars,
+       ROUND(POWER({_U_SPARK}, 1.0 / CAST(n_chars AS DOUBLE)), 6) AS es_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY es_key DESC, doc_id
+LIMIT {RESERVOIR_K}
+"""
+
+
 def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split contamination audit: count MinHash-LSH near-dup
     pairs by the (train/val/test) splits of their two endpoints.
@@ -227,6 +289,7 @@ QUERIES = {
     "sample_stratified_topn": sample_stratified_topn,
     "pack_token_budget": pack_token_budget,
     "split_leakage_report": split_leakage_report,
+    "sample_weighted_reservoir": sample_weighted_reservoir,
 }
 
 ORACLES = {
@@ -234,6 +297,7 @@ ORACLES = {
     "sample_stratified_topn": SAMPLE_STRATIFIED_TOPN_ORACLE,
     "pack_token_budget": PACK_TOKEN_BUDGET_ORACLE,
     "split_leakage_report": _split_leakage_oracle(),
+    "sample_weighted_reservoir": SAMPLE_WEIGHTED_RESERVOIR_ORACLE,
 }
 
 def _split_leakage_spark_sql() -> str:
@@ -266,6 +330,7 @@ ORDER BY split_1, split_2
 # Spark-SQL N-version forms (fluent ≡ SQL, tests/test_reference_queries.py)
 SPARK_SQL: dict[str, str] = {
     "split_leakage_report": _split_leakage_spark_sql(),
+    "sample_weighted_reservoir": SAMPLE_WEIGHTED_RESERVOIR_SPARK_SQL,
     "sample_hash_split": f"""
 SELECT doc_id, lang,
        {_BUCKET_SPARK} AS bucket,
