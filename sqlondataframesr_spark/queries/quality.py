@@ -245,14 +245,125 @@ ORDER BY rule
 """
 
 
+#: PSI buckets: fixed-width document-length bins (width 64 chars,
+#: capped at bucket 9). FIXED edges, not quantiles — quantile edges
+#: differ between engines and drift with the data, which would make
+#: the drift metric itself drift.
+PSI_BUCKETS = 10
+PSI_WIDTH = 64
+
+
+def dq_split_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between the train and test splits:
+    per-bucket Population Stability Index terms over document length.
+
+    PSI = sum over buckets of (p - q) * ln(p / q) is THE production
+    gate for "did my eval set drift away from training?" (> 0.25 =
+    investigate). Emitted PER BUCKET rather than pre-summed: the rows
+    localize WHERE the mass moved, and a cross-bucket float sum would
+    be summation-order-nondeterministic across engines — the consumer
+    sums 10 rounded terms. Laplace smoothing (+1 per bucket) keeps
+    empty buckets finite and is integer-exact on both engines.
+
+    Scale: split assignment and bucketing are map-only expressions;
+    the whole report is ONE groupBy over ~doc-count rows into
+    PSI_BUCKETS * 2 cells plus a 1-row total broadcast — the same
+    shape at 100 TB.
+    """
+    from ..llm.sampling import TRAIN_PCT, VAL_PCT, _BUCKET_SPARK
+
+    docs = load_table(spark, sf_dir, "documents")
+    hb = F.expr(_BUCKET_SPARK)
+    split = (
+        F.when(hb < TRAIN_PCT, F.lit("train"))
+        .when(hb < VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    lb = F.least(F.floor(F.col("n_chars") / PSI_WIDTH), F.lit(PSI_BUCKETS - 1))
+    tagged = docs.select(split.alias("split"), lb.alias("bucket")).filter(
+        F.col("split") != "val"
+    )
+    counts = tagged.groupBy("bucket").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+    )
+    spine = spark.range(PSI_BUCKETS).select(F.col("id").alias("bucket"))
+    filled = (
+        spine.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_train", F.lit(0)).alias("n_train"),
+            F.coalesce("n_test", F.lit(0)).alias("n_test"),
+        )
+    )
+    totals = filled.agg(
+        F.sum("n_train").alias("tot_train"), F.sum("n_test").alias("tot_test")
+    )
+    p = (F.col("n_train") + 1).cast("double") / (
+        F.col("tot_train") + PSI_BUCKETS
+    ).cast("double")
+    q = (F.col("n_test") + 1).cast("double") / (
+        F.col("tot_test") + PSI_BUCKETS
+    ).cast("double")
+    return (
+        filled.crossJoin(F.broadcast(totals))  # 1-row totals
+        .select(
+            "bucket",
+            "n_train",
+            "n_test",
+            F.round(p, 6).alias("p_train"),
+            F.round(q, 6).alias("q_test"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _psi_oracle() -> str:
+    from ..llm.sampling import TRAIN_PCT, VAL_PCT, _BUCKET_DUCK
+
+    return f"""
+WITH tagged AS (
+  SELECT CASE WHEN {_BUCKET_DUCK} < {TRAIN_PCT} THEN 'train'
+              WHEN {_BUCKET_DUCK} < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         LEAST(CAST(floor(n_chars / {PSI_WIDTH}) AS BIGINT), {PSI_BUCKETS - 1}) AS bucket
+  FROM documents
+),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+  FROM tagged WHERE split <> 'val' GROUP BY bucket
+),
+filled AS (
+  SELECT t.b AS bucket,
+         COALESCE(n_train, 0) AS n_train, COALESCE(n_test, 0) AS n_test
+  FROM range(0, {PSI_BUCKETS}) t(b) LEFT JOIN counts ON counts.bucket = t.b
+),
+tot AS (SELECT SUM(n_train) AS tot_train, SUM(n_test) AS tot_test FROM filled)
+SELECT bucket, n_train, n_test,
+       ROUND((n_train + 1.0) / (tot_train + {PSI_BUCKETS}), 6) AS p_train,
+       ROUND((n_test + 1.0) / (tot_test + {PSI_BUCKETS}), 6) AS q_test,
+       ROUND(((n_train + 1.0) / (tot_train + {PSI_BUCKETS})
+              - (n_test + 1.0) / (tot_test + {PSI_BUCKETS}))
+             * ln(((n_train + 1.0) / (tot_train + {PSI_BUCKETS}))
+                  / ((n_test + 1.0) / (tot_test + {PSI_BUCKETS}))), 6) AS psi_term
+FROM filled, tot
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "profile_orders": profile_orders,
     "dq_violations": dq_violations,
+    "dq_split_psi": dq_split_psi,
 }
 
 ORACLES = {
     "profile_orders": PROFILE_ORDERS_ORACLE,
     "dq_violations": DQ_VIOLATIONS_ORACLE,
+    "dq_split_psi": _psi_oracle(),
 }
 
 SPARK_SQL: dict[str, str] = {
