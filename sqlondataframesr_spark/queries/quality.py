@@ -354,6 +354,42 @@ ORDER BY bucket
 """
 
 
+def _psi_spark_sql() -> str:
+    from ..llm.sampling import TRAIN_PCT, VAL_PCT, _BUCKET_SPARK
+
+    return f"""
+WITH tagged AS (
+  SELECT CASE WHEN {_BUCKET_SPARK} < {TRAIN_PCT} THEN 'train'
+              WHEN {_BUCKET_SPARK} < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         LEAST(CAST(floor(n_chars / {PSI_WIDTH}) AS BIGINT), {PSI_BUCKETS - 1}L) AS bucket
+  FROM documents
+),
+counts AS (
+  SELECT bucket,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+         SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+  FROM tagged WHERE split <> 'val' GROUP BY bucket
+),
+spine AS (SELECT explode(sequence(0, {PSI_BUCKETS - 1})) AS b),
+filled AS (
+  SELECT CAST(s.b AS BIGINT) AS bucket,
+         COALESCE(n_train, 0L) AS n_train, COALESCE(n_test, 0L) AS n_test
+  FROM spine s LEFT JOIN counts ON counts.bucket = s.b
+),
+tot AS (SELECT SUM(n_train) AS tot_train, SUM(n_test) AS tot_test FROM filled)
+SELECT bucket, n_train, n_test,
+       ROUND((n_train + 1.0D) / (tot_train + {PSI_BUCKETS}), 6) AS p_train,
+       ROUND((n_test + 1.0D) / (tot_test + {PSI_BUCKETS}), 6) AS q_test,
+       ROUND(((n_train + 1.0D) / (tot_train + {PSI_BUCKETS})
+              - (n_test + 1.0D) / (tot_test + {PSI_BUCKETS}))
+             * ln(((n_train + 1.0D) / (tot_train + {PSI_BUCKETS}))
+                  / ((n_test + 1.0D) / (tot_test + {PSI_BUCKETS}))), 6) AS psi_term
+FROM filled CROSS JOIN tot
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "profile_orders": profile_orders,
     "dq_violations": dq_violations,
@@ -370,4 +406,5 @@ SPARK_SQL: dict[str, str] = {
     "profile_orders": PROFILE_ORDERS_SPARK_SQL,
     # the scalar-subquery UNION spelling is dialect-neutral
     "dq_violations": DQ_VIOLATIONS_ORACLE,
+    "dq_split_psi": _psi_spark_sql(),
 }
