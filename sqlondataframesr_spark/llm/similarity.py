@@ -1320,3 +1320,111 @@ FROM q
 ORDER BY vec_id
 """,
 }
+
+
+def emb_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate clusters: connected components of the cosine
+    near-dup graph (edges = :func:`dedup_embedding_cosine` pairs),
+    cluster_id = min vec_id in the component, with the component size.
+
+    The embedding-space analogue of ``dedup_clusters`` — pairwise
+    semantic verdicts become a keep/drop partition (keep vec_id ==
+    cluster_id, or route each cluster through a quality-ranked keeper
+    policy). Same min-label-propagation CC harness: per round ONE
+    shuffle of the (vec_id, label) table, O(component diameter) rounds
+    with lazy localCheckpoint lineage truncation; semantic-dup blobs
+    are diameter 1-2 in practice so the halved convergence count
+    usually fires once. Singleton vectors (no qualifying edge) remain
+    their own cluster of size 1 — the report covers the WHOLE corpus.
+
+    The DuckDB oracle replays the banded candidate generation and a
+    WITH RECURSIVE reachability closure — the same unbounded-iteration
+    semantics the Spark loop unrolls (cap 20 rounds >> real diameter).
+    """
+    pairs = dedup_embedding_cosine(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        .union(pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")))
+        .transform(materialize)
+    )
+    nodes = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("node")
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    max_rounds = 20
+    for rnd in range(1, max_rounds + 1):
+        msg = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msg, labels.node == msg.node2, "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        converged = False
+        if rnd % 2 == 0 or rnd == max_rounds:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            converged = changed == 0
+        labels = new_labels
+        if converged:
+            break
+
+    sized = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sized, "label")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMB_SEMANTIC_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE vec AS ({_VEC_SQL}),
+sig AS ({_SIG_SQL}),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+near AS (
+  SELECT cand.vec_a, cand.vec_b
+  FROM cand
+  JOIN vec va ON va.vec_id = cand.vec_a
+  JOIN vec vb ON vb.vec_id = cand.vec_b
+  WHERE {_COS_DUCK.format(a='va.v', b='vb.v', na='va.nrm', nb='vb.nrm')} >= {COS_THRESHOLD}
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM near
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM near
+),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+  SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT c.vec_id, c.cluster_id, cs.cluster_size
+FROM clusters c
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id) cs
+  USING (cluster_id)
+ORDER BY c.vec_id
+"""
+
+QUERIES["emb_semantic_clusters"] = emb_semantic_clusters
+ORACLES["emb_semantic_clusters"] = EMB_SEMANTIC_CLUSTERS_ORACLE
