@@ -9,9 +9,14 @@ idf stays positive):
     score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf / (tf + k1·(1 - b + b·dl/avgdl))
 
 Determinism: tf/df/dl are exact integers; avgdl is one exact-sum
-division; idf/score use the IDENTICAL expression text in Spark and
-DuckDB (same IEEE ops in the same order), and scores are rounded to
-6 dp before ranking with doc_id tie-breaks.
+division; each per-term contribution uses the IDENTICAL scalar
+expression text in Spark and DuckDB (same IEEE ops in the same order
+— a claim that holds for a SCALAR chain but NOT for a float SUM,
+whose accumulation order differs between Spark partitions and DuckDB,
+ADVICE r6). The contribution is therefore quantized to integer
+micro-units (round(contrib·1e6) AS BIGINT, the pq.py ``_D_US``
+discipline) so the aggregate is an order-independent exact BIGINT
+sum; one division + round(6) after the sum yields the score.
 
 Scale: the classic BM25 plan — a postings list (term, doc, tf) built
 once (one shuffle on term for df, one on doc for dl), query terms
@@ -60,14 +65,21 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(avgdl_df))
         .withColumn(
-            "contrib",
+            # integer micro-units: the scalar chain is engine-identical,
+            # the quantized BIGINT sum is accumulation-order-independent
+            "contrib_us",
             F.expr(
-                f"ln(({n_docs} - df + 0.5) / (df + 0.5) + 1)"
-                f" * tf / (tf + {K1} * (1 - {B} + {B} * dl / avgdl))"
+                f"cast(round((ln(({n_docs} - df + 0.5) / (df + 0.5) + 1)"
+                f" * tf / (tf + {K1} * (1 - {B} + {B} * dl / avgdl)))"
+                " * 1000000.0) as bigint)"
             ),
         )
         .groupBy("q_id", "doc_id")
-        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .agg(
+            F.round(
+                F.sum("contrib_us").cast("double") / F.lit(1000000.0), 6
+            ).alias("score")
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
@@ -99,10 +111,10 @@ q_terms AS (
 ),
 scored AS (
   SELECT q.q_id, p.doc_id,
-         round(SUM(
+         round(CAST(SUM(CAST(round((
            ln((n.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
            * p.tf / (p.tf + {K1} * (1 - {B} + {B} * p.dl / s.avgdl))
-         ), 6) AS score
+         ) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS score
   FROM postings p
   JOIN q_terms q ON p.term = q.term AND p.doc_id != q.q_id
   JOIN dfreq f ON f.term = p.term

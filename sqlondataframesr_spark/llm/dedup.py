@@ -672,6 +672,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the count is what materializes them.
     labels = reps.select(F.col("rep").alias("node"), F.col("rep").alias("label"))
     max_rounds = 20  # cap >> real dup-graph diameter
+    converged = False
     for rnd in range(1, max_rounds + 1):
         msg = (
             edges.join(labels, edges.src == labels.node)
@@ -703,6 +704,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if converged:
             break
+    # oracle = FULL recursive closure — an unconverged exit must fail
+    # loudly, not surface as a differential mismatch (ADVICE r6, same
+    # guard as emb_semantic_clusters)
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge "
+            f"within {max_rounds} rounds; raise max_rounds"
+        )
 
     member_label = fp.join(reps.select("fp", "rep"), "fp").join(
         labels, F.col("rep") == F.col("node")

@@ -31,9 +31,21 @@ from .bm25 import (
     BM25_TOP_K,
     bm25_topk,
 )
-from .similarity import _COS, _COS_DUCK, _VEC_SPARK_SQL, _VEC_SQL, ann_cosine_topk
+from .similarity import TOP_K, _COS, _COS_DUCK, _VEC_SPARK_SQL, _VEC_SQL, ann_cosine_topk
 
 RRF_K = 60
+
+# The fluent path reuses ann_cosine_topk (cut at similarity.TOP_K)
+# while the SQL/oracle duals cut at BM25_TOP_K; the fusion is only
+# well-defined when both lists are the same depth, so pin the
+# coincidence at import time (ADVICE r6) — changing either constant
+# independently must fail loudly, not silently desynchronize the
+# fluent form from its oracle.
+if BM25_TOP_K != TOP_K:
+    raise AssertionError(
+        f"hybrid RRF requires BM25_TOP_K == similarity.TOP_K "
+        f"(got {BM25_TOP_K} != {TOP_K})"
+    )
 
 
 def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

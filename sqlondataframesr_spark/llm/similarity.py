@@ -1352,6 +1352,7 @@ def emb_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     max_rounds = 20
+    converged = False
     for rnd in range(1, max_rounds + 1):
         msg = (
             edges.join(labels, edges.src == labels.node)
@@ -1378,6 +1379,16 @@ def emb_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if converged:
             break
+    # The DuckDB oracle computes the FULL recursive closure; silently
+    # returning unconverged labels would surface as a confusing
+    # differential mismatch instead of a clear error (ADVICE r6). A
+    # component with diameter > max_rounds must fail loudly here.
+    if not converged:
+        raise RuntimeError(
+            f"emb_semantic_clusters: min-label propagation did not "
+            f"converge within {max_rounds} rounds — a near-dup chain "
+            f"longer than the round cap exists; raise max_rounds"
+        )
 
     sized = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

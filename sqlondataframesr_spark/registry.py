@@ -95,3 +95,17 @@ def oracles() -> dict[str, str]:
 
 def spark_sql() -> dict[str, str]:
     return _collect("SPARK_SQL")
+
+
+def sql_prereqs() -> dict[str, Callable[[], None]]:
+    """Per-query setup hooks a runner must invoke BEFORE executing the
+    corresponding ``spark_sql()`` text (ADVICE r6): a SQL dual that
+    reads a generated fixture (e.g. the binaryFile blob dir) cannot
+    rely on the fluent form having run first. Runners do::
+
+        registry.sql_prereqs().get(name, lambda: None)()
+        spark.sql(registry.spark_sql()[name])
+
+    Kept separate from spark_sql() so collecting the SQL surface stays
+    free of filesystem side effects (test_import_side_effects)."""
+    return _collect("SQL_PREREQS")

@@ -144,3 +144,8 @@ ORDER BY file_name
 """
 
 SPARK_SQL = {"mm_binary_ingest": MM_BINARY_INGEST_SPARK_SQL}
+
+#: the SQL dual reads binaryFile.`fixture_path()` — a runner executing
+#: it standalone (fresh env, no fluent-first ordering) must create the
+#: blobs first (ADVICE r6; hook contract in registry.sql_prereqs)
+SQL_PREREQS = {"mm_binary_ingest": fixture_dir}

@@ -291,8 +291,10 @@ def test_q53_scalar_threshold_is_broadcast_single_lineitem_scan(spark, sf_dir):
     # both consumers (threshold filter + totals reduce) must read the
     # PINNED per-part aggregate — the plan text embeds the cached
     # subtree's FileScan once per consumer, but physically the cache
-    # is built from ONE lineitem pass (materialize contract)
-    assert a.text.count("InMemoryTableScan") == 2
+    # is built from ONE lineitem pass (materialize contract). >= not
+    # == (ADVICE r6): a Spark/AQE rendering change may print the
+    # cached subtree extra times without any behavioral regression.
+    assert a.text.count("InMemoryTableScan") >= 2
 
 
 def test_q55_window_over_agg_single_lineitem_scan(spark, sf_dir):

@@ -30,6 +30,9 @@ def test_vs_duckdb_oracle(spark, sf_dir, name):
 @pytest.mark.parametrize("name", sorted(registry.spark_sql()))
 def test_fluent_vs_spark_sql(spark, sf_dir, name):
     register_views(spark, sf_dir)
+    # fixture-building hook BEFORE the SQL text runs — the dual must
+    # work standalone, not rely on fluent-first ordering (ADVICE r6)
+    registry.sql_prereqs().get(name, lambda: None)()
     fluent = registry.queries()[name](spark, sf_dir)
     via_sql = spark.sql(registry.spark_sql()[name])
     problems = compare_frames(fluent, via_sql)
