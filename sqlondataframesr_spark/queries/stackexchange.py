@@ -36,7 +36,7 @@ import csv
 import os
 import random
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..materialize import materialize
 from ..sources.io import read_csv
@@ -205,7 +205,17 @@ def load_se(spark: SparkSession, data_dir: str) -> dict[str, DataFrame]:
 
 
 def task1_upvotes_per_year(spark: SparkSession, data_dir: str) -> DataFrame:
-    """Rmd:75-81 — per year, the question with the most upvotes."""
+    """Rmd:75-81 — per year, the question with the most upvotes.
+
+    Argmax form: the per-year winner rides a partial-aggregating
+    ``max_by(_, struct(Count, -Id))`` groupBy — the same single-shuffle
+    rewrite the transposed q1 uses (operators/argmax.py) — NOT a
+    ``Window.partitionBy("Year")``, whose ~15 year-partitions would
+    serialize the row_number onto 15 tasks at 100x scale (VERDICT r6
+    item 5). Ties break to the smallest post Id, matching the previous
+    window's ``orderBy(desc(Count), asc(Id))``; TASK1_ORACLE pins the
+    output either way.
+    """
     t = load_se(spark, data_dir)
     up_per_year = (
         t["Votes"]
@@ -218,10 +228,13 @@ def task1_upvotes_per_year(spark: SparkSession, data_dir: str) -> DataFrame:
         t["Posts"].filter(F.col("PostTypeId") == 1)
         .join(up_per_year, F.col("Id") == F.col("PostId"))
     )
-    w = Window.partitionBy("Year").orderBy(F.desc("Count"), F.asc("Id"))
+    ord_struct = F.struct(F.col("Count"), (-F.col("Id")).alias("nid"))
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        joined.groupBy("Year")
+        .agg(
+            F.max("Count").alias("Count"),
+            F.max_by("Title", ord_struct).alias("Title"),
+        )
         .select("Title", "Year", "Count")
         .orderBy("Year")
     )
@@ -247,15 +260,20 @@ def task2_top_favorited_users(spark: SparkSession, data_dir: str) -> DataFrame:
     most-favorited question (argmax, NULLs skipped by SUM/MAX)."""
     t = load_se(spark, data_dir)
     q = t["Posts"].filter(F.col("PostTypeId") == 1)
-    w = Window.partitionBy("OwnerUserId").orderBy(
-        F.desc_nulls_last("FavoriteCount"), F.asc("Id")
-    )
+    # Single-shuffle argmax (VERDICT r6 item 5): SUM + MAX + the argmax
+    # Title all ride ONE partial-aggregating groupBy via max_by over a
+    # (FavoriteCount, -Id) struct — no row_number window, no second
+    # shuffle. NULL FavoriteCount structs compare smallest in Spark's
+    # struct ordering, which is exactly the previous window's
+    # desc_nulls_last placement; an all-NULL group falls back to the
+    # smallest Id, same as the window's asc(Id) tie-break.
+    # TASK2_ORACLE pins the output either way.
+    ord_struct = F.struct(F.col("FavoriteCount"), (-F.col("Id")).alias("nid"))
     per_user = (
-        q.withColumn("rn", F.row_number().over(w))
-        .groupBy("OwnerUserId")
+        q.groupBy("OwnerUserId")
         .agg(
             F.sum("FavoriteCount").alias("FavoriteTotal"),
-            F.max(F.when(F.col("rn") == 1, F.col("Title"))).alias("MostFavoriteQuestion"),
+            F.max_by("Title", ord_struct).alias("MostFavoriteQuestion"),
             F.max("FavoriteCount").alias("MostFavoriteQuestionLikes"),
         )
     )

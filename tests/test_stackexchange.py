@@ -89,3 +89,44 @@ def test_fixture_dir_is_keyed_by_generator_source_and_scale():
     import os
 
     assert os.path.isdir(d2)
+
+
+def test_single_shuffle_argmax_null_and_tie_semantics(spark):
+    """The r7 rewrite of task1/task2 replaced Window.partitionBy with a
+    max_by over a (measure, -Id) struct (one partial-aggregating
+    shuffle, VERDICT r6 item 5). That rewrite leans on Spark's struct
+    ordering placing a NULL field SMALLEST — i.e. exactly the old
+    window's `desc_nulls_last(measure), asc(Id)` — so pin the two edge
+    cases the fixture may not always exercise: a max-tie (smallest Id
+    wins) and an all-NULL group (smallest Id wins, measure NULL)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, None, 10, "a"), (1, 5, 11, "b"), (1, 5, 12, "c"),
+         (2, None, 20, "x"), (2, None, 21, "y")],
+        "g int, fav int, id int, title string",
+    )
+    ord_struct = F.struct(F.col("fav"), (-F.col("id")).alias("nid"))
+    rows = (
+        df.groupBy("g")
+        .agg(
+            F.max_by("title", ord_struct).alias("t"),
+            F.max("fav").alias("m"),
+        )
+        .orderBy("g")
+        .collect()
+    )
+    assert [(r.g, r.t, r.m) for r in rows] == [(1, "b", 5), (2, "x", None)]
+
+
+def test_task1_task2_plans_have_no_low_cardinality_window(spark, se_dir):
+    """task1/task2 must NOT shuffle into per-Year / per-user window
+    partitions — the argmax rides the groupBy (no row_number in the
+    plan at all)."""
+    for fn in (se.task1_upvotes_per_year, se.task2_top_favorited_users):
+        df = fn(spark, se_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "row_number" not in plan, fn.__name__
+        assert "max_by" in plan, fn.__name__
