@@ -543,20 +543,22 @@ def dedup_substring_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     one md5 per window, windows via sequence+slice, no UDF); pairs
     come from the inverted gram index with one groupBy counting shared
     grams. A 13-token exact collision is vanishingly rare between
-    genuinely different texts, so — unlike 3-shingles — the postings
-    lists are short except for true duplicates, whose pair blow-up IS
-    the answer. Shared boilerplate beyond that is what the capped
-    3-shingle operator handles; at corpus scale identical docs should
-    be collapsed by dedup_exact before this runs (fingerprint
-    compression, same as dedup_simhash).
+    genuinely different texts, so the postings lists are USUALLY short
+    — but license headers and template boilerplate are corpus-hot
+    13-grams, and this exact form pays df^2 on each of them (VERDICT
+    r6 item 4 / r7 item 3). :func:`dedup_substring_13gram_capped` is
+    the production form at scale: identical pair semantics from a
+    DF-capped index with exact verification; this uncapped operator
+    remains the test-scale ground truth it is verified against.
     """
     return _substring_pairs(load_table(spark, sf_dir, "documents")).orderBy(
         "doc_a", "doc_b"
     )
 
 
-def _substring_pairs(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
-    """(doc_a < doc_b, n_shared) pairs sharing >= 1 exact k-token window."""
+def _with_grams(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(doc_id, gr=array of distinct k-token-window md5s) — the shared
+    gram-building pass of the exact and capped substring operators."""
     # The window expression is TOTAL (IF-guarded): Catalyst can hoist a
     # generator's child past the row filter, and slice() — unlike array
     # indexing — throws on an out-of-range start, so sequence(0, n-k)
@@ -565,7 +567,7 @@ def _substring_pairs(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     # because w[i] returns NULL instead of raising.)
     # spread_scan: one md5 per 13-token window is the CPU-dense pass —
     # same single-row-group-scan serialization fix as _with_shingles
-    grams = (
+    return (
         spread_scan(docs, "doc_id")
         .withColumn("w", F.split(F.col("text"), " "))
         .filter(F.size("w") >= k)
@@ -581,6 +583,11 @@ def _substring_pairs(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
             ).alias("gr"),
         )
     )
+
+
+def _substring_pairs(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(doc_a < doc_b, n_shared) pairs sharing >= 1 exact k-token window."""
+    grams = _with_grams(docs, k)
     # e feeds BOTH sides of the self-join — checkpoint, or the window
     # md5 map (the expensive part: one hash per token window) runs
     # twice (measured ~2x the query's cost at sf0.1)
@@ -611,6 +618,169 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM e a JOIN e b ON a.gx = b.gx AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 ORDER BY doc_a, doc_b
+"""
+
+
+#: document-frequency cap for 13-gram postings: grams appearing in
+#: more documents than this never generate candidate pairs (they still
+#: count toward n_shared at verification)
+SUBSTR_DF_CAP = 10
+
+
+def _substring_pairs_capped(
+    docs: DataFrame, k: int = SUBSTR_K, cap: int = SUBSTR_DF_CAP
+) -> DataFrame:
+    """DF-capped production form of :func:`_substring_pairs` (VERDICT
+    r6 item 4 / r7 item 3) — the same candidate/verify design as
+    :func:`_jaccard_pairs_capped`:
+
+    1. **candidates** come only from grams with document frequency
+       <= ``cap``, so a corpus-hot 13-gram (license header, template
+       boilerplate — the exact case the uncapped join is quadratic in)
+       contributes a bounded df-count row, never a df^2 pair blow-up;
+       no postings list longer than the cap is ever buffered (df count
+       first, semi-join, THEN collect_list — the two-pass shape whose
+       single-pass alternative measured ~10x slower on the 3-shingle
+       twin);
+    2. **verification is exact on the full gram arrays**: ``n_shared``
+       comes from ``array_intersect`` over the candidate docs' complete
+       distinct-gram sets, so shared HOT grams are counted even though
+       they never generated the candidate. The cap narrows WHERE we
+       look, never WHAT we compute.
+
+    Recall contract (deterministic, oracle-replicated): a pair is
+    missed only if EVERY gram it shares is hot (df > cap) — i.e. pairs
+    related by nothing but corpus-wide boilerplate, which exact-
+    substring dedup exists to ignore. :func:`dedup_substring_cap_report`
+    is the alerting signal for when that contract is in play.
+    """
+    grams = _with_grams(docs, k).transform(materialize)
+    e = grams.select("doc_id", F.explode("gr").alias("gx")).transform(materialize)
+    rare = (
+        e.groupBy("gx")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= cap)
+        .select("gx")
+    )
+    per_gram = (
+        e.join(rare, "gx", "left_semi")
+        .groupBy("gx")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)), y ->"
+        " struct(x AS doc_a, y AS doc_b))))"
+    )
+    cand = (
+        per_gram
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .distinct()
+        .transform(materialize)
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_gr = grams.join(cand_docs, "doc_id", "left_semi").transform(materialize)
+    ga = cand_gr.select(F.col("doc_id").alias("doc_a"), F.col("gr").alias("gr_a"))
+    gb = cand_gr.select(F.col("doc_id").alias("doc_b"), F.col("gr").alias("gr_b"))
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("gr_a", "gr_b")).cast("long").alias("n_shared"),
+        )
+    )
+
+
+def dedup_substring_13gram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of :func:`dedup_substring_13gram`: candidates
+    from a DF-capped 13-gram index, exact shared-window counts on the
+    candidates (see :func:`_substring_pairs_capped`). At test scale no
+    gram is hotter than the cap, so this provably returns the identical
+    pair set as the exact operator — the DuckDB oracle replicates the
+    capped algorithm, so the cap's recall semantics are themselves
+    under test (the bound/never-binds pytest plants a hot gram)."""
+    return _substring_pairs_capped(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+DEDUP_SUBSTRING_13GRAM_CAPPED_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+tt AS (SELECT doc_id, w FROM t WHERE len(w) >= {SUBSTR_K}),
+g AS (
+  SELECT doc_id,
+         list_distinct([md5(array_to_string(
+             w[CAST(i AS INT):CAST(i AS INT) + {SUBSTR_K - 1}], ' '))
+           for i in range(1, len(w) - {SUBSTR_K - 2})]) AS gr
+  FROM tt
+),
+e AS (SELECT doc_id, unnest(gr) AS gx FROM g),
+rare AS (SELECT gx FROM e GROUP BY gx HAVING COUNT(*) <= {SUBSTR_DF_CAP}),
+p AS (SELECT e.doc_id, e.gx FROM e JOIN rare USING (gx)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM p a JOIN p b ON a.gx = b.gx AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM cand c
+JOIN e ea ON ea.doc_id = c.doc_a
+JOIN e eb ON eb.doc_id = c.doc_b AND eb.gx = ea.gx
+GROUP BY 1, 2
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_substring_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-binding signal for :func:`dedup_substring_13gram_capped`
+    (the semdedup_cap_report pattern): one row saying whether
+    :data:`SUBSTR_DF_CAP` binds on this corpus. ``cap_binds = true``
+    means some 13-gram exceeds the cap, so the capped operator became
+    approximate — pairs whose ONLY shared windows are that hot are
+    missed. Costs one gram pass + a fixed-width aggregate; production
+    runs it alongside the dedup and alerts on it.
+
+    Output: (n_grams, max_gram_df, df_cap, cap_binds).
+    """
+    e = _with_grams(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode("gr").alias("gx")
+    )
+    dfs = e.groupBy("gx").agg(F.count(F.lit(1)).alias("df"))
+    return dfs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.max("df").cast("long").alias("max_gram_df"),
+        F.lit(SUBSTR_DF_CAP).cast("long").alias("df_cap"),
+        (F.max("df") > F.lit(SUBSTR_DF_CAP)).alias("cap_binds"),
+    )
+
+
+DEDUP_SUBSTRING_CAP_REPORT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+tt AS (SELECT doc_id, w FROM t WHERE len(w) >= {SUBSTR_K}),
+g AS (
+  SELECT doc_id,
+         list_distinct([md5(array_to_string(
+             w[CAST(i AS INT):CAST(i AS INT) + {SUBSTR_K - 1}], ' '))
+           for i in range(1, len(w) - {SUBSTR_K - 2})]) AS gr
+  FROM tt
+),
+e AS (SELECT doc_id, unnest(gr) AS gx FROM g),
+dfs AS (SELECT gx, COUNT(*) AS df FROM e GROUP BY gx)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(MAX(df) AS BIGINT) AS max_gram_df,
+       CAST({SUBSTR_DF_CAP} AS BIGINT) AS df_cap,
+       MAX(df) > {SUBSTR_DF_CAP} AS cap_binds
+FROM dfs
 """
 
 
@@ -1080,6 +1250,8 @@ QUERIES = {
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_containment": dedup_containment,
     "dedup_substring_13gram": dedup_substring_13gram,
+    "dedup_substring_13gram_capped": dedup_substring_13gram_capped,
+    "dedup_substring_cap_report": dedup_substring_cap_report,
     "dedup_clusters": dedup_clusters,
     "doc_winnow_fingerprint": doc_winnow_fingerprint,
     "dedup_winnow_pairs": dedup_winnow_pairs,
@@ -1092,6 +1264,8 @@ ORACLES = {
     "dedup_ngram_jaccard_capped": DEDUP_NGRAM_JACCARD_CAPPED_ORACLE,
     "dedup_containment": DEDUP_CONTAINMENT_ORACLE,
     "dedup_substring_13gram": DEDUP_SUBSTRING_13GRAM_ORACLE,
+    "dedup_substring_13gram_capped": DEDUP_SUBSTRING_13GRAM_CAPPED_ORACLE,
+    "dedup_substring_cap_report": DEDUP_SUBSTRING_CAP_REPORT_ORACLE,
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
     "doc_winnow_fingerprint": DOC_WINNOW_ORACLE,
     "dedup_winnow_pairs": DEDUP_WINNOW_PAIRS_ORACLE,
@@ -1172,5 +1346,49 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS n_shared
 FROM e a JOIN e b ON a.gx = b.gx AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 ORDER BY doc_a, doc_b
+""",
+    "dedup_substring_13gram_capped": f"""
+WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+tt AS (SELECT doc_id, w FROM t WHERE size(w) >= {SUBSTR_K}),
+g AS (
+  SELECT doc_id,
+         array_distinct(IF(size(w) >= {SUBSTR_K},
+             transform(sequence(0, size(w) - {SUBSTR_K}),
+               i -> md5(concat_ws(' ', slice(w, i + 1, {SUBSTR_K})))),
+             array())) AS gr
+  FROM tt
+),
+e AS (SELECT doc_id, explode(gr) AS gx FROM g),
+rare AS (SELECT gx FROM e GROUP BY gx HAVING COUNT(1) <= {SUBSTR_DF_CAP}),
+p AS (SELECT e.doc_id, e.gx FROM e JOIN rare USING (gx)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM p a JOIN p b ON a.gx = b.gx AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, COUNT(1) AS n_shared
+FROM cand c
+JOIN e ea ON ea.doc_id = c.doc_a
+JOIN e eb ON eb.doc_id = c.doc_b AND eb.gx = ea.gx
+GROUP BY c.doc_a, c.doc_b
+ORDER BY doc_a, doc_b
+""",
+    "dedup_substring_cap_report": f"""
+WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+tt AS (SELECT doc_id, w FROM t WHERE size(w) >= {SUBSTR_K}),
+g AS (
+  SELECT doc_id,
+         array_distinct(IF(size(w) >= {SUBSTR_K},
+             transform(sequence(0, size(w) - {SUBSTR_K}),
+               i -> md5(concat_ws(' ', slice(w, i + 1, {SUBSTR_K})))),
+             array())) AS gr
+  FROM tt
+),
+e AS (SELECT doc_id, explode(gr) AS gx FROM g),
+dfs AS (SELECT gx, COUNT(1) AS df FROM e GROUP BY gx)
+SELECT CAST(COUNT(1) AS BIGINT) AS n_grams,
+       CAST(MAX(df) AS BIGINT) AS max_gram_df,
+       CAST({SUBSTR_DF_CAP} AS BIGINT) AS df_cap,
+       MAX(df) > {SUBSTR_DF_CAP} AS cap_binds
+FROM dfs
 """,
 }

@@ -16,6 +16,62 @@ def test_dedup_ngram_finds_planted_near_dups(spark, sf_dir):
     assert all(r["doc_a"] < r["doc_b"] for r in pairs)
 
 
+def test_capped_13gram_bounds_hot_gram_keeps_true_dups(spark):
+    """VERDICT r7 item 3 — the 13-gram DF cap. On a corpus where 30
+    docs share one corpus-hot 13-gram (a license-header stand-in) the
+    capped operator must (a) generate ZERO pairs among the boilerplate
+    docs (the df^2 blow-up the cap exists to kill — exact pays 435
+    pairs), (b) still find the genuine duplicate pair through its rare
+    grams with an n_shared that counts the hot grams too (verification
+    is exact on full gram arrays), and (c) flag cap_binds."""
+    # 15 boilerplate tokens -> 3 all-boilerplate windows, df=30 > cap
+    boiler = " ".join(f"b{i}" for i in range(15))
+    rows = [
+        (i, f"{boiler} unique tail u{i} v{i * 7} w{i * 13}") for i in range(30)
+    ]
+    # genuine dup pair: shares boiler AND a rare 14-token sentence
+    shared = " ".join(f"s{i}" for i in range(14))
+    rows += [(100, f"{boiler} {shared} endone"), (101, f"{boiler} {shared} endtwo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {(r.doc_a, r.doc_b): r.n_shared for r in dedup._substring_pairs(df).collect()}
+    capped = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in dedup._substring_pairs_capped(df, cap=10).collect()
+    }
+    assert (100, 101) in capped
+    # exact verify counts the HOT grams too: same n_shared as exact
+    assert capped[(100, 101)] == exact[(100, 101)]
+    assert capped[(100, 101)] > 2  # 3 boiler windows + bridge + shared grams
+    # boilerplate-only pairs: present in exact (the blow-up), absent in capped
+    assert len(exact) == 30 * 29 // 2 + 1 + 2 * 30  # all-pairs + dup + dup-vs-boiler
+    assert set(capped) == {(100, 101)}
+
+    # the cap-binding signal fires on this corpus...
+    e = dedup._with_grams(df).select("doc_id", F.explode("gr").alias("gx"))
+    max_df = e.groupBy("gx").count().agg(F.max("count")).collect()[0][0]
+    assert max_df > 10
+
+
+def test_capped_13gram_never_binds_on_testdata(spark, sf_dir):
+    """On the driver corpus no gram is hotter than the cap, so the
+    capped operator provably equals the exact one and the report says
+    cap_binds=false — pinning that the registered query's oracle
+    equivalence is the no-recall-loss regime."""
+    rep = dedup.dedup_substring_cap_report(spark, sf_dir).collect()[0]
+    assert rep.cap_binds is False
+    assert rep.max_gram_df <= rep.df_cap
+    exact = {
+        (r.doc_a, r.doc_b, r.n_shared)
+        for r in dedup.dedup_substring_13gram(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b, r.n_shared)
+        for r in dedup.dedup_substring_13gram_capped(spark, sf_dir).collect()
+    }
+    assert exact == capped and len(exact) > 0
+
+
 def test_capped_jaccard_drops_boilerplate_keeps_near_dups(spark):
     """On a boilerplate-heavy corpus the DF cap must (a) still find the
     genuine near-dup pair through its rare shingles, (b) generate ZERO
