@@ -10,13 +10,18 @@ idf stays positive):
 
 Determinism: tf/df/dl are exact integers; avgdl is one exact-sum
 division; each per-term contribution uses the IDENTICAL scalar
-expression text in Spark and DuckDB (same IEEE ops in the same order
-— a claim that holds for a SCALAR chain but NOT for a float SUM,
-whose accumulation order differs between Spark partitions and DuckDB,
-ADVICE r6). The contribution is therefore quantized to integer
-micro-units (round(contrib·1e6) AS BIGINT, the pq.py ``_D_US``
-discipline) so the aggregate is an order-independent exact BIGINT
-sum; one division + round(6) after the sum yields the score.
+expression text in Spark and DuckDB. The arithmetic ops (+,-,*,/) are
+IEEE-exact and order-identical in a scalar chain, but ``ln()`` is a
+transcendental with no IEEE-mandated result: JVM ``Math.log`` and
+DuckDB's libm may differ by an ulp, so a per-term contribution sitting
+exactly on a 0.5-microunit boundary can still quantize one microunit
+apart across engines (ADVICE r7 — reduced, not eliminated, risk).
+What the quantization DOES fix outright is float-SUM accumulation
+order (Spark partitions vs DuckDB, ADVICE r6): contributions become
+integer micro-units (round(contrib·1e6) AS BIGINT, the pq.py
+``_D_US`` discipline), the aggregate is an order-independent exact
+BIGINT sum, and the final round(6) + doc_id tie-break absorb the
+residual 1-microunit ln() exposure in every observed case.
 
 Scale: the classic BM25 plan — a postings list (term, doc, tf) built
 once (one shuffle on term for df, one on doc for dl), query terms

@@ -16,6 +16,72 @@ def test_dedup_ngram_finds_planted_near_dups(spark, sf_dir):
     assert all(r["doc_a"] < r["doc_b"] for r in pairs)
 
 
+def test_bm25_integer_microunit_sum_is_order_invariant_where_float_sum_flips(spark):
+    """Pinned regression for the r7 BM25 integer-sum hardening
+    (VERDICT r7 item 8). The fixture is a DESIGNED doc pair: 24
+    per-term contributions in BM25's realistic range ([0.16, 2.83])
+    whose exact sum sits on a half-microunit rounding boundary, found
+    by numeric search. Pre-fix (float SUM then round(6)), the score
+    depends on accumulation order — ascending vs descending flips the
+    6th decimal — which is exactly the Spark-partition-order vs DuckDB
+    divergence the quantization removed. The production path
+    (round(contrib*1e6) AS BIGINT, sum, divide, round(6)) must give
+    one identical score under EVERY ordering, in Python and through
+    Spark's own sum."""
+    contribs = [
+        0.16554369018258475, 0.18511842406753112, 0.26120614333129405,
+        0.2813516064011745, 0.3254308859149863, 0.45933560601556883,
+        0.6035540030826735, 0.6065511774649578, 0.6996202048913048,
+        0.725714634548927, 0.9031014371285786, 1.0149900110315246,
+        1.1016794030520374, 1.2196100010663695, 1.356514706281368,
+        1.7451938341006836, 1.8910333731037308, 2.0192646850895146,
+        2.363423939391163, 2.3910095681590096, 2.4996060014836594,
+        2.6306878501240045, 2.7821921136729237, 2.8269182004144287,
+    ]
+    # the pre-fix mechanism diverges on this fixture: same multiset,
+    # two accumulation orders, two different 6dp scores
+    asc = 0.0
+    for x in contribs:
+        asc += x
+    desc = 0.0
+    for x in reversed(contribs):
+        desc += x
+    assert round(asc, 6) != round(desc, 6)
+
+    # the production mechanism is an exact integer sum: invariant under
+    # every ordering by construction — assert it end-to-end via Spark's
+    # own round/cast/sum on shuffled copies of the same contributions
+    import random
+
+    from pyspark.sql import functions as F
+
+    orders = [list(contribs)]
+    rng = random.Random(1)
+    for _ in range(3):
+        shuffled = list(contribs)
+        rng.shuffle(shuffled)
+        orders.append(shuffled)
+    rows = [(i, x) for i, o in enumerate(orders) for x in o]
+    df = spark.createDataFrame(rows, "ord int, contrib double")
+    got = (
+        df.withColumn(
+            "contrib_us",
+            F.expr("cast(round(contrib * 1000000.0) as bigint)"),
+        )
+        .groupBy("ord")
+        .agg(
+            F.round(F.sum("contrib_us").cast("double") / F.lit(1000000.0), 6)
+            .alias("score")
+        )
+        .collect()
+    )
+    scores = {r.score for r in got}
+    assert len(scores) == 1, scores
+    # and it equals the decimal-exact reference on the quantized units
+    q = sum(int(round(x * 1e6)) for x in contribs)
+    assert scores == {round(q / 1e6, 6)}
+
+
 def test_capped_13gram_bounds_hot_gram_keeps_true_dups(spark):
     """VERDICT r7 item 3 — the 13-gram DF cap. On a corpus where 30
     docs share one corpus-hot 13-gram (a license-header stand-in) the
