@@ -174,6 +174,18 @@ def main() -> None:
     ref_confs = {
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.shuffle.partitions": "8",
+        # r8: the latency family's inputs are single sub-100MB files;
+        # under the 128MB default each scan is ONE input split, so the
+        # parse/decode runs single-threaded while 31 cores idle.
+        # Splitting at 256k parallelizes the scan (CSV is
+        # byte-splittable; the parquet files carry many small row
+        # groups). Measured A/B at sf0.1 / scale-100 (9-run medians):
+        # q1 0.66->0.44, t3 0.38->0.22, t4 0.50->0.29, t5 0.35->0.24;
+        # 512k and 128k are both worse in direct comparison. Same
+        # toy-scale-only caveat as the other two confs: at 100 TB
+        # files exceed 128MB and split naturally — restoring the
+        # default there is exactly right.
+        "spark.sql.files.maxPartitionBytes": "256k",
     }
     default_confs = {k: spark.conf.get(k) for k in ref_confs}
 
