@@ -994,7 +994,206 @@ SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= {TOP_K} ORDER BY q_id,
 """
 
 
+#: Matryoshka progressive refinement: shortlist on the first
+#: MRL_PREFIX_DIM dimensions, exact rerank on the full vector.
+MRL_PREFIX_DIM = 16
+MRL_SHORTLIST = 25
+
+
+def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN by Matryoshka-style progressive refinement (Kusupati et al.,
+    "Matryoshka Representation Learning", NeurIPS 2022 — public): rank
+    ALL candidates by cosine over only the first :data:`MRL_PREFIX_DIM`
+    dimensions (a 4x-cheaper comparison; with MRL-trained embeddings
+    the prefix is itself a valid low-rank embedding), keep the top
+    :data:`MRL_SHORTLIST` per query (5x over-retrieval vs TOP_K), then
+    re-rank the shortlist exactly on the full vector.
+
+    Sits on the serving ladder between brute force (exact, full-width)
+    and SQ8 (full-width, low-precision): same broadcast-query scan
+    shape as brute force at 1/4 the dot-product FLOPs and — at scale,
+    where the prefix is STORED as its own column — 1/4 the scan bytes
+    (here it is sliced from the full column; the plan shape is what's
+    under test, and column pruning would do the rest on a prefix
+    column).
+
+    Determinism: prefix cosine rounds to 6dp with neighbor_id
+    tie-break, so the shortlist boundary is pinned on both engines;
+    the exact rerank reuses the brute-force scoring expression.
+    Recall contract (oracle-replicated): a true top-k neighbor is
+    missed only if its full-dim rank and prefix rank diverge past the
+    5x shortlist — the failure mode MRL training exists to bound.
+
+    Scale: shortlisting is the brute-force broadcast pattern (query
+    prefixes broadcast, one stream over the corpus, no big-side
+    shuffle); only N_QUERIES x MRL_SHORTLIST rows reach the full-width
+    rerank join.
+    """
+    vec = _vectors(spark, sf_dir)
+    pv = vec.withColumn("pv", F.expr(f"slice(v, 1, {MRL_PREFIX_DIM})")).withColumn(
+        "pn", F.expr(V.l2_norm("pv"))
+    )
+    qp = (
+        pv.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("pv").alias("qpv"),
+            F.col("pn").alias("qpn"),
+        )
+    )
+    shortlist = (
+        pv.join(F.broadcast(qp), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_COS.format(a="qpv", b="pv", na="qpn", nb="pn")).alias("pcos"),
+        )
+        .withColumn(
+            "crnk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("pcos").desc_nulls_last(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("crnk") <= MRL_SHORTLIST)
+        .select("q_id", "neighbor_id")
+    )
+    qv = vec.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    ).filter(F.col("q_id") < N_QUERIES)
+    scored = (
+        shortlist.join(F.broadcast(qv), "q_id")
+        .join(vec, shortlist.neighbor_id == vec.vec_id)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.expr(_COS.format(a="qv", b="v", na="qn", nb="nrm")).alias("cosine"),
+        )
+    )
+    return _topk(scored)
+
+
+def ann_matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@TOP_K of the Matryoshka rung against exact brute force —
+    the alerting signal the progressive-refinement trade REQUIRES in
+    production (same posture as dedup_substring_cap_report / the
+    semdedup cap report: approximate operators ship with their own
+    quality meter).
+
+    On THIS corpus the embeddings are synthetic and isotropic — the
+    prefix dims carry no privileged information — so the measured
+    recall is deliberately unflattering (~0.4-0.5 at shortlist=25):
+    exactly what the meter should say for non-MRL vectors. An
+    MRL-trained model concentrates signal in the prefix and holds this
+    near 1.0 (Kusupati et al. 2022); production gates the rung's
+    rollout on this report, not on hope.
+
+    Output: (q_id, n_hits, recall), one row per query.
+    """
+    bf = ann_cosine_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    mrl = ann_matryoshka_topk(spark, sf_dir).select(
+        F.col("q_id").alias("m_q"), F.col("neighbor_id").alias("m_n")
+    )
+    return (
+        bf.join(
+            mrl,
+            (F.col("q_id") == F.col("m_q")) & (F.col("neighbor_id") == F.col("m_n")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("m_n").alias("n_hits"))
+        .select(
+            "q_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(float(TOP_K))).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
+
+
+_MRL_COS_DUCK = (
+    "ROUND(list_sum([{a}[i] * {b}[i] for i in range(1, "
+    + str(MRL_PREFIX_DIM + 1)
+    + ")]) / ({na} * {nb}), 6)"
+)
+
+_MRL_PREFIX_DUCK = f"""
+  SELECT vec_id, v, nrm, v[1:{MRL_PREFIX_DIM}] AS pv,
+         sqrt(list_sum([v[i] * v[i] for i in range(1, {MRL_PREFIX_DIM + 1})])) AS pn
+  FROM vec
+"""
+
+#: shared MRL stage chain (pvec -> pre -> cand -> scored), DuckDB
+#: dialect — used by the top-k oracle and the recall-report oracle
+_MRL_STAGES_DUCK = f"""pvec AS ({_MRL_PREFIX_DUCK}),
+pre AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         {_MRL_COS_DUCK.format(a='q.pv', b='c.pv', na='q.pn', nb='c.pn')} AS pcos
+  FROM pvec q JOIN pvec c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT q_id, neighbor_id
+  FROM (SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY pcos DESC NULLS LAST, neighbor_id ASC) AS crnk
+        FROM pre)
+  WHERE crnk <= {MRL_SHORTLIST}
+),
+scored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         {_COS_DUCK.format(a='q.v', b='c.v', na='q.nrm', nb='c.nrm')} AS cosine
+  FROM cand
+  JOIN vec q ON q.vec_id = cand.q_id
+  JOIN vec c ON c.vec_id = cand.neighbor_id
+)"""
+
+ANN_MATRYOSHKA_TOPK_ORACLE = f"""
+WITH vec AS ({_VEC_SQL}),
+{_MRL_STAGES_DUCK},
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= {TOP_K} ORDER BY q_id, rnk
+"""
+
+ANN_MATRYOSHKA_RECALL_ORACLE = f"""
+WITH vec AS ({_VEC_SQL}),
+{_MRL_STAGES_DUCK},
+mrl AS (
+  SELECT q_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored)
+  WHERE rnk <= {TOP_K}
+),
+bf_scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         {_COS_DUCK.format(a='q.v', b='c.v', na='q.nrm', nb='c.nrm')} AS cosine
+  FROM vec q JOIN vec c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+bf AS (
+  SELECT q_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM bf_scored)
+  WHERE rnk <= {TOP_K}
+),
+hits AS (
+  SELECT bf.q_id, COUNT(mrl.neighbor_id) AS n_hits
+  FROM bf LEFT JOIN mrl ON bf.q_id = mrl.q_id AND bf.neighbor_id = mrl.neighbor_id
+  GROUP BY bf.q_id
+)
+SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS DOUBLE) / {TOP_K} AS recall
+FROM hits ORDER BY q_id
+"""
+
+
 QUERIES = {
+    "ann_matryoshka_topk": ann_matryoshka_topk,
+    "ann_matryoshka_recall_report": ann_matryoshka_recall_report,
     "kmeans_train": kmeans_train,
     "emb_random_projection": emb_random_projection,
     "emb_quantize_int8": emb_quantize_int8,
@@ -1009,6 +1208,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_matryoshka_topk": ANN_MATRYOSHKA_TOPK_ORACLE,
+    "ann_matryoshka_recall_report": ANN_MATRYOSHKA_RECALL_ORACLE,
     "kmeans_train": KMEANS_TRAIN_ORACLE,
     "emb_random_projection": EMB_RANDOM_PROJECTION_ORACLE,
     "emb_quantize_int8": EMB_QUANTIZE_INT8_ORACLE,
@@ -1178,6 +1379,36 @@ def _kmeans_spark_sql() -> str:
 
 SPARK_SQL: dict[str, str] = {
     "ann_sq8_topk": ANN_SQ8_TOPK_SPARK_SQL,
+    "ann_matryoshka_topk": f"""
+WITH vec AS ({_VEC_SPARK_SQL}),
+pvec AS (
+  SELECT vec_id, v, nrm, slice(v, 1, {MRL_PREFIX_DIM}) AS pv,
+         sqrt(aggregate(slice(v, 1, {MRL_PREFIX_DIM}), 0D, (a, x) -> a + x * x)) AS pn
+  FROM vec
+),
+pre AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='q.pv', b='c.pv', na='q.pn', nb='c.pn')} AS pcos
+  FROM pvec q JOIN pvec c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT q_id, neighbor_id
+  FROM (SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY pcos DESC NULLS LAST, neighbor_id ASC) AS crnk
+        FROM pre)
+  WHERE crnk <= {MRL_SHORTLIST}
+),
+scored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         {_COS.format(a='q.v', b='c.v', na='q.nrm', nb='c.nrm')} AS cosine
+  FROM cand
+  JOIN vec q ON q.vec_id = cand.q_id
+  JOIN vec c ON c.vec_id = cand.neighbor_id
+),
+{_TOPK_TAIL_SPARK}
+""",
     "ann_cosine_topk": f"""
 WITH vec AS ({_VEC_SPARK_SQL}),
 scored AS (

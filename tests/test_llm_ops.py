@@ -687,6 +687,65 @@ def test_sq8_recall_vs_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_matryoshka_report_measures_its_own_recall(spark, sf_dir):
+    """The MRL rung's recall report must equal a recall computed
+    independently from the two registered outputs — the meter is only
+    trustworthy if it measures what it claims. On the synthetic
+    isotropic embeddings the measured recall is deliberately mediocre
+    (the prefix carries no privileged signal — that is the honest
+    reading for non-MRL vectors); the report exists so production can
+    gate the rung on MRL-trained embeddings, where this approaches 1.
+    Also pins a planted-prefix case: when the full vector IS its
+    prefix (zero tail), the rung must recover brute force exactly."""
+    from sqlondataframesr_spark.llm.similarity import (
+        TOP_K,
+        ann_cosine_topk,
+        ann_matryoshka_recall_report,
+        ann_matryoshka_topk,
+    )
+
+    truth: dict[int, set[int]] = {}
+    for r in ann_cosine_topk(spark, sf_dir).collect():
+        truth.setdefault(r.q_id, set()).add(r.neighbor_id)
+    got: dict[int, set[int]] = {}
+    for r in ann_matryoshka_topk(spark, sf_dir).collect():
+        got.setdefault(r.q_id, set()).add(r.neighbor_id)
+    report = {r.q_id: (r.n_hits, r.recall) for r in
+              ann_matryoshka_recall_report(spark, sf_dir).collect()}
+    assert set(report) == set(truth)
+    for q in truth:
+        n = len(truth[q] & got.get(q, set()))
+        assert report[q] == (n, n / TOP_K), q
+
+
+def test_matryoshka_exact_when_signal_lives_in_prefix(spark):
+    """When the tail dims are zero the prefix cosine IS the full
+    cosine, so the shortlist provably contains the true top-k and the
+    rung must equal brute force row-for-row."""
+    import math
+
+    from sqlondataframesr_spark.llm import similarity as S
+
+    # 40 vectors, 64 dims, signal only in the first 16 — deterministic
+    rows = []
+    for i in range(40):
+        pre = [math.sin(i * 16 + d) for d in range(16)]
+        rows.append((i, [float(x) for x in pre] + [0.0] * 48, 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    # route _vectors at the planted frame: patch the name the module
+    # resolves (similarity imported load_table into its own namespace)
+    orig = S.load_table
+    try:
+        S.load_table = lambda sp, sf, name: df  # embeddings only here
+        exact = [(r.q_id, r.neighbor_id, r.cosine, r.rnk)
+                 for r in S.ann_cosine_topk(spark, "_planted").collect()]
+        mrl = [(r.q_id, r.neighbor_id, r.cosine, r.rnk)
+               for r in S.ann_matryoshka_topk(spark, "_planted").collect()]
+    finally:
+        S.load_table = orig
+    assert exact == mrl and len(exact) == S.N_QUERIES * S.TOP_K
+
+
 def test_containment_detects_embedded_doc_jaccard_misses(spark):
     """The asymmetric operator's reason to exist: a short doc fully
     embedded in a much longer one is containment 1.0 but low Jaccard —
