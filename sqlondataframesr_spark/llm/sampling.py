@@ -284,7 +284,164 @@ ORDER BY split_1, split_2
 """
 
 
+#: UniMax budget = (BUDGET_NUM / BUDGET_DEN) x total corpus tokens,
+#: computed in exact integer arithmetic; per-language cap =
+#: (CAP_NUM / CAP_DEN) x that language's tokens (1.5 epochs).
+#: Feasible by construction: sum(caps) = 1.5 x T >= 1.2 x T = budget.
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 12, 10
+UNIMAX_CAP_NUM, UNIMAX_CAP_DEN = 3, 2
+
+
+def sample_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-balanced token allocation (Chung et al., "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining", ICLR 2023 — public): distribute a token
+    BUDGET across languages as equally as possible, but cap every
+    language at 1.5 epochs of its own data — low-resource languages hit
+    the epoch cap (protecting them from being over-repeated into
+    memorization), and the freed budget flows to the uncapped ones.
+
+    The classic waterfilling solved in ONE window pass instead of the
+    paper's per-language loop: with caps sorted ascending, language r
+    is capped iff ``cap_r * (langs_left) <= budget_remaining`` at its
+    turn AND every smaller-cap language before it was capped (the
+    prefix-min guard makes the boundary explicit rather than relying
+    on the sortedness argument). Everything is exact BIGINT arithmetic
+    until the two final divisions (equal share, epochs), which use the
+    identical expression text on both engines.
+
+    Scale: one shuffle to aggregate per-language tokens; the windowed
+    table is ONE ROW PER LANGUAGE (bounded by the language inventory,
+    dozens at most — never corpus-sized), and the budget/count scalars
+    ride a 1-row broadcast.
+
+    Output: (lang, lang_tokens, cap_tokens, alloc_tokens, epochs,
+    capped), ordered by lang.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    langs = (
+        docs.select("lang", F.size(F.split("text", " ")).alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").cast("bigint").alias("t"))
+    )
+    tot = langs.agg(
+        F.sum("t").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    c = (
+        langs.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "budget",
+            F.expr(f"({UNIMAX_BUDGET_NUM} * tot) div {UNIMAX_BUDGET_DEN}"),
+        )
+        .withColumn("cap", F.expr(f"({UNIMAX_CAP_NUM} * t) div {UNIMAX_CAP_DEN}"))
+    )
+    w = Window.orderBy("cap", "lang")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = (
+        c.withColumn("r", F.row_number().over(w))
+        .withColumn("csum", F.sum("cap").over(cum))
+        .withColumn(
+            "ok",
+            (
+                F.col("cap") * (F.col("k") - F.col("r") + 1)
+                <= F.col("budget") - (F.col("csum") - F.col("cap"))
+            ).cast("int"),
+        )
+        .withColumn("capped", F.min("ok").over(cum) == 1)
+    )
+    m = o.agg(
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).cast("bigint").alias("m"),
+        F.sum(F.when(F.col("capped"), F.col("cap")).otherwise(0))
+        .cast("bigint")
+        .alias("paid"),
+    )
+    return (
+        o.crossJoin(F.broadcast(m))
+        .select(
+            "lang",
+            F.col("t").alias("lang_tokens"),
+            F.col("cap").alias("cap_tokens"),
+            F.round(
+                F.when(F.col("capped"), F.col("cap").cast("double")).otherwise(
+                    (F.col("budget") - F.col("paid")) / (F.col("k") - F.col("m"))
+                ),
+                2,
+            ).alias("alloc_tokens"),
+            F.round(
+                F.round(
+                    F.when(F.col("capped"), F.col("cap").cast("double")).otherwise(
+                        (F.col("budget") - F.col("paid")) / (F.col("k") - F.col("m"))
+                    ),
+                    2,
+                )
+                / F.col("t"),
+                6,
+            ).alias("epochs"),
+            "capped",
+        )
+        .orderBy("lang")
+    )
+
+
+def _unimax_sql(intdiv: str) -> str:
+    """Dialect-shared UniMax SQL — parameterized only by the integer-
+    division operator (Spark ``div``, DuckDB ``//``)."""
+    return f"""
+WITH toks AS (
+  SELECT lang, CAST(SUM(nt) AS BIGINT) AS t
+  FROM (SELECT lang, size(string_split_ws(text)) AS nt FROM documents)
+  GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS k FROM toks),
+c AS (
+  SELECT lang, t,
+         ({UNIMAX_BUDGET_NUM} * tot) {intdiv} {UNIMAX_BUDGET_DEN} AS budget,
+         ({UNIMAX_CAP_NUM} * t) {intdiv} {UNIMAX_CAP_DEN} AS cap,
+         k
+  FROM toks CROSS JOIN tot
+),
+o AS (
+  SELECT *,
+         row_number() OVER (ORDER BY cap, lang) AS r,
+         SUM(cap) OVER (ORDER BY cap, lang
+                        ROWS UNBOUNDED PRECEDING) AS csum
+  FROM c
+),
+f AS (
+  SELECT *,
+         MIN(CASE WHEN cap * (k - r + 1) <= budget - (csum - cap)
+                  THEN 1 ELSE 0 END)
+           OVER (ORDER BY cap, lang ROWS UNBOUNDED PRECEDING) = 1 AS capped
+  FROM o
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT) AS paid
+  FROM f
+)
+SELECT lang, t AS lang_tokens, cap AS cap_tokens,
+       round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+                  ELSE (budget - paid) / (k - m) END, 2) AS alloc_tokens,
+       round(round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+                        ELSE (budget - paid) / (k - m) END, 2) / t, 6) AS epochs,
+       capped
+FROM f CROSS JOIN m
+ORDER BY lang
+"""
+
+
+SAMPLE_UNIMAX_ORACLE = _unimax_sql("//").replace(
+    "size(string_split_ws(text))", "len(string_split(text, ' '))"
+)
+
+SAMPLE_UNIMAX_SPARK_SQL = _unimax_sql("div").replace(
+    "size(string_split_ws(text))", "size(split(text, ' '))"
+)
+
+
 QUERIES = {
+    "sample_unimax_allocation": sample_unimax_allocation,
     "sample_hash_split": sample_hash_split,
     "sample_stratified_topn": sample_stratified_topn,
     "pack_token_budget": pack_token_budget,
@@ -293,6 +450,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_unimax_allocation": SAMPLE_UNIMAX_ORACLE,
     "sample_hash_split": SAMPLE_HASH_SPLIT_ORACLE,
     "sample_stratified_topn": SAMPLE_STRATIFIED_TOPN_ORACLE,
     "pack_token_budget": PACK_TOKEN_BUDGET_ORACLE,
@@ -329,6 +487,7 @@ ORDER BY split_1, split_2
 
 # Spark-SQL N-version forms (fluent ≡ SQL, tests/test_reference_queries.py)
 SPARK_SQL: dict[str, str] = {
+    "sample_unimax_allocation": SAMPLE_UNIMAX_SPARK_SQL,
     "split_leakage_report": _split_leakage_spark_sql(),
     "sample_weighted_reservoir": SAMPLE_WEIGHTED_RESERVOIR_SPARK_SQL,
     "sample_hash_split": f"""

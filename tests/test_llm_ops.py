@@ -687,6 +687,38 @@ def test_sq8_recall_vs_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_unimax_waterfilling_invariants(spark, sf_dir):
+    """The UniMax allocation must satisfy the paper's contract on any
+    corpus: (a) no language exceeds its epoch cap, (b) capped <=>
+    alloc == cap, (c) every UNcapped language gets the same equal
+    share, strictly above every capped language's cap (the waterline),
+    and (d) the full budget is spent (sum of allocations == budget,
+    within the 2dp rounding of the uncapped share)."""
+    from sqlondataframesr_spark.llm.sampling import (
+        UNIMAX_BUDGET_DEN,
+        UNIMAX_BUDGET_NUM,
+        sample_unimax_allocation,
+    )
+
+    rows = sample_unimax_allocation(spark, sf_dir).collect()
+    assert len(rows) > 1
+    total = sum(r.lang_tokens for r in rows)
+    budget = (UNIMAX_BUDGET_NUM * total) // UNIMAX_BUDGET_DEN
+    capped = [r for r in rows if r.capped]
+    free = [r for r in rows if not r.capped]
+    assert capped and free  # constants chosen so the cap binds here
+    for r in rows:
+        assert r.alloc_tokens <= r.cap_tokens + 0.005, r
+        assert (r.alloc_tokens == r.cap_tokens) == bool(r.capped), r
+        assert abs(r.epochs - round(r.alloc_tokens / r.lang_tokens, 6)) < 1e-9
+    shares = {r.alloc_tokens for r in free}
+    assert len(shares) == 1  # equal share for every uncapped language
+    waterline = shares.pop()
+    assert all(r.cap_tokens < waterline for r in capped)
+    spent = sum(r.alloc_tokens for r in rows)
+    assert abs(spent - budget) <= 0.01 * len(free) + 1e-6
+
+
 def test_matryoshka_report_measures_its_own_recall(spark, sf_dir):
     """The MRL rung's recall report must equal a recall computed
     independently from the two registered outputs — the meter is only
