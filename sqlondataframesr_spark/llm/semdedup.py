@@ -245,6 +245,114 @@ FROM m LEFT JOIN dup USING (vec_id)
 ORDER BY m.vec_id"""
 
 
+#: fraction of each cluster to mark as prune candidates (the MOST
+#: prototypical quarter): cutoff = (cluster_size * NUM) intdiv DEN
+PRUNE_NUM, PRUNE_DEN = 1, 4
+
+
+def emb_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-based prototypicality pruning (Sorscher et al., "Beyond
+    neural scaling laws: beating power law scaling via data pruning",
+    NeurIPS 2022 — public): rank every vector within its trained
+    cluster by cosine to the cluster centroid and mark the MOST
+    prototypical quarter for dropping — when data is abundant, the
+    easy/prototypical examples teach the least, and pruning them beats
+    the power law; the paper's self-supervised metric IS distance to
+    the k-means centroid.
+
+    Reuses the exact semdedup machinery (same unrolled Lloyd codebook,
+    same assignment tie-breaks), so one training pays for both
+    operators in a composed pipeline.
+
+    Scale: assignment is the broadcast-K pattern (no corpus shuffle);
+    the per-cluster rank rides ONE shuffle keyed on the cluster id
+    over a slim (vec_id, list_id, proto_cos) projection — the
+    embedding payload never rides the window — and cluster sizes are
+    capacity-planned via K exactly as in semdedup.
+
+    Output: (vec_id, c_id, proto_cos, proto_rank, keep) — keep=false
+    for the floor(cluster_size/4) most-prototypical members.
+    """
+    vec = _vectors(spark, sf_dir).transform(materialize)
+    cent = _kmeans_centroids(vec).select("c_id", "cv", "cn")
+    scored = vec.join(F.broadcast(cent)).select(
+        "vec_id",
+        "c_id",
+        F.expr(_COS.format(a="v", b="cv", na="nrm", nb="cn")).alias("ccos"),
+    )
+    asg = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(named_struct('list_id', c_id, 'proto_cos', ccos),"
+                " struct(ccos, -c_id))"
+            ).alias("w")
+        )
+        .select("vec_id", F.col("w.list_id"), F.col("w.proto_cos"))
+    )
+    wr = Window.partitionBy("list_id").orderBy(
+        F.col("proto_cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        asg.withColumn("proto_rank", F.row_number().over(wr))
+        .withColumn("csz", F.count(F.lit(1)).over(Window.partitionBy("list_id")))
+        .select(
+            "vec_id",
+            F.col("list_id").alias("c_id"),
+            "proto_cos",
+            "proto_rank",
+            (
+                F.col("proto_rank")
+                > F.expr(f"(csz * {PRUNE_NUM}) div {PRUNE_DEN}")
+            ).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _proto_tail(cos_tpl: str, intdiv: str) -> str:
+    """Dialect-shared prune SQL — expects ``vec`` and ``cent`` CTEs;
+    parameterized by the cosine template and the int-division token."""
+    cos = cos_tpl.format(a="vec.v", b="cent.cv", na="vec.nrm", nb="cent.cn")
+    return f"""scored AS (
+  SELECT vec.vec_id, cent.c_id, {cos} AS ccos
+  FROM vec CROSS JOIN cent),
+asg AS (
+  SELECT vec_id, c_id AS list_id, ccos AS proto_cos
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, c_id) AS arnk
+        FROM scored)
+  WHERE arnk = 1),
+rnk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY list_id
+                            ORDER BY proto_cos DESC, vec_id) AS proto_rank,
+         COUNT(*) OVER (PARTITION BY list_id) AS csz
+  FROM asg)
+SELECT vec_id, list_id AS c_id, proto_cos,
+       CAST(proto_rank AS INT) AS proto_rank,
+       proto_rank > (csz * {PRUNE_NUM}) {intdiv} {PRUNE_DEN} AS keep
+FROM rnk ORDER BY vec_id"""
+
+
+def _proto_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_parts())
+        + f",\ncent AS (SELECT c_id, cv, cn FROM c{KM_ITERS}),\n"
+        + _proto_tail(_COS_DUCK, "//")
+    )
+
+
+def _proto_spark_sql() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_spark_parts())
+        + f",\ncent AS (SELECT c_id, cv, cn FROM c{KM_ITERS}),\n"
+        + _proto_tail(_COS, "div")
+    )
+
+
 def _semdedup_oracle() -> str:
     return (
         "WITH "
@@ -267,12 +375,18 @@ def _semdedup_spark_sql() -> str:
     )
 
 
-QUERIES = {"semdedup": semdedup, "semdedup_cap_report": semdedup_cap_report}
+QUERIES = {
+    "semdedup": semdedup,
+    "semdedup_cap_report": semdedup_cap_report,
+    "emb_prototypicality_prune": emb_prototypicality_prune,
+}
 ORACLES = {
     "semdedup": _semdedup_oracle(),
     "semdedup_cap_report": _cap_report_sql(_COS_DUCK, _kmeans_parts()),
+    "emb_prototypicality_prune": _proto_oracle(),
 }
 SPARK_SQL: dict[str, str] = {
     "semdedup": _semdedup_spark_sql(),
     "semdedup_cap_report": _cap_report_sql(_COS, _kmeans_spark_parts()),
+    "emb_prototypicality_prune": _proto_spark_sql(),
 }

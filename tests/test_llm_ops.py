@@ -687,6 +687,29 @@ def test_sq8_recall_vs_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_prototypicality_prune_drops_top_quarter_per_cluster(spark, sf_dir):
+    """Per trained cluster, exactly floor(size/4) members are marked
+    keep=false, and they are precisely the top of the (proto_cos DESC,
+    vec_id ASC) order — the most prototypical, per Sorscher et al.'s
+    self-supervised metric. Also: ranks are a 1..size permutation and
+    every vector appears exactly once."""
+    from collections import defaultdict
+
+    from sqlondataframesr_spark.llm.semdedup import emb_prototypicality_prune
+
+    rows = emb_prototypicality_prune(spark, sf_dir).collect()
+    assert len({r.vec_id for r in rows}) == len(rows)
+    by_c = defaultdict(list)
+    for r in rows:
+        by_c[r.c_id].append(r)
+    assert len(by_c) > 1
+    for c, mem in by_c.items():
+        mem.sort(key=lambda r: (-r.proto_cos, r.vec_id))
+        assert sorted(r.proto_rank for r in mem) == list(range(1, len(mem) + 1))
+        cut = len(mem) // 4
+        assert [not r.keep for r in mem] == [i < cut for i in range(len(mem))], c
+
+
 def test_unimax_waterfilling_invariants(spark, sf_dir):
     """The UniMax allocation must satisfy the paper's contract on any
     corpus: (a) no language exceeds its epoch cap, (b) capped <=>
