@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
+from ..materialize import materialize
 
 #: hash-bucket split boundaries (out of 100): [0,80) train, [80,90) val,
 #: [90,100) test
@@ -335,6 +336,10 @@ def sample_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"({UNIMAX_BUDGET_NUM} * tot) div {UNIMAX_BUDGET_DEN}"),
         )
         .withColumn("cap", F.expr(f"({UNIMAX_CAP_NUM} * t) div {UNIMAX_CAP_DEN}"))
+        # K rows, but BOTH the windowed table and the (m, paid) scalar
+        # derive from it — pin, or the corpus token aggregation runs
+        # once per plan branch (two full scans at 100 TB)
+        .transform(materialize)
     )
     w = Window.orderBy("cap", "lang")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

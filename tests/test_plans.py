@@ -389,6 +389,47 @@ def test_ivf_pq_broadcasts_small_sides_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in a.text  # the NLIST-row crossJoin
 
 
+def test_matryoshka_query_prefixes_broadcast_no_corpus_shuffle(spark, sf_dir):
+    """The MRL shortlist pass must keep the brute-force scan shape:
+    query prefixes broadcast against one stream over the corpus
+    (BroadcastNestedLoopJoin on the vec_id inequality), never a
+    shuffle of the big side; the full-width rerank joins only the
+    N_QUERIES x MRL_SHORTLIST candidate rows."""
+    a = _audit(spark, sf_dir, "ann_matryoshka_topk")
+    assert "BroadcastNestedLoopJoin" in a.join_strategies
+    assert not a.has_cartesian
+
+
+def test_unimax_single_corpus_aggregation_pinned(spark, sf_dir):
+    """UniMax's corpus pass is ONE per-language aggregation feeding a
+    pinned K-row table: both downstream branches (waterline window +
+    (m, paid) scalar) must read the cache, and the only joins are
+    1-row broadcasts — a SortMergeJoin anywhere means a corpus-sized
+    relation leaked into the scalar plumbing."""
+    a = _audit(spark, sf_dir, "sample_unimax_allocation")
+    assert "SortMergeJoin" not in a.join_strategies
+    assert not a.has_cartesian
+    assert a.text.count("InMemoryTableScan") >= 2
+
+
+def test_prototypicality_rank_never_shuffles_embeddings(spark, sf_dir):
+    """The per-cluster rank must ride the slim (vec_id, list_id,
+    proto_cos) projection — no embedding array in the window
+    exchange's output schema — and centroid assignment must be the
+    broadcast-K pattern, not a corpus shuffle join."""
+    import re
+
+    a = _audit(spark, sf_dir, "emb_prototypicality_prune")
+    assert "SortMergeJoin" not in a.join_strategies
+    # the window's input exchange carries no array column: every
+    # hashpartitioning exchange row below the Window prints its output
+    # schema; none that feeds the rank may mention the vector column v
+    wins = re.findall(r"Window \[[^\]]*proto_rank[^\]]*\], \[(\w+)", a.text)
+    assert wins, "rank window missing from plan"
+    frag = a.text.split("Window")[0]  # subtree rendered above the window
+    assert ", v#" not in frag.split("Exchange hashpartitioning")[-1]
+
+
 def test_bpe_merge_rounds_broadcast_single_row(spark, sf_dir):
     """Each BPE merge round crossJoins the word-type table with the
     1-row argmax merge — all four must be broadcast nested loops (1-row
