@@ -48,6 +48,30 @@ def test_task_matches_duckdb(spark, se_dir, name):
     assert rows, f"{name}: empty result — fixture exercises nothing"
 
 
+@pytest.fixture(scope="session")
+def se_dir_seed7(tmp_path_factory):
+    d = tmp_path_factory.mktemp("se_fixture_seed7")
+    se.generate_fixture(str(d), seed=7)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(se.TASKS))
+def test_task_matches_duckdb_perturbed_seed(spark, se_dir_seed7, name):
+    """The r8 perturbed-seed shake, applied to the SE fixture too: the
+    six literal tasks must match their DuckDB oracles on a fixture
+    drawn with a DIFFERENT seed — any tie-break or NULL-path that is
+    only correct because seed-42 happens to avoid an edge fails
+    here (the parquet-side twin is scripts/gen_perturbed_testdata.py)."""
+    fn, oracle = se.TASKS[name]
+    df = fn(spark, se_dir_seed7)
+    cols = sorted(df.columns)
+    rows = [tuple(r[c] for c in cols) for r in df.select(cols).collect()]
+    dcols, drows = _duckdb_rows(oracle, se_dir_seed7)
+    problems = compare_rows(cols, rows, dcols, drows)
+    assert not problems, f"{name}: {problems}"
+    assert rows, f"{name}: empty result — perturbed fixture exercises nothing"
+
+
 def test_fixture_is_deterministic(tmp_path):
     a, b = tmp_path / "a", tmp_path / "b"
     se.generate_fixture(str(a))
