@@ -1,6 +1,12 @@
 """Round-8 profiling: where do se100_task3's 0.42 s go, and is the
 q3 fluent-vs-SQL 0.13 s gap real or a measurement-order artifact?
 
+HISTORICAL RECORD — the numbers in SCALE.md were measured BEFORE
+load_se gained its per-session relation cache (which this script's
+findings motivated). Re-running steps 1-3 today measures cache hits,
+not the original 7x read_csv cost; to reproduce the original
+measurements, clear ``stackexchange._se_cache`` between calls.
+
 Run: python scripts/tune_task3.py
 """
 from __future__ import annotations

@@ -361,28 +361,24 @@ def sample_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("paid"),
     )
+    # bind the allocation ONCE and derive epochs from the bound column
+    # (code-review r8): two copies of the when/otherwise formula could
+    # be edited apart, silently breaking epochs == alloc / tokens
+    alloc = F.round(
+        F.when(F.col("capped"), F.col("cap").cast("double")).otherwise(
+            (F.col("budget") - F.col("paid")) / (F.col("k") - F.col("m"))
+        ),
+        2,
+    )
     return (
         o.crossJoin(F.broadcast(m))
+        .withColumn("alloc_tokens", alloc)
         .select(
             "lang",
             F.col("t").alias("lang_tokens"),
             F.col("cap").alias("cap_tokens"),
-            F.round(
-                F.when(F.col("capped"), F.col("cap").cast("double")).otherwise(
-                    (F.col("budget") - F.col("paid")) / (F.col("k") - F.col("m"))
-                ),
-                2,
-            ).alias("alloc_tokens"),
-            F.round(
-                F.round(
-                    F.when(F.col("capped"), F.col("cap").cast("double")).otherwise(
-                        (F.col("budget") - F.col("paid")) / (F.col("k") - F.col("m"))
-                    ),
-                    2,
-                )
-                / F.col("t"),
-                6,
-            ).alias("epochs"),
+            "alloc_tokens",
+            F.round(F.col("alloc_tokens") / F.col("t"), 6).alias("epochs"),
             "capped",
         )
         .orderBy("lang")

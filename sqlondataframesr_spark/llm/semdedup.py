@@ -275,21 +275,7 @@ def emb_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     vec = _vectors(spark, sf_dir).transform(materialize)
     cent = _kmeans_centroids(vec).select("c_id", "cv", "cn")
-    scored = vec.join(F.broadcast(cent)).select(
-        "vec_id",
-        "c_id",
-        F.expr(_COS.format(a="v", b="cv", na="nrm", nb="cn")).alias("ccos"),
-    )
-    asg = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.expr(
-                "max_by(named_struct('list_id', c_id, 'proto_cos', ccos),"
-                " struct(ccos, -c_id))"
-            ).alias("w")
-        )
-        .select("vec_id", F.col("w.list_id"), F.col("w.proto_cos"))
-    )
+    asg = _assign_lists(vec, cent, "vec_id", with_cos=True)
     wr = Window.partitionBy("list_id").orderBy(
         F.col("proto_cos").desc(), F.col("vec_id").asc()
     )

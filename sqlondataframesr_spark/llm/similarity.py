@@ -234,17 +234,25 @@ NLIST = 8
 NPROBE = 2
 
 
-def _assign_lists(vec: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+def _assign_lists(
+    vec: DataFrame, centroids: DataFrame, id_col: str, with_cos: bool = False
+) -> DataFrame:
     """Nearest-centroid assignment: (id, list_id) by max cosine
-    (6 dp rounded, smaller centroid id wins ties)."""
+    (6 dp rounded, smaller centroid id wins ties). ``with_cos`` also
+    returns the winning cosine as ``proto_cos`` (= max(ccos): the
+    winner has the maximum cosine by definition; the -c_id tie-break
+    only picks WHICH centroid wins among equals) — the single shared
+    home for the assignment tie-break, so semdedup and the
+    prototypicality pruner can never drift apart (code-review r8)."""
     scored = vec.join(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col("c_id"),
         F.expr(_COS.format(a="v", b="cv", na="nrm", nb="cn")).alias("ccos"),
     )
-    return scored.groupBy(id_col).agg(
-        F.expr("max_by(c_id, struct(ccos, -c_id))").alias("list_id")
-    )
+    aggs = [F.expr("max_by(c_id, struct(ccos, -c_id))").alias("list_id")]
+    if with_cos:
+        aggs.append(F.max("ccos").alias("proto_cos"))
+    return scored.groupBy(id_col).agg(*aggs)
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

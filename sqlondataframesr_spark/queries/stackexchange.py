@@ -35,6 +35,7 @@ from __future__ import annotations
 import csv
 import os
 import random
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -194,7 +195,7 @@ def generate_fixture(out_dir: str, seed: int = 42, scale: float = 1.0) -> dict[s
     return paths
 
 
-#: (applicationId, data_dir) -> {name: DataFrame}. Caches the ANALYZED
+#: SparkSession -> {data_dir: {name: DataFrame}}. Caches the ANALYZED
 #: RELATIONS (driver-side plan construction: file listing + schema
 #: binding — 7 spark.read.csv calls cost a measured ~0.22 s of driver
 #: RPC round-trips), NOT data: every action still re-scans the CSVs.
@@ -204,18 +205,25 @@ def generate_fixture(out_dir: str, seed: int = 42, scale: float = 1.0) -> dict[s
 #: (RDataFramesSQL.Rmd:61-67 vs :139-152) — so repeated task
 #: invocations (bench runs, repeated driver checks) must not re-pay
 #: relation construction that the baseline's timed region never
-#: contained. Keyed by applicationId so a stopped session's stale
-#: plans are never reused (same design as catalog._table_cache).
-_se_cache: dict[tuple[str, str], dict[str, DataFrame]] = {}
-#: applicationId -> data_dir whose tables currently own the temp-view
-#: names (views are session-global; a dir switch must re-register).
-_se_views_dir: dict[str, str] = {}
+#: contained. Keyed WEAKLY by the SparkSession itself — not by
+#: applicationId — because BOTH the cached DataFrames and temp views
+#: are per-session state: a spark.newSession() shares the appId but
+#: has its own catalog and cannot execute another session's plans
+#: (code-review r8). A stopped/collected session simply drops out.
+_se_cache: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
+#: SparkSession -> data_dir whose tables currently own that session's
+#: temp-view names (a dir switch must re-register).
+_se_views_dir: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_se(spark: SparkSession, data_dir: str) -> dict[str, DataFrame]:
     """read.csv x7 + view registration — the reference's load step."""
-    app = spark.sparkContext.applicationId
-    out = _se_cache.get((app, data_dir))
+    per = _se_cache.setdefault(spark, {})
+    out = per.get(data_dir)
     if out is None:
         out = {
             name: read_csv(
@@ -223,11 +231,11 @@ def load_se(spark: SparkSession, data_dir: str) -> dict[str, DataFrame]:
             )
             for name, schema in SCHEMAS.items()
         }
-        _se_cache[(app, data_dir)] = out
-    if _se_views_dir.get(app) != data_dir:
+        per[data_dir] = out
+    if _se_views_dir.get(spark) != data_dir:
         for name, df in out.items():
             df.createOrReplaceTempView(name)
-        _se_views_dir[app] = data_dir
+        _se_views_dir[spark] = data_dir
     return out
 
 

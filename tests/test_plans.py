@@ -414,20 +414,32 @@ def test_unimax_single_corpus_aggregation_pinned(spark, sf_dir):
 
 def test_prototypicality_rank_never_shuffles_embeddings(spark, sf_dir):
     """The per-cluster rank must ride the slim (vec_id, list_id,
-    proto_cos) projection — no embedding array in the window
-    exchange's output schema — and centroid assignment must be the
-    broadcast-K pattern, not a corpus shuffle join."""
+    proto_cos) projection — no embedding array in the exchange that
+    feeds the window — and centroid assignment must be the broadcast-K
+    pattern, not a corpus shuffle join. Checked on the FORMATTED plan,
+    whose per-node detail blocks list each Exchange's input columns
+    (the tree-string form prints exchanges without schemas, which made
+    the first version of this assertion vacuous — code-review r8)."""
     import re
+
+    from sqlondataframesr_spark.plans.audit import explain_formatted
 
     a = _audit(spark, sf_dir, "emb_prototypicality_prune")
     assert "SortMergeJoin" not in a.join_strategies
-    # the window's input exchange carries no array column: every
-    # hashpartitioning exchange row below the Window prints its output
-    # schema; none that feeds the rank may mention the vector column v
-    wins = re.findall(r"Window \[[^\]]*proto_rank[^\]]*\], \[(\w+)", a.text)
-    assert wins, "rank window missing from plan"
-    frag = a.text.split("Window")[0]  # subtree rendered above the window
-    assert ", v#" not in frag.split("Exchange hashpartitioning")[-1]
+    plan = explain_formatted(registry.queries()["emb_prototypicality_prune"](spark, sf_dir))
+    # formatted detail blocks: "(N) Exchange\nInput [k]: [col#1, ...]".
+    # Any exchange whose input carries the rank key list_id must not
+    # also carry the embedding array v (standalone column v#NNN, not
+    # cv#/qv# etc.).
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    rank_exchanges = [
+        b for b in blocks
+        if b.startswith("Exchange") and re.search(r"Input \[\d+\]: \[[^\]]*list_id#", b)
+    ]
+    assert rank_exchanges, "rank exchange missing from formatted plan"
+    for b in rank_exchanges:
+        inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b).group(1)
+        assert not re.search(r"(?<![\w])v#\d+", inp), inp
 
 
 def test_bpe_merge_rounds_broadcast_single_row(spark, sf_dir):

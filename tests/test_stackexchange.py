@@ -158,3 +158,9 @@ def test_task1_task2_plans_have_no_low_cardinality_window(spark, se_dir):
         # max(struct) rewrite would be behavior-preserving).
         assert "Window" not in plan, fn.__name__
         assert "row_number" not in plan, fn.__name__
+        # ...but keep ONE positive pin (code-review r8): the argmax
+        # must still be an aggregate-side construct, or a regression
+        # to the two-shuffle groupBy-max + join-back shape (neither
+        # Window nor row_number) would slip through. Accept either
+        # spelling an optimizer could choose.
+        assert "max_by" in plan or "max(struct" in plan, fn.__name__
