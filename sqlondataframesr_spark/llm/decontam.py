@@ -113,8 +113,176 @@ ORDER BY d.doc_id
 """
 
 
-QUERIES = {"decontam_overlap": decontam_overlap}
-ORACLES = {"decontam_overlap": DECONTAM_OVERLAP_ORACLE}
+def decontam_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: REMOVE the contaminated 13-token
+    windows from training documents instead of dropping the documents
+    (the span-removal discipline of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — applied to
+    eval overlap instead of self-duplication). A token is scrubbed iff
+    it lies inside ANY 13-token window whose md5 appears among the
+    eval slice's windows; everything else survives, so one shared
+    benchmark sentence no longer costs a whole (otherwise clean)
+    document.
+
+    Plan shape: eval grams are a broadcast set (tiny vs the corpus —
+    same posture as decontam_overlap); the corpus side emits
+    POSITIONAL grams (start index + md5, no distinct — positions
+    matter here), joins the broadcast, and the per-doc hit-start list
+    rides one partial-aggregated groupBy. Token filtering is a local
+    array expression: O(tokens x hits) per document, bounded by
+    document length — never a shuffle.
+
+    Output: (doc_id, n_tokens, n_removed, scrubbed_text) for training
+    docs (eval slice excluded), ordered by doc_id. Docs shorter than
+    13 tokens have no windows and pass through untouched.
+    """
+    from .dedup import SUBSTR_K, _with_grams
+
+    k = SUBSTR_K
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+
+    eval_g = (
+        _with_grams(docs.filter(is_eval), k)
+        .select(F.explode("gr").alias("gx"))
+        .distinct()
+    )
+    train = docs.filter(~is_eval).withColumn("w", F.split("text", " "))
+    # positional grams: (doc_id, start i [0-based], md5) — NO distinct
+    pos_g = train.filter(F.size("w") >= k).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {k}),"
+                f" i -> struct(i AS i, md5(concat_ws(' ', slice(w, i + 1, {k}))) AS gx))"
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.i", "e.gx")
+    hits = (
+        pos_g.join(F.broadcast(eval_g), "gx")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("i")).alias("hits"))
+    )
+    return (
+        train.join(hits, "doc_id", "left")
+        .withColumn(
+            "hits", F.coalesce("hits", F.expr("CAST(array() AS array<int>)"))
+        )
+        .withColumn(
+            "kept",
+            F.expr(
+                "filter(sequence(1, size(w)),"
+                f" p -> NOT exists(hits, h -> h + 1 <= p AND p <= h + {k}))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_tokens"),
+            (F.size("w") - F.size("kept")).cast("long").alias("n_removed"),
+            F.expr(
+                "concat_ws(' ', transform(kept, p -> element_at(w, p)))"
+            ).alias("scrubbed_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _scrub_oracle() -> str:
+    from .dedup import SUBSTR_K as K
+
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+eval_g AS (
+  SELECT DISTINCT gx FROM (
+    SELECT unnest([md5(array_to_string(
+             w[CAST(i + 1 AS INT):CAST(i + {K} AS INT)], ' '))
+           for i in range(0, len(w) - {K - 1})]) AS gx
+    FROM t WHERE doc_id % {EVAL_MOD} = 0 AND len(w) >= {K}
+  )
+),
+train AS (SELECT doc_id, w FROM t WHERE doc_id % {EVAL_MOD} != 0),
+pos_g AS (
+  SELECT doc_id, i,
+         md5(array_to_string(w[CAST(i + 1 AS INT):CAST(i + {K} AS INT)], ' ')) AS gx
+  FROM (SELECT doc_id, w, unnest(range(0, len(w) - {K - 1})) AS i
+        FROM train WHERE len(w) >= {K})
+),
+hits AS (
+  SELECT doc_id, list_sort(list(i)) AS hits
+  FROM pos_g JOIN eval_g USING (gx) GROUP BY doc_id
+),
+j AS (
+  SELECT tr.doc_id, tr.w, COALESCE(h.hits, []) AS hits
+  FROM train tr LEFT JOIN hits h USING (doc_id)
+),
+kp AS (
+  SELECT doc_id, w,
+         list_filter(range(1, len(w) + 1),
+           p -> len(list_filter(hits, h -> h + 1 <= p AND p <= h + {K})) = 0) AS kept
+  FROM j
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+       -- COALESCE: a FULLY-scrubbed doc has an empty kept list, where
+       -- DuckDB's list comprehension/array_to_string yields NULL but
+       -- Spark's concat_ws yields '' — '' is the canonical value
+       COALESCE(array_to_string([w[CAST(p AS INT)] for p in kept], ' '), '')
+         AS scrubbed_text
+FROM kp ORDER BY doc_id
+"""
+
+
+def _scrub_spark_sql() -> str:
+    from .dedup import SUBSTR_K as K
+
+    return f"""
+WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+eval_g AS (
+  SELECT DISTINCT gx FROM (
+    SELECT explode(transform(sequence(0, size(w) - {K}),
+             i -> md5(concat_ws(' ', slice(w, i + 1, {K}))))) AS gx
+    FROM t WHERE doc_id % {EVAL_MOD} = 0 AND size(w) >= {K}
+  )
+),
+train AS (SELECT doc_id, w FROM t WHERE doc_id % {EVAL_MOD} != 0),
+pos_g AS (
+  SELECT doc_id, e.i, e.gx FROM (
+    SELECT doc_id, explode(transform(sequence(0, size(w) - {K}),
+             i -> struct(i AS i, md5(concat_ws(' ', slice(w, i + 1, {K}))) AS gx))) AS e
+    FROM train WHERE size(w) >= {K})
+),
+hits AS (
+  SELECT doc_id, sort_array(collect_list(i)) AS hits
+  FROM pos_g JOIN eval_g USING (gx) GROUP BY doc_id
+),
+j AS (
+  SELECT tr.doc_id, tr.w,
+         coalesce(h.hits, CAST(array() AS array<int>)) AS hits
+  FROM train tr LEFT JOIN hits h USING (doc_id)
+),
+kp AS (
+  SELECT doc_id, w,
+         filter(sequence(1, size(w)),
+           p -> NOT exists(hits, h -> h + 1 <= p AND p <= h + {K})) AS kept
+  FROM j
+)
+SELECT doc_id,
+       CAST(size(w) AS BIGINT) AS n_tokens,
+       CAST(size(w) - size(kept) AS BIGINT) AS n_removed,
+       concat_ws(' ', transform(kept, p -> element_at(w, p))) AS scrubbed_text
+FROM kp ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "decontam_overlap": decontam_overlap,
+    "decontam_scrub_spans": decontam_scrub_spans,
+}
+ORACLES = {
+    "decontam_overlap": DECONTAM_OVERLAP_ORACLE,
+    "decontam_scrub_spans": _scrub_oracle(),
+}
 
 #: Spark-SQL ratio expression (shared by overlap_ratio and contaminated)
 _RATIO_SPARK = """CASE WHEN COALESCE(sz.n_shingles, 0) > 0
@@ -149,3 +317,5 @@ LEFT JOIN overlap o USING (doc_id)
 ORDER BY d.doc_id
 """,
 }
+
+SPARK_SQL["decontam_scrub_spans"] = _scrub_spark_sql()

@@ -687,6 +687,37 @@ def test_sq8_recall_vs_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_decontam_scrub_removes_exactly_the_shared_span(spark):
+    """Planted contamination: a train doc embedding a 14-token eval
+    span must lose EXACTLY those 14 tokens (the union of the two
+    13-windows that hit), keeping its own prefix/suffix; a clean doc
+    and a sub-13-token doc pass through byte-identical."""
+    from sqlondataframesr_spark.llm import decontam as D
+
+    span = " ".join(f"s{i}" for i in range(14))
+    rows = [
+        (0, span),  # eval doc (0 % 53 == 0)
+        (1, " ".join(f"a{i}" for i in range(5)) + " " + span + " "
+            + " ".join(f"b{i}" for i in range(5))),
+        (2, " ".join(f"c{i}" for i in range(20))),  # clean
+        (3, "tiny doc under thirteen tokens here"),  # no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = D.load_table
+    try:
+        D.load_table = lambda sp, sf, name: df
+        got = {r.doc_id: r for r in D.decontam_scrub_spans(spark, "_planted").collect()}
+    finally:
+        D.load_table = orig
+    assert set(got) == {1, 2, 3}  # eval doc excluded
+    assert got[1].n_tokens == 24 and got[1].n_removed == 14
+    assert got[1].scrubbed_text == (
+        " ".join(f"a{i}" for i in range(5)) + " " + " ".join(f"b{i}" for i in range(5))
+    )
+    assert got[2].n_removed == 0 and got[2].scrubbed_text == rows[2][1]
+    assert got[3].n_removed == 0 and got[3].scrubbed_text == rows[3][1]
+
+
 def test_prototypicality_prune_drops_top_quarter_per_cluster(spark, sf_dir):
     """Per trained cluster, exactly floor(size/4) members are marked
     keep=false, and they are precisely the top of the (proto_cos DESC,
