@@ -116,6 +116,15 @@ def test_decontam_broadcasts_eval_shingles(spark, sf_dir):
     assert "BroadcastHashJoin" in _audit(spark, sf_dir, "decontam_overlap").join_strategies
 
 
+def test_scrub_eval_grams_are_broadcast_no_corpus_shuffle(spark, sf_dir):
+    """Span scrubbing must probe the corpus' positional grams against a
+    BROADCAST eval-gram set (same contract as decontam_overlap) — the
+    only shuffle is the per-doc hit-list groupBy."""
+    a = _audit(spark, sf_dir, "decontam_scrub_spans")
+    assert "BroadcastHashJoin" in a.join_strategies
+    assert not a.has_cartesian
+
+
 def test_range_join_is_equijoin_not_nested_loop(spark, sf_dir):
     """Bin-and-replicate must lower the interval condition to a hash-
     partitioned equi-join; BroadcastNestedLoopJoin/CartesianProduct here
