@@ -25,5 +25,12 @@ def l2_norm(v: str) -> str:
 
 def cosine(a: str, b: str, na: str, nb: str, decimals: int = 6) -> str:
     """Cosine from precomputed norms, rounded for cross-engine
-    comparability (see llm/similarity.py determinism notes)."""
-    return f"round({dot(a, b)} / ({na} * {nb}), {decimals})"
+    comparability (see llm/similarity.py determinism notes).
+
+    The norm product is NULLIF-guarded: a zero-norm vector (possible
+    for sliced prefixes, e.g. the Matryoshka 16-dim head) must yield
+    NULL on EVERY engine. Spark's non-ANSI x/0 is already NULL, but
+    DuckDB's default ieee_floating_point_ops yields inf/nan — which
+    sorts FIRST under DESC NULLS LAST and silently diverges the
+    shortlist. nullif pins both engines to NULL (r8 ADVICE item)."""
+    return f"round({dot(a, b)} / nullif({na} * {nb}, 0), {decimals})"

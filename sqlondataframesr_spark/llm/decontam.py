@@ -148,13 +148,18 @@ def decontam_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     train = docs.filter(~is_eval).withColumn("w", F.split("text", " "))
-    # positional grams: (doc_id, start i [0-based], md5) — NO distinct
+    # positional grams: (doc_id, start i [0-based], md5) — NO distinct.
+    # TOTAL expression (IF-guarded like _with_grams): Catalyst may hoist
+    # the generator child past the size(w) >= k filter, and slice()
+    # throws on a descending sequence for sub-k-token docs.
     pos_g = train.filter(F.size("w") >= k).select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, size(w) - {k}),"
-                f" i -> struct(i AS i, md5(concat_ws(' ', slice(w, i + 1, {k}))) AS gx))"
+                f"IF(size(w) >= {k},"
+                f" transform(sequence(0, size(w) - {k}),"
+                f"  i -> struct(i AS i, md5(concat_ws(' ', slice(w, i + 1, {k}))) AS gx)),"
+                f" CAST(array() AS array<struct<i:int,gx:string>>))"
             )
         ).alias("e"),
     ).select("doc_id", "e.i", "e.gx")
@@ -239,17 +244,23 @@ def _scrub_spark_sql() -> str:
     return f"""
 WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
 eval_g AS (
+  -- IF-guard: TOTAL expression even if the generator child is hoisted
+  -- past the size(w) filter (slice throws on descending sequence)
   SELECT DISTINCT gx FROM (
-    SELECT explode(transform(sequence(0, size(w) - {K}),
-             i -> md5(concat_ws(' ', slice(w, i + 1, {K}))))) AS gx
+    SELECT explode(IF(size(w) >= {K},
+             transform(sequence(0, size(w) - {K}),
+               i -> md5(concat_ws(' ', slice(w, i + 1, {K})))),
+             array())) AS gx
     FROM t WHERE doc_id % {EVAL_MOD} = 0 AND size(w) >= {K}
   )
 ),
 train AS (SELECT doc_id, w FROM t WHERE doc_id % {EVAL_MOD} != 0),
 pos_g AS (
   SELECT doc_id, e.i, e.gx FROM (
-    SELECT doc_id, explode(transform(sequence(0, size(w) - {K}),
-             i -> struct(i AS i, md5(concat_ws(' ', slice(w, i + 1, {K}))) AS gx))) AS e
+    SELECT doc_id, explode(IF(size(w) >= {K},
+             transform(sequence(0, size(w) - {K}),
+               i -> struct(i AS i, md5(concat_ws(' ', slice(w, i + 1, {K}))) AS gx)),
+             CAST(array() AS array<struct<i:int,gx:string>>))) AS e
     FROM train WHERE size(w) >= {K})
 ),
 hits AS (

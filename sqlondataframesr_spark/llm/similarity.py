@@ -561,7 +561,7 @@ _VEC_SQL = """
 
 _COS_DUCK = (
     "ROUND(list_sum([{a}[i] * {b}[i] for i in range(1, " + str(DIM + 1) + ")])"
-    " / ({na} * {nb}), 6)"
+    " / nullif({na} * {nb}, 0), 6)"
 )
 
 _SIG_SQL = f"""
@@ -1120,10 +1120,13 @@ def ann_matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# nullif: the 16-dim prefix CAN be all-zero even when the full vector
+# is not; DuckDB would emit inf/nan (sorts first under DESC NULLS LAST)
+# where Spark emits NULL — both engines must agree on NULL (r8 ADVICE).
 _MRL_COS_DUCK = (
     "ROUND(list_sum([{a}[i] * {b}[i] for i in range(1, "
     + str(MRL_PREFIX_DIM + 1)
-    + ")]) / ({na} * {nb}), 6)"
+    + ")]) / nullif({na} * {nb}, 0), 6)"
 )
 
 _MRL_PREFIX_DUCK = f"""

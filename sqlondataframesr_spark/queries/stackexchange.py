@@ -210,32 +210,52 @@ def generate_fixture(out_dir: str, seed: int = 42, scale: float = 1.0) -> dict[s
 #: are per-session state: a spark.newSession() shares the appId but
 #: has its own catalog and cannot execute another session's plans
 #: (code-review r8). A stopped/collected session simply drops out.
-_se_cache: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = (
+_se_cache: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, dict[str, DataFrame]]]" = (
     weakref.WeakKeyDictionary()
 )
-#: SparkSession -> data_dir whose tables currently own that session's
-#: temp-view names (a dir switch must re-register).
-_se_views_dir: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+#: SparkSession -> cache key whose tables currently own that session's
+#: temp-view names (a dir switch OR file regeneration must re-register).
+_se_views_dir: "weakref.WeakKeyDictionary[SparkSession, tuple]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def _se_cache_key(data_dir: str) -> tuple:
+    """(data_dir, (mtime_ns, size) x7): a cached relation pins file
+    metadata (InMemoryFileIndex captures file lengths at first read),
+    so regenerating fixture CSVs in a live session MUST miss the cache
+    — stale lengths would silently truncate later scans (r8 ADVICE).
+    os.stat x7 is ~10 us vs the ~0.22 s relation construction saved."""
+    sig = []
+    for name in SCHEMAS:
+        try:
+            st = os.stat(os.path.join(data_dir, f"{name}.csv"))
+            sig.append((st.st_mtime_ns, st.st_size))
+        except OSError:
+            sig.append(None)
+    return (data_dir, tuple(sig))
 
 
 def load_se(spark: SparkSession, data_dir: str) -> dict[str, DataFrame]:
     """read.csv x7 + view registration — the reference's load step."""
     per = _se_cache.setdefault(spark, {})
-    out = per.get(data_dir)
+    key = _se_cache_key(data_dir)
+    out = per.get(key)
     if out is None:
+        # drop superseded entries for the same dir (regenerated files)
+        for stale in [k for k in per if k[0] == data_dir]:
+            del per[stale]
         out = {
             name: read_csv(
                 spark, os.path.join(data_dir, f"{name}.csv"), schema=schema
             )
             for name, schema in SCHEMAS.items()
         }
-        per[data_dir] = out
-    if _se_views_dir.get(spark) != data_dir:
+        per[key] = out
+    if _se_views_dir.get(spark) != key:
         for name, df in out.items():
             df.createOrReplaceTempView(name)
-        _se_views_dir[spark] = data_dir
+        _se_views_dir[spark] = key
     return out
 
 

@@ -930,3 +930,77 @@ def test_ivf_pq_recall_decomposed(spark, sf_dir):
     assert sum(vs_ivf) / len(vs_ivf) >= 0.8, vs_ivf
     vs_brute = [len(got[q] & brute[q]) / len(brute[q]) for q in brute]
     assert sum(vs_brute) / len(vs_brute) >= 0.3, vs_brute
+
+
+def test_matryoshka_zero_prefix_agrees_across_engines(spark, tmp_path):
+    """r8 ADVICE: a vector whose first 16 dims are ALL zero has prefix
+    norm 0; the prefix cosine must be NULL on BOTH engines. Spark's
+    non-ANSI x/0 is NULL; DuckDB's answer is VERSION-DEPENDENT (1.0
+    returns NULL, >=1.1 defaults ieee_floating_point_ops=true and
+    returns nan — which sorts FIRST under DESC NULLS LAST and evicts
+    real candidates from the shortlist). nullif() pins NULL on every
+    version. The fixture plants 10 zero-prefix candidates AND a true
+    top-1 neighbor at exactly prefix rank 20, the band a 10-row nan
+    jump would evict — so on an ieee-mode DuckDB the un-guarded
+    oracle provably returns a different top-5 for query 0."""
+    import math
+
+    import duckdb
+
+    from sqlondataframesr_spark.check import compare_rows
+    from sqlondataframesr_spark.llm import similarity as S
+
+    # Designed so query 0's TRUE top-1 neighbor ("X", id 39) sits at
+    # prefix rank 20 — inside Spark's 25-slot shortlist, but evicted
+    # from a pre-fix DuckDB shortlist where 10 nan rows (zero-prefix
+    # ids 10-19) jump the DESC sort and leave only 15 real slots.
+    def vec(prefix, tail):
+        v = [0.0] * 64
+        for d, x in prefix:
+            v[d] = x
+        for d, x in tail:
+            v[16 + d] = x
+        return [float(x) for x in v]
+
+    rows = [(0, vec([(0, 1.0)], [(0, 1.0)]), 0)]           # query 0
+    for i in range(1, S.N_QUERIES):                         # queries 1-9:
+        # slightly ANTI-aligned prefixes (pcos < 0 vs q0) so they rank
+        # BELOW X, keeping X at exactly prefix rank 20 for q0
+        rows.append((i, vec([(0, -0.1), (i % 16, 1.0)], [(1 + i, 1.0)]), 0))
+    for i in range(10, 20):                                 # zero prefix: pcos 0/0
+        rows.append((i, vec([], [(10 + i, 1.0)]), 0))
+    for j, i in enumerate(range(20, 39)):                   # 19 decoys: high pcos,
+        th = 0.07 * (j + 1)                                 # tails orthogonal to q0
+        rows.append((i, vec([(0, math.cos(th)), (1, math.sin(th))], [(1, 1.0)]), 0))
+    # X: prefix orthogonal to q0 (pcos 0 -> rank 20), tail aligned
+    # with q0's tail -> full cosine ~0.707 beats every decoy's <=0.5
+    rows.append((39, vec([(1, 1.0)], [(0, 1.0)]), 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pq = str(tmp_path / "embeddings.parquet")
+    df.coalesce(1).write.parquet(pq)
+
+    orig = S.load_table
+    try:
+        S.load_table = lambda sp, sf, name: spark.read.parquet(pq)
+        got = S.ann_matryoshka_topk(spark, "_planted")
+        cols = sorted(got.columns)
+        lrows = [tuple(r[c] for c in cols) for r in got.select(cols).collect()]
+    finally:
+        S.load_table = orig
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+        )
+        cur = con.execute(S.ANN_MATRYOSHKA_TOPK_ORACLE)
+        dcols = [d[0] for d in cur.description]
+        drows = [tuple(r) for r in cur.fetchall()]
+    finally:
+        con.close()
+    order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    dcols = [dcols[i] for i in order]
+    drows = [tuple(r[i] for i in order) for r in drows]
+    problems = compare_rows(cols, lrows, dcols, drows)
+    assert not problems, problems
+    assert len(lrows) == S.N_QUERIES * S.TOP_K

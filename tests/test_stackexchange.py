@@ -164,3 +164,30 @@ def test_task1_task2_plans_have_no_low_cardinality_window(spark, se_dir):
         # Window nor row_number) would slip through. Accept either
         # spelling an optimizer could choose.
         assert "max_by" in plan or "max(struct" in plan, fn.__name__
+
+
+def test_load_se_cache_invalidated_on_fixture_regeneration(spark, tmp_path):
+    """A cached relation pins file metadata (InMemoryFileIndex captures
+    file lengths at first read); regenerating the CSVs at the SAME dir
+    inside a live session must miss the cache, or later scans read
+    stale/truncated lengths (r8 ADVICE). Regenerate at a different
+    scale so every file's size changes and assert the reload sees the
+    new row counts."""
+    import os
+    import time
+
+    d = str(tmp_path / "regen")
+    os.makedirs(d)
+    se.generate_fixture(d, scale=1.0)
+    n1 = se.load_se(spark, d)["Posts"].count()
+    # mtime_ns granularity is ample, but make the change unambiguous
+    time.sleep(0.01)
+    se.generate_fixture(d, scale=2.0)
+    n2 = se.load_se(spark, d)["Posts"].count()
+    assert n2 > n1, (
+        f"stale relation cache: Posts count {n2} after 2x regeneration "
+        f"(was {n1}) — load_se served a pinned InMemoryFileIndex"
+    )
+    # and the temp views must have been re-registered onto the new relations
+    nview = spark.sql("SELECT COUNT(*) AS n FROM Posts").collect()[0]["n"]
+    assert nview == n2
