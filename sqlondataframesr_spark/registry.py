@@ -19,6 +19,7 @@ from .llm import (
     dsir,
     hybrid,
     incremental,
+    lm,
     minhash,
     pipeline,
     pq,
@@ -50,6 +51,7 @@ _MODULES = [
     dsir,
     hybrid,
     incremental,
+    lm,
     minhash,
     pq,
     semdedup,

@@ -1004,3 +1004,69 @@ def test_matryoshka_zero_prefix_agrees_across_engines(spark, tmp_path):
     problems = compare_rows(cols, lrows, dcols, drows)
     assert not problems, problems
     assert len(lrows) == S.N_QUERIES * S.TOP_K
+
+
+def test_bigram_lm_penalizes_word_order_destruction(spark):
+    """The bigram scorer's reason to exist over text_unigram_logprob:
+    two docs with the IDENTICAL token multiset (so every unigram
+    statistic ties) must separate when one follows the corpus's
+    dominant transitions and the other breaks them."""
+    from sqlondataframesr_spark.llm import lm
+
+    rows = [(i, "a b a b a b a b") for i in range(20)]   # corpus: a<->b dominant
+    rows.append((100, "a b a b a b"))                    # follows transitions
+    rows.append((101, "a a a b b b"))                    # same multiset, broken order
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = lm.load_table
+    try:
+        lm.load_table = lambda sp, sf, name: df
+        got = {r.doc_id: r for r in lm.lm_bigram_logprob(spark, "_planted").collect()}
+    finally:
+        lm.load_table = orig
+    assert got[100].n_bigrams == 5 and got[101].n_bigrams == 5
+    assert got[100].avg_logprob > got[101].avg_logprob
+
+
+def test_nb_classifier_perfect_on_disjoint_vocab(spark):
+    """Langs with disjoint vocabularies must classify every held-out
+    doc correctly: the confusion matrix is exactly diagonal."""
+    from sqlondataframesr_spark.llm import lm
+
+    vocab = {"aa": "alpha beta gamma", "bb": "delta epsilon zeta", "cc": "eta theta iota"}
+    rows = []
+    for li, (lang, words) in enumerate(sorted(vocab.items())):
+        for j in range(10):
+            rows.append((li * 10 + j, f"{words} {words}", lang, "s", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = lm.load_table
+    try:
+        lm.load_table = lambda sp, sf, name: df
+        conf = lm.nb_lang_confusion(spark, "_planted").collect()
+    finally:
+        lm.load_table = orig
+    # every lang has held-out docs (ids 0,5,10,...) and all predictions
+    # land on the diagonal
+    assert conf and all(r.true_lang == r.pred_lang for r in conf)
+    assert {r.true_lang for r in conf} == set(vocab)
+    assert sum(r.n_docs for r in conf) == sum(1 for r in rows if r[0] % lm.NB_TEST_MOD == 0)
+
+
+def test_tercile_gate_buckets_are_ordered_and_exhaustive(spark, sf_dir):
+    """head/middle/tail must partition every scored doc per lang, with
+    strict score separation at the cutoffs (head >= p66 > middle,
+    middle >= p33 > tail by construction)."""
+    from sqlondataframesr_spark.llm import lm
+
+    rows = lm.lm_perplexity_tercile_gate(spark, sf_dir).collect()
+    assert rows
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(r.avg_logprob)
+    for lang, buckets in per_lang.items():
+        assert set(buckets) <= {"head", "middle", "tail"}
+        if "head" in buckets and "middle" in buckets:
+            assert min(buckets["head"]) > max(buckets["middle"]), lang
+        if "middle" in buckets and "tail" in buckets:
+            assert min(buckets["middle"]) > max(buckets["tail"]), lang

@@ -459,3 +459,34 @@ def test_bpe_merge_rounds_broadcast_single_row(spark, sf_dir):
     assert a.text.count("BroadcastNestedLoopJoin") >= 1
     # TakeOrderedAndProject = the limit(1) argmax never global-sorts
     assert "TakeOrderedAndProject" in a.text
+
+
+def test_tercile_gate_cutoffs_are_broadcast(spark, sf_dir):
+    """lm_perplexity_tercile_gate joins per-lang p33/p66 cutoffs (one
+    row per language) back to the scored corpus — must broadcast, and
+    the whole plan must stay cartesian-free (the r6 low-cardinality-
+    window alternative this operator deliberately avoids)."""
+    a = _audit(spark, sf_dir, "lm_perplexity_tercile_gate")
+    assert "BroadcastExchange" in a.text
+    assert not a.has_cartesian
+
+
+def test_nb_confusion_broadcasts_lang_constants_only(spark, sf_dir):
+    """nb_lang_confusion: the doc x lang scoring grid comes from a
+    deliberate K-row broadcast of per-lang constants (BNLJ is the
+    expected shape, like DSIR's 1-row totals); the seen-(term,lang)
+    table joins by TERM as a regular join, and nothing is an
+    unbounded CartesianProduct."""
+    a = _audit(spark, sf_dir, "nb_lang_confusion")
+    assert "BroadcastExchange" in a.text
+    assert not a.has_cartesian
+
+
+def test_bigram_lm_total_is_broadcast_no_cartesian(spark, sf_dir):
+    """lm_bigram_logprob: the single-row transition total T is the
+    only broadcast-by-construction side; count tables join back by
+    bigram key (web-scale vocab — must tolerate shuffle); no
+    cartesian anywhere."""
+    a = _audit(spark, sf_dir, "lm_bigram_logprob")
+    assert not a.has_cartesian
+    assert "BroadcastExchange" in a.text
