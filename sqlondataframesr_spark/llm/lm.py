@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
+from ..materialize import materialize, spread_scan
 
 #: interpolation weight of the ML bigram term (rest goes to the
 #: unigram continuation model) — 0.9 is the classic Jelinek-Mercer
@@ -75,9 +76,11 @@ def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate downstream sees every doc.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread_scan: the bigram explode is the CPU-dense pass — a
+    # single-row-group scan must not serialize it onto one task
     # TOTAL expression (IF-guarded): sequence(1, size-1) must never go
     # descending for 0/1-token docs even though tf filters them out
-    big = docs.select(
+    big = spread_scan(docs, "doc_id").select(
         "doc_id",
         F.explode(
             F.expr(
@@ -89,8 +92,22 @@ def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.t1", "b.t2")
-    tf = big.groupBy("doc_id", "t1", "t2").agg(F.count(F.lit(1)).alias("tf"))
-    c12 = tf.groupBy("t1", "t2").agg(F.sum("tf").alias("c12"))
+    # tf feeds FOUR downstream branches (c12 -> c1/c2/total and the
+    # per-doc score join): pin it, or the bigram explode re-runs per
+    # branch (the _substring_pairs lesson — measured 5.4 s -> 1.3 s
+    # at sf0.1)
+    tf = (
+        big.groupBy("doc_id", "t1", "t2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(materialize)
+    )
+    # c12 likewise feeds c1/c2/total/prob: pin the (t1,t2,count)
+    # aggregate (fixed-width rows, vocab-bounded — never raw text)
+    c12 = (
+        tf.groupBy("t1", "t2")
+        .agg(F.sum("tf").alias("c12"))
+        .transform(materialize)
+    )
     c1 = c12.groupBy("t1").agg(F.sum("c12").alias("c1"))
     c2 = c12.groupBy("t2").agg(F.sum("c12").alias("c2"))
     total = c12.agg(F.sum("c12").alias("t_total"))
@@ -231,7 +248,13 @@ def lm_perplexity_tercile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     scored = lm_bigram_logprob(spark, sf_dir).filter(F.col("n_bigrams") > 0)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    s = scored.join(docs, "doc_id").select("doc_id", "lang", "avg_logprob")
+    # the scored frame feeds both the cutoff aggregate and the gate
+    # join — pin it so the whole bigram-LM lineage runs once
+    s = (
+        scored.join(docs, "doc_id")
+        .select("doc_id", "lang", "avg_logprob")
+        .transform(materialize)
+    )
     cuts = s.groupBy("lang").agg(
         F.round(F.percentile("avg_logprob", F.lit(1.0 / 3.0)), 6).alias("p33"),
         F.round(F.percentile("avg_logprob", F.lit(2.0 / 3.0)), 6).alias("p66"),
@@ -326,11 +349,15 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "text")
         .withColumn("is_test", F.col("doc_id") % NB_TEST_MOD == 0)
     )
-    tok = docs.select(
+    tok = spread_scan(docs, "doc_id").select(
         "doc_id", "lang", "is_test", F.explode(F.expr(_clean_tokens_expr())).alias("term")
     )
-    tf = tok.groupBy("doc_id", "lang", "is_test", "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    # tf feeds five branches (ctl / vocab / lang_tot / test_docs /
+    # hits): pin the (doc, term, tf) aggregate once
+    tf = (
+        tok.groupBy("doc_id", "lang", "is_test", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(materialize)
     )
     train_tf = tf.filter(~F.col("is_test"))
     # seen (term, lang) counts with their add-one log
