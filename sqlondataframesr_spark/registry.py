@@ -16,6 +16,7 @@ from .llm import (
     curation,
     decontam,
     dedup,
+    diversity,
     dsir,
     hybrid,
     incremental,
@@ -48,6 +49,7 @@ _MODULES = [
     bpe,
     decontam,
     dedup,
+    diversity,
     dsir,
     hybrid,
     incremental,

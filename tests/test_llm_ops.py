@@ -1070,3 +1070,71 @@ def test_tercile_gate_buckets_are_ordered_and_exhaustive(spark, sf_dir):
             assert min(buckets["head"]) > max(buckets["middle"]), lang
         if "middle" in buckets and "tail" in buckets:
             assert min(buckets["middle"]) > max(buckets["tail"]), lang
+
+
+def test_ngram_diversity_separates_templated_from_varied(spark):
+    """distinct-n exists to flag templated/synthetic collapse: a
+    source of 10 identical docs must score far below a source of 10
+    all-different docs at every n, and every ratio is in (0, 1]."""
+    from sqlondataframesr_spark.llm import diversity as D
+
+    rows = [(i, "the same template every time", "dup", 1) for i in range(10)]
+    rows += [(100 + i, f"w{i}a w{i}b w{i}c w{i}d w{i}e", "var", 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+    orig = D.load_table
+    try:
+        D.load_table = lambda sp, sf, name: df
+        got = {(r.source, r.n): r for r in D.corpus_ngram_diversity(spark, "_p").collect()}
+    finally:
+        D.load_table = orig
+    for n in D.DIVERSITY_NS:
+        dup, var = got[("dup", n)], got[("var", n)]
+        assert 0 < dup.diversity <= 1 and 0 < var.diversity <= 1
+        assert var.diversity > dup.diversity
+        assert dup.distinct_ngrams <= dup.total_ngrams
+    assert got[("var", 1)].diversity == 1.0  # all 50 tokens unique
+
+
+def test_zipf_slope_near_minus_one_on_planted_power_law(spark):
+    """A corpus whose term frequencies follow freq(r) = N/r must fit a
+    slope near -1 — the sanity anchor for the report's sign and
+    magnitude conventions."""
+    from sqlondataframesr_spark.llm import diversity as D
+
+    words = []
+    for r in range(1, 51):
+        words += [f"t{r:03d}"] * max(1, round(600 / r))
+    # spread the bag over docs (content split is irrelevant to freq)
+    rows = [(i, " ".join(words[i::20]), "s", 1) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+    orig = D.load_table
+    try:
+        D.load_table = lambda sp, sf, name: df
+        row = D.corpus_zipf_slope(spark, "_p").collect()[0]
+    finally:
+        D.load_table = orig
+    assert row.n_terms == 50
+    assert -1.15 < row.slope < -0.85, row.slope
+
+
+def test_source_overlap_disjoint_vs_identical(spark):
+    """Disjoint-vocab sources must produce NO pair row; two sources
+    with the same shingle set must hit overlap_coef 1.0."""
+    from sqlondataframesr_spark.llm import diversity as D
+
+    rows = [
+        (1, "alpha beta gamma delta", "s1", 1),
+        (2, "alpha beta gamma delta", "s2", 1),   # same shingles as s1
+        (3, "omega psi chi phi", "s3", 1),        # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+    import sqlondataframesr_spark.llm.dedup as dd
+
+    orig_div, orig_dd = D.load_table, dd.load_table
+    try:
+        D.load_table = lambda sp, sf, name: df
+        got = {(r.source_a, r.source_b): r.overlap_coef
+               for r in D.corpus_source_overlap(spark, "_p").collect()}
+    finally:
+        D.load_table, dd.load_table = orig_div, orig_dd
+    assert got == {("s1", "s2"): 1.0}

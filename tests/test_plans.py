@@ -490,3 +490,29 @@ def test_bigram_lm_total_is_broadcast_no_cartesian(spark, sf_dir):
     a = _audit(spark, sf_dir, "lm_bigram_logprob")
     assert not a.has_cartesian
     assert "BroadcastExchange" in a.text
+
+
+def test_source_overlap_has_no_self_join(spark, sf_dir):
+    """corpus_source_overlap folds the corpus to shingle-keyed posting
+    sets and expands pairs LOCALLY (in-row transform) — the plan must
+    contain NO sort-merge/shuffled-hash join at all (the self-join
+    formulation measured 3-4x slower); the tiny sizes join back is
+    broadcast, and nothing is cartesian."""
+    a = _audit(spark, sf_dir, "corpus_source_overlap")
+    assert not a.has_cartesian
+    assert "SortMergeJoin" not in a.text and "ShuffledHashJoin" not in a.text
+    assert "BroadcastExchange" in a.text
+
+
+def test_zipf_topk_cut_is_fused_not_global_sort(spark, sf_dir):
+    """corpus_zipf_slope's top-K cut must run as TakeOrderedAndProject
+    (distributed heap), never a materialized global sort of the
+    vocabulary."""
+    a = _audit(spark, sf_dir, "corpus_zipf_slope")
+    assert a.has_fused_topk or "TakeOrderedAndProject" in a.text
+    assert not a.has_cartesian
+
+
+def test_ngram_diversity_two_keyed_aggs_no_cartesian(spark, sf_dir):
+    a = _audit(spark, sf_dir, "corpus_ngram_diversity")
+    assert not a.has_cartesian
