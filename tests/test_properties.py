@@ -229,3 +229,69 @@ def test_keep_best_is_order_invariant(spark, texts):
     a = [tuple(r) for r in run(base).collect()]
     b = [tuple(r) for r in run(shuffled).collect()]
     assert a == b
+
+
+@given(texts=TEXTS)
+@_SETTINGS
+def test_bigram_lm_is_input_order_invariant(spark, texts):
+    """For ANY corpus: the bigram-LM score is exact BIGINT micro-nat
+    arithmetic, so row order / partitioning of the input must not move
+    a single score (the float-accumulation failure this design
+    exists to rule out)."""
+    from sqlondataframesr_spark.llm import lm
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    a = spark.createDataFrame(rows, "doc_id long, text string")
+    b = spark.createDataFrame(rows[::-1], "doc_id long, text string").repartition(7)
+    orig = lm.load_table
+    try:
+        lm.load_table = lambda sp, sf, name: a
+        ra = lm.lm_bigram_logprob(spark, "_p")
+        ra_rows = ra.collect()
+        lm.load_table = lambda sp, sf, name: b
+        rb = lm.lm_bigram_logprob(spark, "_p")
+        assert not compare_frames(ra, rb)
+    finally:
+        lm.load_table = orig
+    assert len(ra_rows) == len(rows)
+
+
+@given(texts=TEXTS)
+@_SETTINGS
+def test_source_overlap_matches_python_set_model(spark, texts):
+    """For ANY corpus: the postings-expansion overlap must equal the
+    naive Python set model (shared distinct 3-shingles per source
+    pair, coefficient over the smaller set)."""
+    from sqlondataframesr_spark.llm import diversity as D
+
+    rows = [(i, t, f"s{i % 3}", 1) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    orig = D.load_table
+    try:
+        D.load_table = lambda sp, sf, name: df
+        got = {
+            (r.source_a, r.source_b): (r.n_shared, r.overlap_coef)
+            for r in D.corpus_source_overlap(spark, "_p").collect()
+        }
+    finally:
+        D.load_table = orig
+
+    sets: dict = {}
+    for _, t, src, _n in rows:
+        w = t.split(" ")
+        sets.setdefault(src, set()).update(
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        )
+    want = {}
+    srcs = sorted(sets)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            shared = len(sets[sa] & sets[sb])
+            if shared:
+                want[(sa, sb)] = (
+                    shared,
+                    round(shared / min(len(sets[sa]), len(sets[sb])), 6),
+                )
+    assert got == want
