@@ -32,7 +32,7 @@ from .llm import (
 )
 from .multimodal import media
 from .sources import binary as sources_binary
-from .operators import aggmerge, asof, graph, grouped, rangejoin, salt, udtf
+from .operators import aggmerge, asof, graph, grouped, hypertable, rangejoin, salt, udtf
 from .queries import extensions, quality, reference, stackexchange, tpch_shapes
 from .streaming import dedup_sink as streaming_dedup_sink
 from .streaming import windows as streaming_windows
@@ -72,6 +72,7 @@ _MODULES = [
     aggmerge,
     asof,
     graph,
+    hypertable,
     rangejoin,
     salt,
     udtf,

@@ -188,3 +188,57 @@ def test_pagerank_rank_properties(spark, sf_dir):
     assert graph._SCALE_US * 0.98 <= total <= graph._SCALE_US
     keys = [(-r["rank_us"], r["nation"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_hypertable_rollup_equals_full_recompute(spark, sf_dir):
+    """The continuous-aggregate invariant: materialized chunks ∪ raw
+    tail must equal a full recompute over all events, value for
+    value — and both serving paths must actually appear."""
+    from pyspark.sql import functions as F
+
+    from sqlondataframesr_spark.catalog import load_table
+    from sqlondataframesr_spark.check import compare_frames
+    from sqlondataframesr_spark.operators import hypertable as H
+
+    got = H.evt_hypertable_rollup(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    split = H._split_day(spark, sf_dir)
+    full = (
+        H._rollup_frame(ev)
+        .select(
+            "bucket_day",
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(F.col("cents").cast("double") / F.lit(100.0), 2).alias("total_value"),
+            F.when(F.col("bucket_day") < F.lit(split), F.lit("materialized"))
+            .otherwise(F.lit("raw"))
+            .alias("served_from"),
+        )
+    )
+    assert not compare_frames(got, full)
+    served = {r.served_from for r in got.select("served_from").distinct().collect()}
+    assert served == {"materialized", "raw"}
+
+
+def test_hypertable_materialization_is_write_once_and_keyed_on_inputs(spark, sf_dir, tmp_path):
+    """The rollup dir must be reused across calls (write-once) and its
+    key must roll when the events file changes (the stale-pinned-cache
+    hazard the r8 ADVICE flagged for load_se)."""
+    import os
+    import shutil
+
+    from sqlondataframesr_spark.operators import hypertable as H
+
+    d1, _ = H._materialize(spark, sf_dir)
+    m1 = os.stat(d1).st_mtime_ns
+    d2, _ = H._materialize(spark, sf_dir)
+    assert d2 == d1 and os.stat(d1).st_mtime_ns == m1  # no rewrite
+
+    # same data at a fresh path -> different key; touching the file -> another
+    alt = tmp_path / "alt_sf"
+    alt.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), alt / "events.parquet")
+    k1 = H._mat_dir(str(alt))
+    os.utime(alt / "events.parquet", ns=(1, 1))
+    k2 = H._mat_dir(str(alt))
+    assert k1 != H._mat_dir(sf_dir) and k2 != k1

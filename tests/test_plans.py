@@ -516,3 +516,16 @@ def test_zipf_topk_cut_is_fused_not_global_sort(spark, sf_dir):
 def test_ngram_diversity_two_keyed_aggs_no_cartesian(spark, sf_dir):
     a = _audit(spark, sf_dir, "corpus_ngram_diversity")
     assert not a.has_cartesian
+
+
+def test_hypertable_tail_scan_pushes_ts_range(spark, sf_dir):
+    """evt_hypertable_rollup's raw side must push the ts >= watermark
+    range into the events scan (bucket-function comparisons would not
+    push; at a date-partitioned layout this predicate IS the partition
+    prune), and nothing is cartesian (the 1-row watermark is resolved
+    driver-side)."""
+    a = _audit(spark, sf_dir, "evt_hypertable_rollup")
+    assert not a.has_cartesian
+    assert any("GreaterThanOrEqual(ts" in f for f in a.pushed_filters) or (
+        "GreaterThanOrEqual(ts" in a.text
+    )
