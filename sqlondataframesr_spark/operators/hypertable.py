@@ -59,11 +59,15 @@ def _rollup_frame(ev: DataFrame) -> DataFrame:
 
 
 def _split_day(spark: SparkSession, sf_dir: str):
-    """Materialization watermark: first day of the raw tail."""
+    """Materialization watermark: first day of the raw tail; None for
+    an EMPTY hypertable (max(ts) is NULL) — callers emit the empty
+    view instead of crashing on a degenerate corpus."""
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
     import datetime as dt
 
+    if mx is None:
+        return None
     return (mx.date() - dt.timedelta(days=RAW_TAIL_DAYS - 1))
 
 
@@ -84,11 +88,14 @@ def _mat_dir(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"sqlondataframesr_hyper_{ver}")
 
 
-def _materialize(spark: SparkSession, sf_dir: str) -> tuple[str, "object"]:
+def _materialize(spark: SparkSession, sf_dir: str, split=None) -> tuple[str, "object"]:
     """Write (once, atomically) the pre-watermark daily rollup."""
     import datetime as dt
 
-    split = _split_day(spark, sf_dir)
+    if split is None:
+        split = _split_day(spark, sf_dir)
+    if split is None:
+        raise ValueError("empty events hypertable - nothing to materialize")
     # filter on RAW ts (bucket < split  <=>  ts < split 00:00) so the
     # predicate pushes into the parquet scan / prunes date partitions —
     # a to_date(date_trunc(ts)) comparison would not
@@ -127,7 +134,22 @@ def evt_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import datetime as dt
 
-    d, split = _materialize(spark, sf_dir)
+    ev0 = load_table(spark, sf_dir, "events")
+    split_probe = _split_day(spark, sf_dir)
+    if split_probe is None:  # empty hypertable: the view is empty too
+        return (
+            _rollup_frame(ev0)
+            .select(
+                "bucket_day",
+                "event_type",
+                F.col("n_events").cast("long").alias("n_events"),
+                F.round(F.col("cents").cast("double") / F.lit(100.0), 2).alias(
+                    "total_value"
+                ),
+                F.lit("raw").alias("served_from"),
+            )
+        )
+    d, split = _materialize(spark, sf_dir, split=split_probe)
     split_ts = dt.datetime.combine(split, dt.time.min)
     mat = spark.read.parquet(d).withColumn("served_from", F.lit("materialized"))
     ev = load_table(spark, sf_dir, "events")
