@@ -91,6 +91,10 @@ def graph_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n = nodes.count()  # bounded by the nation dim (25), not the corpus
+    if n == 0:  # empty graph (no trade rows): the ranking is empty too
+        return nodes.select(
+            "nation", F.lit(0).cast("long").alias("rank_us")
+        ).orderBy(F.col("rank_us").desc(), F.col("nation").asc())
     base_us = (100 - _DAMP_PCT) * _SCALE_US // (100 * n)
 
     out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
