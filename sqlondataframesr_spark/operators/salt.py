@@ -102,3 +102,82 @@ FROM events GROUP BY event_type ORDER BY event_type
 QUERIES = {"evt_distinct_users_2phase": evt_distinct_users_2phase}
 ORACLES = {"evt_distinct_users_2phase": EVT_DISTINCT_USERS_2PHASE_ORACLE}
 SPARK_SQL = {"evt_distinct_users_2phase": EVT_DISTINCT_USERS_2PHASE_ORACLE}
+
+
+#: a key is flagged skewed when it holds more than this share of the
+#: table, in parts-per-million (2000 ppm = 0.2%: on a 32-partition
+#: shuffle of a uniform table each partition holds ~31250 ppm, so a
+#: single KEY at 2000+ ppm is already a visible partition-imbalance
+#: contributor; production tunes this to cluster size)
+SKEW_PPM_THRESHOLD = 2000
+#: heaviest keys reported
+SKEW_TOP_K = 20
+
+
+def skew_key_report(spark, sf_dir: str) -> DataFrame:
+    """The diagnostic you run BEFORE reaching for salted_join: the
+    heaviest join keys of the events fact table (user_id — the
+    bot-user/default-value hazard), with exact parts-per-million
+    shares and the skew flag.
+
+    Output: (user_id, cnt, share_ppm, skewed) — top SKEW_TOP_K keys by
+    count, ties to the smaller key. share_ppm is exact integer
+    arithmetic (cnt * 1e6 div total), so the flag is reproducible
+    across engines and runs.
+
+    Scale: one map-side-combined groupBy reduces the fact table to its
+    key cardinality; the 1-row total is a broadcast; the top-K cut is
+    sort+limit (TakeOrderedAndProject — no global sort materializes).
+    The report's cost is the cost of ONE aggregate over the join key —
+    run it once per ingest, feed the flagged keys to salted_join (or
+    let AQE skew-split when the imbalance is milder).
+    """
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "user_id",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("cnt * 1000000L div total").cast("long").alias("share_ppm"),
+        )
+        .withColumn("skewed", F.col("share_ppm") > SKEW_PPM_THRESHOLD)
+        .orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+        .limit(SKEW_TOP_K)
+    )
+
+
+SKEW_KEY_REPORT_ORACLE = f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+),
+tot AS (SELECT SUM(cnt) AS total FROM counts)
+SELECT user_id,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+       (cnt * 1000000 // total) > {SKEW_PPM_THRESHOLD} AS skewed
+FROM counts CROSS JOIN tot
+ORDER BY cnt DESC, user_id ASC
+LIMIT {SKEW_TOP_K}
+"""
+
+SKEW_KEY_REPORT_SPARK_SQL = f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+),
+tot AS (SELECT SUM(cnt) AS total FROM counts)
+SELECT user_id,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 1000000L div total AS BIGINT) AS share_ppm,
+       (cnt * 1000000L div total) > {SKEW_PPM_THRESHOLD} AS skewed
+FROM counts CROSS JOIN tot
+ORDER BY cnt DESC, user_id ASC
+LIMIT {SKEW_TOP_K}
+"""
+
+QUERIES["skew_key_report"] = skew_key_report
+ORACLES["skew_key_report"] = SKEW_KEY_REPORT_ORACLE
+SPARK_SQL["skew_key_report"] = SKEW_KEY_REPORT_SPARK_SQL

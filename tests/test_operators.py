@@ -242,3 +242,32 @@ def test_hypertable_materialization_is_write_once_and_keyed_on_inputs(spark, sf_
     os.utime(alt / "events.parquet", ns=(1, 1))
     k2 = H._mat_dir(str(alt))
     assert k1 != H._mat_dir(sf_dir) and k2 != k1
+
+
+def test_skew_report_flags_planted_bot_user(spark, tmp_path):
+    """A planted bot key holding half the table must be flagged; the
+    uniform long tail must not."""
+    import datetime as dt
+
+    from sqlondataframesr_spark.operators import salt as S
+
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 28), 999, "click", 1.0, "{}")
+            for i in range(500)]                    # bot user: 50%
+    rows += [(1000 + i, dt.datetime(2024, 1, 1 + i % 28), i, "view", 1.0, "{}")
+             for i in range(500)]                   # 500 singleton users
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import sqlondataframesr_spark.catalog as C
+
+    key = (spark.sparkContext.applicationId, str(tmp_path), "events")
+    C._table_cache[key] = df
+    try:
+        rep = {r.user_id: r for r in S.skew_key_report(spark, str(tmp_path)).collect()}
+    finally:
+        C._table_cache.pop(key, None)
+    assert rep[999].skewed and rep[999].share_ppm == 500000
+    others = [r for uid, r in rep.items() if uid != 999]
+    assert others and all(not r.skewed for r in others)

@@ -529,3 +529,12 @@ def test_hypertable_tail_scan_pushes_ts_range(spark, sf_dir):
     assert any("GreaterThanOrEqual(ts" in f for f in a.pushed_filters) or (
         "GreaterThanOrEqual(ts" in a.text
     )
+
+
+def test_skew_report_is_one_agg_with_fused_topk(spark, sf_dir):
+    """skew_key_report must be a single keyed aggregate + broadcast
+    1-row total + fused top-K — never a global sort of the key space
+    (the report must stay cheap enough to run per ingest)."""
+    a = _audit(spark, sf_dir, "skew_key_report")
+    assert a.has_fused_topk or "TakeOrderedAndProject" in a.text
+    assert not a.has_cartesian or "BroadcastNestedLoopJoin" in a.text
