@@ -1,0 +1,230 @@
+"""Batch sessionization over ``events``: gap-based session assignment
+with one shuffle, plus the two reports an analytics team reads off it.
+
+North-star extension (no reference counterpart — RDataFramesSQL.Rmd is
+one-shot batch SQL over a static dump): the BATCH twin of the
+streaming session windows in ``streaming/windows.py``. A "session" is
+a maximal run of one user's events where consecutive gaps are
+<= :data:`SESSION_GAP_S`; the classic lag-flag-cumsum assignment
+(standard technique, e.g. the sessionization examples in the public
+Spark docs and every SQL analytics text).
+
+Scale design (100 TB): session assignment is ONE shuffle keyed by
+``user_id``. Both window functions (lag for the gap flag, running sum
+for the session ordinal) and the per-session groupBy reuse that same
+hash partitioning — ``HashPartitioning(user_id)`` satisfies the
+clustered distribution required by ``GROUP BY (user_id, session_id)``,
+so Catalyst inserts NO second exchange (pinned in
+tests/test_plans.py). The per-session table never materializes
+globally: both registered reports aggregate it straight down to
+(histogram buckets | top-k via TakeOrderedAndProject). Skewed users
+(bots) are the known hazard; ``operators/salt.skew_key_report`` is the
+companion diagnostic, and AQE skew handling covers the shuffle — the
+within-user window itself is inherently per-key sequential (same
+contract as any engine's sessionization).
+
+Determinism: gaps and durations are integer MICROSECONDS end to end
+(``unix_micros`` on Spark, ``epoch_us`` on DuckDB — both exact
+bigints; ``unix_timestamp`` would floor to seconds and diverge).
+Event-time ties within a user break on ``event_id``. The float
+``value`` column is summed in integer micro-units (the BM25
+order-invariance discipline), never as floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+
+#: maximal intra-session gap, seconds. The synthetic events stream has
+#: a ~7 h median inter-event gap per user (sf0.01), so 4 h yields a
+#: real mix of singleton and multi-event sessions rather than one
+#: session per user (24 h) or all singletons (30 min).
+SESSION_GAP_S = 4 * 3600
+_GAP_US = SESSION_GAP_S * 1_000_000
+
+#: top-k for the per-session leaderboard report
+TOP_SESSIONS_K = 15
+
+_VAL_MICRO = "cast(round(round(value, 6) * 1000000.0) as bigint)"
+
+
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session stats: (user_id, session_id, session_start,
+    session_end, n_events, duration_s, total_value).
+
+    session_id is the per-user 1-based ordinal of the session in time
+    order — deterministic given the (ts, event_id) sort.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.expr(_VAL_MICRO).alias("v_micro")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("t_us", F.unix_micros("ts")).withColumn(
+        "new_session",
+        F.when(
+            F.col("t_us") - F.lag("t_us").over(w) <= F.lit(_GAP_US), F.lit(0)
+        ).otherwise(F.lit(1)),  # first event per user: lag NULL -> 1
+    )
+    assigned = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return assigned.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round((F.max("t_us") - F.min("t_us")) / F.lit(1_000_000.0), 6).alias(
+            "duration_s"
+        ),
+        F.round(F.sum("v_micro") / F.lit(1_000_000.0), 6).alias("total_value"),
+    )
+
+
+def evt_sessionize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-size profile: (n_events, n_sessions, avg_duration_s,
+    max_duration_s) per session size, ascending.
+
+    The histogram an analyst checks first: how sticky are sessions,
+    and does the gap threshold produce a sane size distribution.
+    Output is bounded by the largest session size, not data volume.
+    """
+    s = _sessions(spark, sf_dir)
+    return (
+        s.groupBy("n_events")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            # duration_s is micro-exact (6dp multiple); avg over exact
+            # micro-units keeps the mean order-invariant
+            F.round(
+                F.sum(F.expr("cast(round(duration_s * 1000000.0) as bigint)"))
+                / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+                6,
+            ).alias("avg_duration_s"),
+            F.max("duration_s").alias("max_duration_s"),
+        )
+        .orderBy("n_events")
+    )
+
+
+def evt_sessionize_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-:data:`TOP_SESSIONS_K` sessions by event count (ties:
+    longer duration, then user_id, then session_id — total order).
+
+    Scale: TakeOrderedAndProject over the per-session aggregate — the
+    top-k never globally sorts the session table.
+    """
+    s = _sessions(spark, sf_dir)
+    return (
+        s.select(
+            "user_id",
+            "session_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            "duration_s",
+            "total_value",
+        )
+        .orderBy(
+            F.col("n_events").desc(),
+            F.col("duration_s").desc(),
+            F.col("user_id").asc(),
+            F.col("session_id").asc(),
+        )
+        .limit(TOP_SESSIONS_K)
+    )
+
+
+_SESSIONS_DUCK = f"""
+  WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CAST(round(round(value, 6) * 1000000.0) AS BIGINT) AS v_micro,
+           epoch_us(ts) AS t_us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) <= {_GAP_US}
+                THEN 0 ELSE 1 END AS new_session
+    FROM events
+  ),
+  assigned AS (
+    SELECT *, SUM(new_session) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+  ),
+  sess AS (
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND((MAX(t_us) - MIN(t_us)) / CAST(1000000 AS DOUBLE), 6) AS duration_s,
+           ROUND(SUM(v_micro) / CAST(1000000 AS DOUBLE), 6) AS total_value
+    FROM assigned GROUP BY user_id, session_id
+  )
+"""
+
+_SESSIONS_SPARK = f"""
+  WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CAST(round(round(value, 6) * 1000000.0) AS BIGINT) AS v_micro,
+           unix_micros(ts) AS t_us,
+           CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) <= {_GAP_US}
+                THEN 0 ELSE 1 END AS new_session
+    FROM events
+  ),
+  assigned AS (
+    SELECT *, SUM(new_session) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+  ),
+  sess AS (
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND((MAX(t_us) - MIN(t_us)) / CAST(1000000 AS DOUBLE), 6) AS duration_s,
+           ROUND(SUM(v_micro) / CAST(1000000 AS DOUBLE), 6) AS total_value
+    FROM assigned GROUP BY user_id, session_id
+  )
+"""
+
+_PROFILE_BODY = """
+  SELECT n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         ROUND(SUM(CAST(round(duration_s * 1000000.0) AS BIGINT))
+               / (COUNT(*) * CAST(1000000 AS DOUBLE)), 6) AS avg_duration_s,
+         MAX(duration_s) AS max_duration_s
+  FROM sess GROUP BY n_events ORDER BY n_events
+"""
+
+EVT_SESSIONIZE_PROFILE_ORACLE = _SESSIONS_DUCK + _PROFILE_BODY
+EVT_SESSIONIZE_PROFILE_SPARK_SQL = _SESSIONS_SPARK + _PROFILE_BODY
+
+_TOP_BODY = f"""
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         session_start, session_end, n_events, duration_s, total_value
+  FROM sess
+  ORDER BY n_events DESC, duration_s DESC, user_id ASC, session_id ASC
+  LIMIT {TOP_SESSIONS_K}
+"""
+
+EVT_SESSIONIZE_TOP_ORACLE = _SESSIONS_DUCK + _TOP_BODY
+EVT_SESSIONIZE_TOP_SPARK_SQL = _SESSIONS_SPARK + _TOP_BODY
+
+
+QUERIES = {
+    "evt_sessionize_profile": evt_sessionize_profile,
+    "evt_sessionize_top": evt_sessionize_top,
+}
+
+ORACLES = {
+    "evt_sessionize_profile": EVT_SESSIONIZE_PROFILE_ORACLE,
+    "evt_sessionize_top": EVT_SESSIONIZE_TOP_ORACLE,
+}
+
+SPARK_SQL = {
+    "evt_sessionize_profile": EVT_SESSIONIZE_PROFILE_SPARK_SQL,
+    "evt_sessionize_top": EVT_SESSIONIZE_TOP_SPARK_SQL,
+}

@@ -32,7 +32,17 @@ from .llm import (
 )
 from .multimodal import media
 from .sources import binary as sources_binary
-from .operators import aggmerge, asof, graph, grouped, hypertable, rangejoin, salt, udtf
+from .operators import (
+    aggmerge,
+    asof,
+    graph,
+    grouped,
+    hypertable,
+    rangejoin,
+    salt,
+    sessionize,
+    udtf,
+)
 from .queries import extensions, quality, reference, stackexchange, tpch_shapes
 from .streaming import dedup_sink as streaming_dedup_sink
 from .streaming import windows as streaming_windows
@@ -75,6 +85,7 @@ _MODULES = [
     hypertable,
     rangejoin,
     salt,
+    sessionize,
     udtf,
 ]
 

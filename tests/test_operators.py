@@ -271,3 +271,75 @@ def test_skew_report_flags_planted_bot_user(spark, tmp_path):
     assert rep[999].skewed and rep[999].share_ppm == 500000
     others = [r for uid, r in rep.items() if uid != 999]
     assert others and all(not r.skewed for r in others)
+
+
+def test_sessionize_splits_exactly_at_gap(spark, tmp_path):
+    """Designed stream: one user with gaps [1h, 4h(=boundary, kept),
+    4h+1us (split), 1h] -> sessions of sizes [3, 2]; a second user with
+    a single event -> singleton. Boundary semantics: gap <= SESSION_GAP
+    stays inside the session (the <= is part of the contract)."""
+    import datetime as dt
+
+    from sqlondataframesr_spark.operators import sessionize as SZ
+    import sqlondataframesr_spark.catalog as C
+
+    t0 = dt.datetime(2024, 3, 1)
+    h = dt.timedelta(hours=1)
+    us = dt.timedelta(microseconds=1)
+    ts = [t0, t0 + h, t0 + 5 * h,                       # gaps 1h, 4h -> one session
+          t0 + 9 * h + us, t0 + 10 * h + us]            # gap 4h+1us -> new session
+    rows = [(i, ts[i], 1, "click", 1.0, "{}") for i in range(5)]
+    rows.append((99, t0, 2, "view", 2.5, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    key = (spark.sparkContext.applicationId, str(tmp_path), "events")
+    C._table_cache[key] = df
+    try:
+        sess = sorted(
+            SZ._sessions(spark, str(tmp_path)).collect(),
+            key=lambda r: (r.user_id, r.session_id),
+        )
+    finally:
+        C._table_cache.pop(key, None)
+    assert [(r.user_id, r.session_id, r.n_events) for r in sess] == [
+        (1, 1, 3), (1, 2, 2), (2, 1, 1)]
+    s1 = sess[0]
+    assert s1.session_start == t0 and s1.session_end == t0 + 5 * h
+    assert s1.duration_s == 5 * 3600.0 and s1.total_value == 3.0
+    assert sess[2].duration_s == 0.0  # singleton session
+
+
+def test_sessionize_real_data_invariants(spark, sf_dir):
+    """On the synthetic events stream: session sizes from the profile
+    must sum to the event count, and the top sessions must all contain
+    >= 2 events (the gap threshold is tuned to produce real sessions,
+    not all singletons)."""
+    from sqlondataframesr_spark.catalog import load_table
+    from sqlondataframesr_spark.operators import sessionize as SZ
+
+    prof = SZ.evt_sessionize_profile(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events * r.n_sessions for r in prof) == n_events
+    assert any(r.n_events >= 2 for r in prof), "gap threshold too tight"
+    top = SZ.evt_sessionize_top(spark, sf_dir).collect()
+    assert top and top[0].n_events >= 2
+    # leaderboard is totally ordered by the documented key
+    keys = [(-r.n_events, -r.duration_s, r.user_id, r.session_id) for r in top]
+    assert keys == sorted(keys)
+
+
+def test_sessionize_groupby_reuses_window_partitioning(spark, sf_dir):
+    """The 100 TB contract: session assignment + per-session rollup is
+    ONE hash exchange (HashPartitioning(user_id) satisfies the
+    (user_id, session_id) clustered distribution); the leaderboard is
+    fused top-k, never a global sort."""
+    from sqlondataframesr_spark.operators import sessionize as SZ
+    from sqlondataframesr_spark.plans.audit import audit
+
+    top = audit(SZ.evt_sessionize_top(spark, sf_dir)).text
+    assert top.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in top
+    assert "Exchange rangepartitioning" not in top
