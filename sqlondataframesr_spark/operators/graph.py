@@ -172,6 +172,100 @@ GRAPH_NATION_PAGERANK_ORACLE = _pagerank_sql(25)
 #: Spark SQL uses `div` for integer division where DuckDB uses `//`
 GRAPH_NATION_PAGERANK_SPARK_SQL = _pagerank_sql(25).replace("//", "div")
 
-QUERIES = {"graph_nation_pagerank": graph_nation_pagerank}
-ORACLES = {"graph_nation_pagerank": GRAPH_NATION_PAGERANK_ORACLE}
-SPARK_SQL = {"graph_nation_pagerank": GRAPH_NATION_PAGERANK_SPARK_SQL}
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle participation over the undirected nation
+    trade graph (motif counting — the classic clustering primitive).
+
+    Same two-level split as PageRank: the DISTILL pass (corpus-sized
+    joins down to <= 25x25 edges) carries all the bytes; the triangle
+    enumeration then runs on a dimension-bounded graph, so the two
+    self-joins are broadcast-sized BY CONSTRUCTION. Triangles are
+    enumerated once each via the canonical ordering a < b < c
+    (undirected edges stored with a < b, so the (a,b)x(b,c)x(a,c)
+    join cannot double-count). Self-loops (domestic trade) are
+    excluded — a triangle is three distinct nations.
+
+    Output: (nation, n_triangles) for every trading nation, zeros
+    included, ordered by (n_triangles desc, nation asc).
+    """
+    edges = _trade_edges(spark, sf_dir).select("src", "dst")
+    und = materialize(
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    nodes = und.select(F.col("a").alias("nation")).union(
+        und.select("b")
+    ).distinct()
+    parts = (
+        tri.select(F.col("x").alias("nation"))
+        .unionAll(tri.select("y"))
+        .unionAll(tri.select("z"))
+    )
+    return (
+        nodes.join(parts.withColumn("one", F.lit(1)), "nation", "left")
+        .groupBy("nation")
+        .agg(F.count("one").cast("long").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), F.col("nation").asc())
+    )
+
+
+_EDGES_CTE = """
+  SELECT nc.n_name AS src, ns.n_name AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  GROUP BY nc.n_name, ns.n_name
+"""
+
+GRAPH_TRIANGLE_COUNT_ORACLE = f"""
+WITH edges AS ({_EDGES_CTE}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+nodes AS (SELECT DISTINCT a AS nation FROM und
+          UNION SELECT DISTINCT b FROM und),
+parts AS (SELECT x AS nation FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+SELECT n.nation AS nation, CAST(COUNT(p.nation) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN parts p ON p.nation = n.nation
+GROUP BY n.nation
+ORDER BY n_triangles DESC, n.nation ASC"""
+
+#: identical text runs on both engines (no div/// divergence here)
+GRAPH_TRIANGLE_COUNT_SPARK_SQL = GRAPH_TRIANGLE_COUNT_ORACLE
+
+QUERIES = {
+    "graph_nation_pagerank": graph_nation_pagerank,
+    "graph_triangle_count": graph_triangle_count,
+}
+ORACLES = {
+    "graph_nation_pagerank": GRAPH_NATION_PAGERANK_ORACLE,
+    "graph_triangle_count": GRAPH_TRIANGLE_COUNT_ORACLE,
+}
+SPARK_SQL = {
+    "graph_nation_pagerank": GRAPH_NATION_PAGERANK_SPARK_SQL,
+    "graph_triangle_count": GRAPH_TRIANGLE_COUNT_SPARK_SQL,
+}

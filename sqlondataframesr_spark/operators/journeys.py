@@ -1,0 +1,269 @@
+"""Customer-journey analytics over ``events`` and ``orders``: Markov
+transition matrix, RFM segmentation, and an append-only snapshot diff.
+
+North-star extensions (no reference counterpart — RDataFramesSQL.Rmd is
+six one-shot queries over a static Stack-Exchange dump): the three
+reports a growth/analytics team runs weekly on a 100 TB event store.
+
+Scale design:
+
+- ``evt_transition_matrix`` — ONE window shuffle keyed by ``user_id``
+  (the lag), then a partial-aggregating shuffle straight down to the
+  |event_types|^2 matrix (25 rows here; bounded by the type vocabulary,
+  never by data volume). The row-normalizing window runs ON the matrix,
+  so its exchange moves <= 25 rows.
+- ``cust_rfm_segments`` — recency/frequency/monetary reduce to ONE row
+  per customer in a single partial-aggregated shuffle (the fact table
+  is touched once); the exact-quintile ``ntile`` windows then run over
+  the customer-level aggregate. An unpartitioned ntile IS a
+  single-task sort — the honest price of EXACT quintiles, paid on the
+  dimension-sized aggregate (orders of magnitude below the fact
+  table), never on raw orders. The 100 TB relaxation is
+  ``percentile_approx`` breakpoints + a broadcast range join (same
+  trade documented at llm/lm.py:236 for the tercile gate); exact ntile
+  is kept here because it is the form an oracle can replay exactly.
+- ``orders_snapshot_diff`` — change-data-capture between the snapshot
+  at cutoff T1 and the current snapshot, FUSED into one conditional
+  aggregation pass (``sum(if(date < T1, cents, 0))`` vs ``sum(cents)``)
+  because both snapshots derive from one append-only table — no
+  self-join, no second scan. (The general two-source full-outer diff
+  shape is queries/extensions.py q25.) Top movers come out through
+  TakeOrderedAndProject, never a global sort.
+
+Determinism: money is integer CENTS, transition probabilities are
+integer PPM (``n * 1000000 div total`` — bigint division truncates
+identically in Spark and DuckDB for non-negative operands), and every
+window order key ends in a unique column, so both engines assign
+identical ntile buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+
+_CENTS = "cast(round(o_totalprice * 100) as bigint)"
+
+#: snapshot cutoff for the CDC diff — mid-corpus (orders span
+#: 1995-01-01 .. 2001-08-01 at every SF), so all three change classes
+#: (new / grown / flat) are populated
+SNAPSHOT_T1 = "1999-01-01 00:00:00"
+
+#: top movers emitted by the snapshot diff
+DIFF_TOP_K = 100
+
+#: RFM quantile buckets (classic quintiles, 1 = best)
+RFM_BUCKETS = 5
+
+
+def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix of event types: for each observed
+    (prev_type, next_type) pair of consecutive events of one user
+    (time order, ties on event_id), the transition count and the
+    row-normalized probability in integer ppm.
+
+    Output: (prev_type, next_type, n_transitions, prob_ppm) ordered by
+    (prev_type, next_type) — at most |event_types|^2 rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    counts = pairs.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    return (
+        counts.withColumn(
+            "prob_ppm",
+            # integer div, not float /: truncation is engine-portable
+            F.expr(
+                "n_transitions * 1000000L div "
+                "sum(n_transitions) over (partition by prev_type)"
+            ).cast("long"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+_TRANSITION_BODY = """
+  WITH pairs AS (
+    SELECT lag(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           event_type AS next_type
+    FROM events
+  ),
+  counts AS (
+    SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM pairs WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+  )
+  SELECT prev_type, next_type, n_transitions,
+         CAST(n_transitions * 1000000 {DIV}
+              SUM(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+           AS prob_ppm
+  FROM counts
+  ORDER BY prev_type, next_type
+"""
+
+EVT_TRANSITION_MATRIX_ORACLE = _TRANSITION_BODY.format(DIV="//")
+EVT_TRANSITION_MATRIX_SPARK_SQL = _TRANSITION_BODY.format(DIV="div")
+
+
+def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per (r_q, f_q, m_q) quintile cell (1 = best),
+    the customer count and total monetary value in cents.
+
+    Recency is days from the corpus max order date to the customer's
+    last order; frequency is order count; monetary is lifetime spend.
+    Output: (r_q, f_q, m_q, n_customers, monetary_c) ordered by the
+    three quintiles — at most 125 rows.
+    """
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("f_orders"),
+            F.expr(f"sum({_CENTS})").cast("long").alias("m_cents"),
+        )
+    )
+    ref = per_cust.agg(F.max("last_order").alias("ref_date"))
+    scored = per_cust.crossJoin(F.broadcast(ref)).withColumn(
+        "r_days", F.datediff("ref_date", "last_order").cast("long")
+    )
+    n = RFM_BUCKETS
+    r_w = Window.orderBy(F.col("r_days").asc(), F.col("o_custkey").asc())
+    f_w = Window.orderBy(F.col("f_orders").desc(), F.col("o_custkey").asc())
+    m_w = Window.orderBy(F.col("m_cents").desc(), F.col("o_custkey").asc())
+    quintiled = scored.select(
+        F.ntile(n).over(r_w).cast("long").alias("r_q"),
+        F.ntile(n).over(f_w).cast("long").alias("f_q"),
+        F.ntile(n).over(m_w).cast("long").alias("m_q"),
+        "m_cents",
+    )
+    return (
+        quintiled.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("m_cents").cast("long").alias("monetary_c"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+_RFM_BODY = f"""
+  WITH per_cust AS (
+    SELECT o_custkey, MAX(o_orderdate) AS last_order,
+           CAST(COUNT(*) AS BIGINT) AS f_orders,
+           CAST(SUM({_CENTS}) AS BIGINT) AS m_cents
+    FROM orders GROUP BY o_custkey
+  ),
+  scored AS (
+    SELECT o_custkey, f_orders, m_cents,
+           CAST({{DATEDIFF}} AS BIGINT) AS r_days
+    FROM per_cust, (SELECT MAX(last_order) AS ref_date FROM per_cust)
+  ),
+  quintiled AS (
+    SELECT CAST(NTILE({RFM_BUCKETS}) OVER
+             (ORDER BY r_days ASC, o_custkey ASC) AS BIGINT) AS r_q,
+           CAST(NTILE({RFM_BUCKETS}) OVER
+             (ORDER BY f_orders DESC, o_custkey ASC) AS BIGINT) AS f_q,
+           CAST(NTILE({RFM_BUCKETS}) OVER
+             (ORDER BY m_cents DESC, o_custkey ASC) AS BIGINT) AS m_q,
+           m_cents
+    FROM scored
+  )
+  SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(m_cents) AS BIGINT) AS monetary_c
+  FROM quintiled GROUP BY r_q, f_q, m_q
+  ORDER BY r_q, f_q, m_q
+"""
+
+CUST_RFM_SEGMENTS_ORACLE = _RFM_BODY.format(
+    DATEDIFF="date_diff('day', last_order, ref_date)"
+)
+CUST_RFM_SEGMENTS_SPARK_SQL = _RFM_BODY.format(
+    DATEDIFF="datediff(ref_date, last_order)"
+)
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff of per-customer spend between the order snapshot at
+    :data:`SNAPSHOT_T1` and the full (current) snapshot: the top
+    :data:`DIFF_TOP_K` movers by spend delta.
+
+    change_type: 'new' (first order after T1), 'grown' (spend
+    increased), 'flat' (no orders since T1). Output: (c_custkey,
+    spend_t1_c, spend_t2_c, delta_c, change_type) ordered by
+    (delta_c desc, c_custkey asc).
+    """
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.expr(
+                f"sum(if(o_orderdate < timestamp'{SNAPSHOT_T1}', {_CENTS}, 0L))"
+            )
+            .cast("long")
+            .alias("spend_t1_c"),
+            F.expr(f"sum({_CENTS})").cast("long").alias("spend_t2_c"),
+        )
+    )
+    return (
+        per.withColumn(
+            "delta_c", (F.col("spend_t2_c") - F.col("spend_t1_c")).cast("long")
+        )
+        .withColumn(
+            "change_type",
+            F.when(F.col("spend_t1_c") == 0, F.lit("new"))
+            .when(F.col("delta_c") > 0, F.lit("grown"))
+            .otherwise(F.lit("flat")),
+        )
+        .orderBy(F.col("delta_c").desc(), F.col("c_custkey").asc())
+        .limit(DIFF_TOP_K)
+    )
+
+
+_DIFF_BODY = f"""
+  WITH per AS (
+    SELECT o_custkey AS c_custkey,
+           CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{SNAPSHOT_T1}'
+                         THEN {_CENTS} ELSE 0 END) AS BIGINT) AS spend_t1_c,
+           CAST(SUM({_CENTS}) AS BIGINT) AS spend_t2_c
+    FROM orders GROUP BY o_custkey
+  )
+  SELECT c_custkey, spend_t1_c, spend_t2_c,
+         CAST(spend_t2_c - spend_t1_c AS BIGINT) AS delta_c,
+         CASE WHEN spend_t1_c = 0 THEN 'new'
+              WHEN spend_t2_c > spend_t1_c THEN 'grown'
+              ELSE 'flat' END AS change_type
+  FROM per
+  ORDER BY delta_c DESC, c_custkey ASC
+  LIMIT {DIFF_TOP_K}
+"""
+
+ORDERS_SNAPSHOT_DIFF_ORACLE = _DIFF_BODY
+ORDERS_SNAPSHOT_DIFF_SPARK_SQL = _DIFF_BODY
+
+
+QUERIES = {
+    "evt_transition_matrix": evt_transition_matrix,
+    "cust_rfm_segments": cust_rfm_segments,
+    "orders_snapshot_diff": orders_snapshot_diff,
+}
+
+ORACLES = {
+    "evt_transition_matrix": EVT_TRANSITION_MATRIX_ORACLE,
+    "cust_rfm_segments": CUST_RFM_SEGMENTS_ORACLE,
+    "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_ORACLE,
+}
+
+SPARK_SQL = {
+    "evt_transition_matrix": EVT_TRANSITION_MATRIX_SPARK_SQL,
+    "cust_rfm_segments": CUST_RFM_SEGMENTS_SPARK_SQL,
+    "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_SPARK_SQL,
+}

@@ -38,6 +38,7 @@ from .operators import (
     graph,
     grouped,
     hypertable,
+    journeys,
     rangejoin,
     salt,
     sessionize,
@@ -83,6 +84,7 @@ _MODULES = [
     asof,
     graph,
     hypertable,
+    journeys,
     rangejoin,
     salt,
     sessionize,

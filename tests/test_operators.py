@@ -343,3 +343,135 @@ def test_sessionize_groupby_reuses_window_partitioning(spark, sf_dir):
     assert top.count("Exchange hashpartitioning") == 1
     assert "TakeOrderedAndProject" in top
     assert "Exchange rangepartitioning" not in top
+
+
+def _inject(spark, tmp_path, table, df):
+    import sqlondataframesr_spark.catalog as C
+
+    key = (spark.sparkContext.applicationId, str(tmp_path), table)
+    C._table_cache[key] = df
+    return key
+
+
+def test_transition_matrix_designed_chain(spark, tmp_path):
+    """Two users: [click,view,view,purchase] and [click,view] ->
+    click->view twice (ppm=1000000 of click's row), view->view and
+    view->purchase once each (500000 ppm each). The first event of
+    each user contributes no transition."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import journeys as J
+
+    t0 = dt.datetime(2024, 3, 1)
+    m = dt.timedelta(minutes=1)
+    seq1 = ["click", "view", "view", "purchase"]
+    rows = [(i, t0 + i * m, 1, seq1[i], 1.0, "{}") for i in range(4)]
+    rows += [(10, t0, 2, "click", 1.0, "{}"), (11, t0 + m, 2, "view", 1.0, "{}")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    key = _inject(spark, tmp_path, "events", df)
+    try:
+        got = {
+            (r.prev_type, r.next_type): (r.n_transitions, r.prob_ppm)
+            for r in J.evt_transition_matrix(spark, str(tmp_path)).collect()
+        }
+    finally:
+        C._table_cache.pop(key, None)
+    assert got == {
+        ("click", "view"): (2, 1_000_000),
+        ("view", "view"): (1, 500_000),
+        ("view", "purchase"): (1, 500_000),
+    }
+
+
+def test_snapshot_diff_change_types(spark, tmp_path):
+    """Designed CDC cases: a customer with orders only before T1 is
+    'flat' (delta 0), before+after is 'grown', only after is 'new'."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import journeys as J
+
+    before = dt.datetime(1997, 6, 1)
+    after = dt.datetime(2000, 6, 1)
+    rows = [
+        (1, 100, "F", 10.00, before, "1-URGENT"),   # flat
+        (2, 200, "F", 10.00, before, "1-URGENT"),   # grown: +25.50
+        (3, 200, "O", 25.50, after, "1-URGENT"),
+        (4, 300, "O", 7.25, after, "1-URGENT"),     # new
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    key = _inject(spark, tmp_path, "orders", df)
+    try:
+        got = {
+            r.c_custkey: (r.spend_t1_c, r.spend_t2_c, r.delta_c, r.change_type)
+            for r in J.orders_snapshot_diff(spark, str(tmp_path)).collect()
+        }
+    finally:
+        C._table_cache.pop(key, None)
+    assert got == {
+        100: (1000, 1000, 0, "flat"),
+        200: (1000, 3550, 2550, "grown"),
+        300: (0, 725, 725, "new"),
+    }
+
+
+def test_rfm_segments_quintile_invariants(spark, sf_dir):
+    """ntile(5) must spread customers evenly (cell sums per axis differ
+    by <= 1 from N/5 rounding) and conserve both customer count and
+    total monetary cents."""
+    from collections import defaultdict
+
+    from sqlondataframesr_spark.catalog import load_table
+    from sqlondataframesr_spark.operators import journeys as J
+    from pyspark.sql import functions as F
+
+    cells = J.cust_rfm_segments(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    total_c = orders.select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("c")
+    ).agg(F.sum("c")).collect()[0][0]
+    assert sum(r.n_customers for r in cells) == n_cust
+    assert sum(r.monetary_c for r in cells) == total_c
+    for axis in ("r_q", "f_q", "m_q"):
+        per = defaultdict(int)
+        for r in cells:
+            per[r[axis]] += r.n_customers
+        assert set(per) == {1, 2, 3, 4, 5}
+        assert max(per.values()) - min(per.values()) <= 1
+
+
+def test_triangle_count_invariants(spark, sf_dir):
+    """Triangle participation: total is divisible by 3 (each triangle
+    counted at every corner), per-nation count bounded by C(24,2), and
+    the dense synthetic trade graph yields at least one triangle."""
+    from sqlondataframesr_spark.operators import graph as G
+    from sqlondataframesr_spark.plans.audit import audit
+
+    q = G.graph_triangle_count(spark, sf_dir)
+    rows = q.collect()
+    total = sum(r.n_triangles for r in rows)
+    assert total > 0 and total % 3 == 0
+    assert all(0 <= r.n_triangles <= 276 for r in rows)  # C(24,2)
+    assert not audit(q).has_cartesian
+
+
+def test_snapshot_diff_is_single_exchange_topk(spark, sf_dir):
+    """CDC diff contract: ONE hash exchange (the per-customer
+    aggregate), movers via fused top-k — never a global sort."""
+    from sqlondataframesr_spark.operators import journeys as J
+    from sqlondataframesr_spark.plans.audit import audit
+
+    a = audit(J.orders_snapshot_diff(spark, sf_dir))
+    assert a.n_exchanges == 1
+    assert a.has_fused_topk
+    assert "Exchange rangepartitioning" not in a.text
