@@ -250,20 +250,97 @@ ORDERS_SNAPSHOT_DIFF_ORACLE = _DIFF_BODY
 ORDERS_SNAPSHOT_DIFF_SPARK_SQL = _DIFF_BODY
 
 
+def evt_daily_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume anomalies per event type: days whose event count
+    exceeds 1.25x the type's daily mean ('spike') or falls below 0.8x
+    ('dip').
+
+    The thresholds are EXACT integer inequalities on the daily-count
+    aggregate — ``4*n*n_days > 5*total`` and ``5*n*n_days < 4*total``
+    — so no float mean/stddev ever enters the comparison (a z-score
+    variant would need (n*nd - S)^2 which overflows int64 once daily
+    counts reach ~1e9 at corpus scale; the ratio form stays in range
+    through ~2e9 events/day over a 10-year retention window).
+    Scale: one partial-aggregated shuffle to |types| x |days| rows;
+    the per-type stats window runs on that bounded aggregate.
+
+    Output: (event_type, day, n_events, mean_m, kind) — mean_m is the
+    type's daily mean in milli-events — ordered by (event_type, day).
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type")
+    stats = daily.withColumn("total", F.sum("n_events").over(w)).withColumn(
+        "n_days", F.count(F.lit(1)).over(w)
+    )
+    return (
+        stats.withColumn(
+            "kind",
+            F.when(
+                F.expr("4 * n_events * n_days > 5 * total"), F.lit("spike")
+            ).when(F.expr("5 * n_events * n_days < 4 * total"), F.lit("dip")),
+        )
+        .filter(F.col("kind").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.expr("total * 1000 div n_days").cast("long").alias("mean_m"),
+            "kind",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_SPIKES_BODY = """
+  WITH daily AS (
+    -- CAST pins the day to TIMESTAMP: DuckDB's date_trunc('day')
+    -- yields DATE where Spark's yields TIMESTAMP
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+  ),
+  stats AS (
+    SELECT event_type, day, n_events,
+           CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+             AS total,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+    FROM daily
+  )
+  SELECT event_type, day, n_events,
+         CAST(total * 1000 {DIV} n_days AS BIGINT) AS mean_m,
+         CASE WHEN 4 * n_events * n_days > 5 * total THEN 'spike'
+              ELSE 'dip' END AS kind
+  FROM stats
+  WHERE 4 * n_events * n_days > 5 * total
+     OR 5 * n_events * n_days < 4 * total
+  ORDER BY event_type, day
+"""
+
+EVT_DAILY_SPIKES_ORACLE = _SPIKES_BODY.format(DIV="//")
+EVT_DAILY_SPIKES_SPARK_SQL = _SPIKES_BODY.format(DIV="div")
+
+
 QUERIES = {
     "evt_transition_matrix": evt_transition_matrix,
     "cust_rfm_segments": cust_rfm_segments,
     "orders_snapshot_diff": orders_snapshot_diff,
+    "evt_daily_spikes": evt_daily_spikes,
 }
 
 ORACLES = {
     "evt_transition_matrix": EVT_TRANSITION_MATRIX_ORACLE,
     "cust_rfm_segments": CUST_RFM_SEGMENTS_ORACLE,
     "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_ORACLE,
+    "evt_daily_spikes": EVT_DAILY_SPIKES_ORACLE,
 }
 
 SPARK_SQL = {
     "evt_transition_matrix": EVT_TRANSITION_MATRIX_SPARK_SQL,
     "cust_rfm_segments": CUST_RFM_SEGMENTS_SPARK_SQL,
     "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_SPARK_SQL,
+    "evt_daily_spikes": EVT_DAILY_SPIKES_SPARK_SQL,
 }

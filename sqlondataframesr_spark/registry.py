@@ -33,6 +33,7 @@ from .llm import (
 from .multimodal import media
 from .sources import binary as sources_binary
 from .operators import (
+    affinity,
     aggmerge,
     asof,
     graph,
@@ -49,6 +50,7 @@ from .streaming import dedup_sink as streaming_dedup_sink
 from .streaming import windows as streaming_windows
 
 _MODULES = [
+    affinity,
     reference,
     extensions,
     stackexchange,

@@ -475,3 +475,102 @@ def test_snapshot_diff_is_single_exchange_topk(spark, sf_dir):
     assert a.n_exchanges == 1
     assert a.has_fused_topk
     assert "Exchange rangepartitioning" not in a.text
+
+
+def test_daily_spikes_designed_thresholds(spark, tmp_path):
+    """10 days at 100 events + one 126-event day (>1.25x mean) + one
+    74-event day (<0.8x mean): exactly those two days flag, and the
+    integer thresholds sit exactly at the contract boundary (a
+    125-event day over a 100-mean stream would NOT flag)."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import journeys as J
+
+    t0 = dt.datetime(2024, 3, 1)
+    day = dt.timedelta(days=1)
+    sec = dt.timedelta(seconds=1)
+    counts = [100] * 10 + [126, 74]  # mean = 100 exactly (1200/12)
+    rows, eid = [], 0
+    for d, n in enumerate(counts):
+        for i in range(n):
+            rows.append((eid, t0 + d * day + i * sec, 1, "click", 1.0, "{}"))
+            eid += 1
+    # second type with a boundary-exact day: 125 over mean 100 -> no flag
+    counts2 = [100] * 11 + [125]
+    for d, n in enumerate(counts2):
+        for i in range(n):
+            rows.append((eid, t0 + d * day + i * sec, 2, "view", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    key = _inject(spark, tmp_path, "events", df)
+    try:
+        got = [
+            (r.event_type, r.day.day, r.n_events, r.mean_m, r.kind)
+            for r in J.evt_daily_spikes(spark, str(tmp_path)).collect()
+        ]
+    finally:
+        import sqlondataframesr_spark.catalog as C2
+
+        C2._table_cache.pop(key, None)
+    assert got == [
+        ("click", 11, 126, 100_000, "spike"),
+        ("click", 12, 74, 100_000, "dip"),
+    ]
+    # 'view' never appears: 125 == 1.25 * mean is NOT a spike (strict >)
+    # and mean here is 102083 milli-events, so the boundary is implicit
+    assert all(t != "view" for t, *_ in got)
+
+
+def test_basket_pairs_designed_lift(spark, tmp_path):
+    """3 baskets: {1,2}, {1,2}, {1,3}. Pair (1,2): support 2, lift =
+    2*3/(3*2) = 1.0 -> 1_000_000 ppm. Pair (1,3) has support 1 ->
+    filtered by MIN_SUPPORT. Duplicate lines of one part in a basket
+    must not inflate support."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import affinity as A
+
+    t = dt.datetime(1997, 1, 1)
+    rows = [
+        (10, 1, 5, 1.0, 10.0, 0.0, "N", t),
+        (10, 2, 5, 1.0, 10.0, 0.0, "N", t),
+        (10, 2, 6, 1.0, 10.0, 0.0, "N", t),  # dup part in basket
+        (11, 1, 5, 1.0, 10.0, 0.0, "N", t),
+        (11, 2, 5, 1.0, 10.0, 0.0, "N", t),
+        (12, 1, 5, 1.0, 10.0, 0.0, "N", t),
+        (12, 3, 5, 1.0, 10.0, 0.0, "N", t),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " l_shipdate timestamp",
+    )
+    key = _inject(spark, tmp_path, "lineitem", df)
+    try:
+        got = [
+            (r.part_a, r.part_b, r.n_orders, r.n_a, r.n_b, r.lift_ppm)
+            for r in A.basket_top_pairs(spark, str(tmp_path)).collect()
+        ]
+    finally:
+        C._table_cache.pop(key, None)
+    assert got == [(1, 2, 2, 3, 2, 1_000_000)]
+
+
+def test_basket_pairs_plan_filters_before_lift_joins(spark, sf_dir):
+    """Scale contract: the MIN_SUPPORT filter prunes candidate pairs
+    BEFORE the per-part-count joins, and the leaderboard is fused
+    top-k (no global sort, no cartesian except the 1-row total)."""
+    from sqlondataframesr_spark.operators import affinity as A
+    from sqlondataframesr_spark.plans.audit import audit
+
+    a = audit(A.basket_top_pairs(spark, sf_dir))
+    assert a.has_fused_topk
+    assert not a.has_cartesian
+    assert "Exchange rangepartitioning" not in a.text
