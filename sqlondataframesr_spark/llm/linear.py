@@ -1,0 +1,214 @@
+"""Distributed linear-classifier training: batch perceptron over
+int8-quantized embeddings, in EXACT integer arithmetic.
+
+North-star extension (the reference, RDataFramesSQL.Rmd, has no ML
+surface): the simplest end-to-end "train a model on Spark" operator —
+a batch (gradient) perceptron separating label 0 from the rest of the
+``embeddings`` table. The point is the HARNESS shape, shared with
+kmeans_train (llm/similarity.py:443) and the integer PageRank
+(operators/graph.py):
+
+- features are int8-quantized ONCE (the identical floor(x*scale+0.5)
+  formula as :func:`..similarity.emb_quantize_int8`, whose
+  cross-engine exactness is already oracle-pinned) and the quantized
+  table is pinned via ``materialize``;
+- each unrolled round is one corpus scan: margins come from a
+  broadcast of the ONE-row weight state (crossJoin — no shuffle of
+  the corpus), the misclassified set reduces through a single
+  explode-free 64-column integer aggregate (the
+  emb_label_centroid pattern), and the weight update is a 1-row x
+  1-row crossJoin. State between rounds is ONE row;
+  ``localCheckpoint`` keeps the lazy plan flat.
+- at 100 TB each round is one bandwidth-bound scan + a tiny global
+  aggregate — the same cost envelope as a Lloyd iteration; nothing
+  quadratic, nothing driver-side.
+
+Why a BATCH perceptron: the classic online perceptron is
+order-dependent (each update changes the next margin), which is
+anti-distributed; the batch variant sums updates over ALL currently
+misclassified rows per round — an order-independent integer SUM, so
+Spark and the DuckDB oracle agree to the last digit. Integer range:
+|w_i| grows at most 127 * n_rows per round, so margins stay below
+2^63 through ~10^9 training rows at 5 rounds (documented overflow
+contract, same style as operators/affinity.py's lift).
+
+Output is the LEARNING CURVE — per round: mistakes under the
+pre-update weights, then the L1 norm and bias of the post-update
+weights (an exact fingerprint of the full weight state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..materialize import materialize
+from .similarity import DIM
+
+#: unrolled training rounds
+PC_ROUNDS = 5
+
+#: the one-vs-rest target class
+PC_POS_LABEL = 0
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, y, xq): y in {+1,-1}, xq = int8-quantized embedding as
+    array<bigint> — the emb_quantize_int8 formula verbatim."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.when(F.col("label") == PC_POS_LABEL, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    return emb.withColumn(
+        "maxabs", F.expr("array_max(transform(v, x -> abs(x)))")
+    ).select(
+        "vec_id",
+        "y",
+        F.expr(
+            "transform(v, x -> cast(floor(x * (case when maxabs > 0"
+            " then 127.0 / maxabs else 0.0 end) + 0.5d) as bigint))"
+        ).alias("xq"),
+    )
+
+
+def ml_perceptron_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train :data:`PC_ROUNDS` batch-perceptron rounds; return the
+    learning curve (round, n_mistakes, w_l1, bias) ordered by round.
+
+    n_mistakes counts rows misclassified by the PRE-update weights of
+    that round (round 1 therefore counts the zero-weight state, where
+    every margin is 0 and y*0 <= 0 flags everything); w_l1/bias
+    fingerprint the POST-update state exactly.
+    """
+    qv = materialize(_quantized(spark, sf_dir))
+    # 1-row weight state: ws array<bigint>[DIM], b bigint
+    w = spark.range(1).select(
+        F.expr(f"array_repeat(0L, {DIM})").alias("ws"), F.lit(0).cast("long").alias("b")
+    )
+    curve_rows = []
+    for t in range(1, PC_ROUNDS + 1):
+        scored = qv.crossJoin(F.broadcast(w)).withColumn(
+            "mg",
+            F.expr("aggregate(zip_with(xq, ws, (x, wi) -> x * wi), 0L,"
+                   " (acc, e) -> acc + e) + b"),
+        )
+        mis = scored.filter(F.expr("y * mg <= 0"))
+        upd = mis.agg(
+            F.count(F.lit(1)).cast("long").alias("nm"),
+            F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("db"),
+            *[
+                F.coalesce(F.sum(F.expr(f"y * element_at(xq, {i + 1})")), F.lit(0))
+                .cast("long")
+                .alias(f"d{i}")
+                for i in range(DIM)
+            ],
+        )
+        w = (
+            w.crossJoin(upd)
+            .select(
+                F.array(
+                    *[
+                        F.expr(f"element_at(ws, {i + 1}) + d{i}")
+                        for i in range(DIM)
+                    ]
+                ).alias("ws"),
+                (F.col("b") + F.col("db")).cast("long").alias("b"),
+                F.col("nm"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        curve_rows.append(
+            w.select(
+                F.lit(t).cast("long").alias("round"),
+                F.col("nm").alias("n_mistakes"),
+                F.expr(
+                    "aggregate(transform(ws, x -> abs(x)), 0L,"
+                    " (acc, e) -> acc + e)"
+                )
+                .cast("long")
+                .alias("w_l1"),
+                F.col("b").alias("bias"),
+            )
+        )
+        w = w.drop("nm")
+    out = curve_rows[0]
+    for r in curve_rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("round")
+
+
+def _perceptron_sql(lt: str, lmax: str, elem: str) -> str:
+    """The SAME unrolled training replayed as SQL. Dialect params:
+    ``lt``/``lmax`` = transform/max-over-list function names, ``elem``
+    = 1-based element access pattern with ``{col}`` and ``{i}``."""
+
+    def e(col: str, i: int) -> str:
+        return elem.format(col=col, i=i)
+
+    margin = " + ".join(f"{e('xq', i + 1)} * w.w{i}" for i in range(DIM))
+    d_sums = ",\n         ".join(
+        f"COALESCE(SUM(y * {e('xq', i + 1)}), 0) AS d{i}" for i in range(DIM)
+    )
+    w_upd = ", ".join(f"w.w{i} + u.d{i} AS w{i}" for i in range(DIM))
+    w_zero = ", ".join(f"CAST(0 AS BIGINT) AS w{i}" for i in range(DIM))
+    l1 = " + ".join(f"ABS(w{i})" for i in range(DIM))
+    sql = f"""
+WITH v AS (
+  SELECT vec_id,
+         CAST(CASE WHEN label = {PC_POS_LABEL} THEN 1 ELSE -1 END AS BIGINT) AS y,
+         {lt}(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, y, v, {lmax}({lt}(v, x -> abs(x))) AS maxabs FROM v
+),
+q AS (
+  SELECT vec_id, y,
+         {lt}(v, x -> CAST(floor(x * (CASE WHEN maxabs > 0
+             THEN 127.0 / maxabs ELSE 0.0 END) + 0.5) AS BIGINT)) AS xq
+  FROM s
+),
+w0 AS (SELECT CAST(0 AS BIGINT) AS b, {w_zero})"""
+    for t in range(1, PC_ROUNDS + 1):
+        sql += f""",
+m{t} AS (
+  SELECT q.vec_id, q.y, q.xq, ({margin}) + w.b AS mg
+  FROM q CROSS JOIN w{t - 1} w
+),
+mis{t} AS (SELECT * FROM m{t} WHERE y * mg <= 0),
+u{t} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nm,
+         COALESCE(SUM(y), 0) AS db,
+         {d_sums}
+  FROM mis{t}
+),
+w{t} AS (
+  SELECT CAST(w.b + u.db AS BIGINT) AS b, {w_upd}, u.nm AS nm
+  FROM w{t - 1} w CROSS JOIN u{t} u
+),
+r{t} AS (
+  SELECT CAST({t} AS BIGINT) AS round, CAST(nm AS BIGINT) AS n_mistakes,
+         CAST({l1} AS BIGINT) AS w_l1, CAST(b AS BIGINT) AS bias
+  FROM w{t}
+)"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM r{t}" for t in range(1, PC_ROUNDS + 1)
+    )
+    return sql + f"\n{union}\nORDER BY round"
+
+
+ML_PERCEPTRON_CURVE_ORACLE = _perceptron_sql(
+    lt="list_transform", lmax="list_max", elem="{col}[{i}]"
+)
+ML_PERCEPTRON_CURVE_SPARK_SQL = _perceptron_sql(
+    lt="transform", lmax="array_max", elem="element_at({col}, {i})"
+)
+
+
+QUERIES = {"ml_perceptron_curve": ml_perceptron_curve}
+ORACLES = {"ml_perceptron_curve": ML_PERCEPTRON_CURVE_ORACLE}
+SPARK_SQL = {"ml_perceptron_curve": ML_PERCEPTRON_CURVE_SPARK_SQL}

@@ -20,6 +20,7 @@ from .llm import (
     dsir,
     hybrid,
     incremental,
+    linear,
     lm,
     minhash,
     pipeline,
@@ -66,6 +67,7 @@ _MODULES = [
     dsir,
     hybrid,
     incremental,
+    linear,
     lm,
     minhash,
     pq,

@@ -1138,3 +1138,31 @@ def test_source_overlap_disjoint_vs_identical(spark):
     finally:
         D.load_table, dd.load_table = orig_div, orig_dd
     assert got == {("s1", "s2"): 1.0}
+
+
+def test_perceptron_converges_on_separable_data(spark, tmp_path):
+    """Linearly separable injection: label-0 vectors at +e1, others at
+    -e1 (quantized to +-127). Round 1 starts from zero weights (every
+    y*0 <= 0 counts as a mistake), its update sets w_0 = 6*127 = 762,
+    and every later round is mistake-free with the weights frozen —
+    the batch-perceptron fixed point."""
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.llm import linear as L
+
+    rows = []
+    for i in range(3):
+        rows.append((i, [1.0] + [0.0] * 63, 0))
+        rows.append((10 + i, [-1.0] + [0.0] * 63, 5))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    key = (spark.sparkContext.applicationId, str(tmp_path), "embeddings")
+    C._table_cache[key] = df
+    try:
+        got = [
+            (r.round, r.n_mistakes, r.w_l1, r.bias)
+            for r in L.ml_perceptron_curve(spark, str(tmp_path)).collect()
+        ]
+    finally:
+        C._table_cache.pop(key, None)
+    assert got == [(t, 6 if t == 1 else 0, 762, 0) for t in range(1, 6)]
