@@ -75,15 +75,10 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ml_perceptron_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train :data:`PC_ROUNDS` batch-perceptron rounds; return the
-    learning curve (round, n_mistakes, w_l1, bias) ordered by round.
-
-    n_mistakes counts rows misclassified by the PRE-update weights of
-    that round (round 1 therefore counts the zero-weight state, where
-    every margin is 0 and y*0 <= 0 flags everything); w_l1/bias
-    fingerprint the POST-update state exactly.
-    """
+def _train(spark: SparkSession, sf_dir: str):
+    """Run the :data:`PC_ROUNDS` unrolled rounds; returns
+    (quantized training frame, final 1-row weight state, per-round
+    curve frames)."""
     qv = materialize(_quantized(spark, sf_dir))
     # 1-row weight state: ws array<bigint>[DIM], b bigint
     w = spark.range(1).select(
@@ -135,16 +130,57 @@ def ml_perceptron_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         w = w.drop("nm")
+    return qv, w, curve_rows
+
+
+def ml_perceptron_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train :data:`PC_ROUNDS` batch-perceptron rounds; return the
+    learning curve (round, n_mistakes, w_l1, bias) ordered by round.
+
+    n_mistakes counts rows misclassified by the PRE-update weights of
+    that round (round 1 therefore counts the zero-weight state, where
+    every margin is 0 and y*0 <= 0 flags everything); w_l1/bias
+    fingerprint the POST-update state exactly.
+    """
+    _, _, curve_rows = _train(spark, sf_dir)
     out = curve_rows[0]
     for r in curve_rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("round")
 
 
-def _perceptron_sql(lt: str, lmax: str, elem: str) -> str:
+def ml_perceptron_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-serve: confusion counts of the FINAL trained weights
+    over the training set (decision rule: +1 iff margin > 0 — a zero
+    margin predicts the negative class, matching the training rule's
+    y*mg <= 0 mistake test).
+
+    Output: (y_true, y_pred, n) ordered by (y_true, y_pred) — <= 4
+    rows. Scoring is one map-only pass against the broadcast 1-row
+    weight state: at 100 TB inference is a bandwidth-bound scan.
+    """
+    qv, w, _ = _train(spark, sf_dir)
+    return (
+        qv.crossJoin(F.broadcast(w))
+        .select(
+            F.col("y").alias("y_true"),
+            F.expr(
+                "cast(case when aggregate(zip_with(xq, ws, (x, wi) -> x * wi),"
+                " 0L, (acc, e) -> acc + e) + b > 0 then 1 else -1 end as bigint)"
+            ).alias("y_pred"),
+        )
+        .groupBy("y_true", "y_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("y_true", "y_pred")
+    )
+
+
+def _perceptron_sql(lt: str, lmax: str, elem: str, final: str = "curve") -> str:
     """The SAME unrolled training replayed as SQL. Dialect params:
     ``lt``/``lmax`` = transform/max-over-list function names, ``elem``
-    = 1-based element access pattern with ``{col}`` and ``{i}``."""
+    = 1-based element access pattern with ``{col}`` and ``{i}``;
+    ``final`` selects the output: 'curve' (learning curve) or
+    'confusion' (score the final weights back over the training set)."""
 
     def e(col: str, i: int) -> str:
         return elem.format(col=col, i=i)
@@ -195,20 +231,41 @@ r{t} AS (
          CAST({l1} AS BIGINT) AS w_l1, CAST(b AS BIGINT) AS bias
   FROM w{t}
 )"""
+    if final == "confusion":
+        return sql + f""",
+mf AS (
+  SELECT q.y AS y_true,
+         CASE WHEN ({margin}) + w.b > 0 THEN 1 ELSE -1 END AS y_pred
+  FROM q CROSS JOIN w{PC_ROUNDS} w
+)
+SELECT CAST(y_true AS BIGINT) AS y_true, CAST(y_pred AS BIGINT) AS y_pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM mf GROUP BY y_true, y_pred
+ORDER BY y_true, y_pred"""
     union = "\nUNION ALL\n".join(
         f"SELECT * FROM r{t}" for t in range(1, PC_ROUNDS + 1)
     )
     return sql + f"\n{union}\nORDER BY round"
 
 
-ML_PERCEPTRON_CURVE_ORACLE = _perceptron_sql(
-    lt="list_transform", lmax="list_max", elem="{col}[{i}]"
-)
-ML_PERCEPTRON_CURVE_SPARK_SQL = _perceptron_sql(
-    lt="transform", lmax="array_max", elem="element_at({col}, {i})"
-)
+_DUCK = dict(lt="list_transform", lmax="list_max", elem="{col}[{i}]")
+_SPARK = dict(lt="transform", lmax="array_max", elem="element_at({col}, {i})")
+
+ML_PERCEPTRON_CURVE_ORACLE = _perceptron_sql(**_DUCK)
+ML_PERCEPTRON_CURVE_SPARK_SQL = _perceptron_sql(**_SPARK)
+ML_PERCEPTRON_CONFUSION_ORACLE = _perceptron_sql(**_DUCK, final="confusion")
+ML_PERCEPTRON_CONFUSION_SPARK_SQL = _perceptron_sql(**_SPARK, final="confusion")
 
 
-QUERIES = {"ml_perceptron_curve": ml_perceptron_curve}
-ORACLES = {"ml_perceptron_curve": ML_PERCEPTRON_CURVE_ORACLE}
-SPARK_SQL = {"ml_perceptron_curve": ML_PERCEPTRON_CURVE_SPARK_SQL}
+QUERIES = {
+    "ml_perceptron_curve": ml_perceptron_curve,
+    "ml_perceptron_confusion": ml_perceptron_confusion,
+}
+ORACLES = {
+    "ml_perceptron_curve": ML_PERCEPTRON_CURVE_ORACLE,
+    "ml_perceptron_confusion": ML_PERCEPTRON_CONFUSION_ORACLE,
+}
+SPARK_SQL = {
+    "ml_perceptron_curve": ML_PERCEPTRON_CURVE_SPARK_SQL,
+    "ml_perceptron_confusion": ML_PERCEPTRON_CONFUSION_SPARK_SQL,
+}

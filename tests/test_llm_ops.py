@@ -1166,3 +1166,28 @@ def test_perceptron_converges_on_separable_data(spark, tmp_path):
     finally:
         C._table_cache.pop(key, None)
     assert got == [(t, 6 if t == 1 else 0, 762, 0) for t in range(1, 6)]
+
+
+def test_perceptron_confusion_perfect_on_separable_data(spark, tmp_path):
+    """On the separable fixture the final weights classify perfectly:
+    only (1,1) and (-1,-1) confusion cells, 3 rows each."""
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.llm import linear as L
+
+    rows = []
+    for i in range(3):
+        rows.append((i, [1.0] + [0.0] * 63, 0))
+        rows.append((10 + i, [-1.0] + [0.0] * 63, 5))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    key = (spark.sparkContext.applicationId, str(tmp_path), "embeddings")
+    C._table_cache[key] = df
+    try:
+        got = {
+            (r.y_true, r.y_pred): r.n
+            for r in L.ml_perceptron_confusion(spark, str(tmp_path)).collect()
+        }
+    finally:
+        C._table_cache.pop(key, None)
+    assert got == {(1, 1): 3, (-1, -1): 3}
