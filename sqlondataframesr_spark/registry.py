@@ -39,6 +39,7 @@ from .operators import (
     asof,
     graph,
     grouped,
+    growth,
     hypertable,
     journeys,
     rangejoin,
@@ -84,6 +85,7 @@ _MODULES = [
     media,
     sources_binary,
     grouped,
+    growth,
     aggmerge,
     asof,
     graph,

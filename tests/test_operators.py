@@ -574,3 +574,61 @@ def test_basket_pairs_plan_filters_before_lift_joins(spark, sf_dir):
     assert a.has_fused_topk
     assert not a.has_cartesian
     assert "Exchange rangepartitioning" not in a.text
+
+
+def test_growth_designed_curves(spark, tmp_path):
+    """Users A,B first seen day0; A active again day3. New-user curve:
+    (d0, 2, 2) only (day3 adds no NEW user). DAU/WAU: d0 dau=2 wau=2
+    (stickiness 1e6); d3 dau=1, wau=2 (A and B both active within the
+    trailing 7 days) -> 500000 ppm; non-activity days are not rows."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import growth as G
+
+    d0 = dt.datetime(2024, 3, 1, 12)
+    rows = [
+        (1, d0, 100, "click", 1.0, "{}"),
+        (2, d0, 200, "view", 1.0, "{}"),
+        (3, d0 + dt.timedelta(days=3), 100, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    key = _inject(spark, tmp_path, "events", df)
+    try:
+        new = [
+            (r.day, r.n_new, r.n_cumulative)
+            for r in G.evt_new_users_daily(spark, str(tmp_path)).collect()
+        ]
+        dw = [
+            (r.day, r.dau, r.wau, r.stickiness_ppm)
+            for r in G.evt_dau_wau(spark, str(tmp_path)).collect()
+        ]
+    finally:
+        C._table_cache.pop(key, None)
+    day0 = d0.date()
+    day3 = day0 + dt.timedelta(days=3)
+    assert new == [(day0, 2, 2)]
+    assert dw == [(day0, 2, 2, 1_000_000), (day3, 1, 2, 500_000)]
+
+
+def test_dau_wau_invariants_real_data(spark, sf_dir):
+    """wau >= dau everywhere; stickiness in (0, 1e6]; wau never exceeds
+    the trailing sum of daus (inclusion bound)."""
+    from sqlondataframesr_spark.operators import growth as G
+
+    rows = G.evt_dau_wau(spark, sf_dir).collect()
+    assert rows
+    dau_by_day = {r.day: r.dau for r in rows}
+    import datetime as dt
+
+    for r in rows:
+        assert 1 <= r.dau <= r.wau
+        assert 0 < r.stickiness_ppm <= 1_000_000
+        trail = sum(
+            dau_by_day.get(r.day - dt.timedelta(days=i), 0) for i in range(7)
+        )
+        assert r.wau <= trail
