@@ -50,15 +50,15 @@ TOP_SESSIONS_K = 15
 _VAL_MICRO = "cast(round(round(value, 6) * 1000000.0) as bigint)"
 
 
-def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-session stats: (user_id, session_id, session_start,
-    session_end, n_events, duration_s, total_value).
-
-    session_id is the per-user 1-based ordinal of the session in time
-    order — deterministic given the (ts, event_id) sort.
-    """
+def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with their session ordinal: (user_id, ts, event_id,
+    event_type, v_micro, t_us, session_id). session_id is the
+    per-user 1-based ordinal of the session in time order —
+    deterministic given the (ts, event_id) sort. Downstream consumers
+    that don't touch event_type/v_micro get them pruned by Catalyst
+    before the window shuffle."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", F.expr(_VAL_MICRO).alias("v_micro")
+        "user_id", "ts", "event_id", "event_type", F.expr(_VAL_MICRO).alias("v_micro")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.withColumn("t_us", F.unix_micros("ts")).withColumn(
@@ -67,13 +67,18 @@ def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_us") - F.lag("t_us").over(w) <= F.lit(_GAP_US), F.lit(0)
         ).otherwise(F.lit(1)),  # first event per user: lag NULL -> 1
     )
-    assigned = flagged.withColumn(
+    return flagged.withColumn(
         "session_id",
         F.sum("new_session").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    return assigned.groupBy("user_id", "session_id").agg(
+
+
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session stats: (user_id, session_id, session_start,
+    session_end, n_events, duration_s, total_value)."""
+    return _assigned(spark, sf_dir).groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -140,7 +145,7 @@ def evt_sessionize_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSIONS_DUCK = f"""
   WITH flagged AS (
-    SELECT user_id, ts, event_id,
+    SELECT user_id, ts, event_id, event_type,
            CAST(round(round(value, 6) * 1000000.0) AS BIGINT) AS v_micro,
            epoch_us(ts) AS t_us,
            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
@@ -166,7 +171,7 @@ _SESSIONS_DUCK = f"""
 
 _SESSIONS_SPARK = f"""
   WITH flagged AS (
-    SELECT user_id, ts, event_id,
+    SELECT user_id, ts, event_id, event_type,
            CAST(round(round(value, 6) * 1000000.0) AS BIGINT) AS v_micro,
            unix_micros(ts) AS t_us,
            CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) OVER
@@ -214,17 +219,93 @@ EVT_SESSIONIZE_TOP_ORACLE = _SESSIONS_DUCK + _TOP_BODY
 EVT_SESSIONIZE_TOP_SPARK_SQL = _SESSIONS_SPARK + _TOP_BODY
 
 
+def evt_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session conversion: of the sessions containing a click,
+    how many contain a purchase AT or AFTER the first click.
+
+    One grouped pass over the assigned events — "purchase after first
+    click" needs no self-join because it is equivalent to
+    ``max(purchase t) >= min(click t)`` within the session (conditional
+    min/max, both orders exact integer microseconds). Output: ONE row
+    (n_sessions, n_with_click, n_converted, cvr_ppm); empty input
+    yields the all-zero row on both engines.
+    """
+    a = _assigned(spark, sf_dir)
+    f = a.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("t_us"))).alias(
+            "c_us"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("t_us"))).alias(
+            "p_us"
+        ),
+    )
+    agg = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count("c_us").cast("long").alias("n_with_click"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("c_us").isNotNull()
+                    & F.col("p_us").isNotNull()
+                    & (F.col("p_us") >= F.col("c_us")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_converted"),
+    )
+    return agg.select(
+        "n_sessions",
+        "n_with_click",
+        "n_converted",
+        F.expr(
+            "cast(coalesce(n_converted * 1000000L div nullif(n_with_click, 0L),"
+            " 0L) as bigint)"
+        ).alias("cvr_ppm"),
+    )
+
+
+_FUNNEL_BODY = """
+  , f AS (
+    SELECT user_id, session_id,
+           MIN(CASE WHEN event_type = 'click' THEN t_us END) AS c_us,
+           MAX(CASE WHEN event_type = 'purchase' THEN t_us END) AS p_us
+    FROM assigned GROUP BY user_id, session_id
+  ),
+  agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(c_us) AS BIGINT) AS n_with_click,
+           CAST(COALESCE(SUM(CASE WHEN c_us IS NOT NULL AND p_us IS NOT NULL
+                                   AND p_us >= c_us THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_converted
+    FROM f
+  )
+  SELECT n_sessions, n_with_click, n_converted,
+         CAST(COALESCE(n_converted * 1000000 {DIV} NULLIF(n_with_click, 0), 0)
+              AS BIGINT) AS cvr_ppm
+  FROM agg
+"""
+
+EVT_SESSION_FUNNEL_ORACLE = _SESSIONS_DUCK + _FUNNEL_BODY.format(DIV="//")
+EVT_SESSION_FUNNEL_SPARK_SQL = _SESSIONS_SPARK + _FUNNEL_BODY.format(DIV="div")
+
+
 QUERIES = {
     "evt_sessionize_profile": evt_sessionize_profile,
     "evt_sessionize_top": evt_sessionize_top,
+    "evt_session_funnel": evt_session_funnel,
 }
 
 ORACLES = {
     "evt_sessionize_profile": EVT_SESSIONIZE_PROFILE_ORACLE,
     "evt_sessionize_top": EVT_SESSIONIZE_TOP_ORACLE,
+    "evt_session_funnel": EVT_SESSION_FUNNEL_ORACLE,
 }
 
 SPARK_SQL = {
     "evt_sessionize_profile": EVT_SESSIONIZE_PROFILE_SPARK_SQL,
     "evt_sessionize_top": EVT_SESSIONIZE_TOP_SPARK_SQL,
+    "evt_session_funnel": EVT_SESSION_FUNNEL_SPARK_SQL,
 }

@@ -632,3 +632,36 @@ def test_dau_wau_invariants_real_data(spark, sf_dir):
             dau_by_day.get(r.day - dt.timedelta(days=i), 0) for i in range(7)
         )
         assert r.wau <= trail
+
+
+def test_session_funnel_designed(spark, tmp_path):
+    """Session 1: click then purchase -> converted. Session 2 (same
+    user, after a 5h gap): purchase BEFORE click -> has a click but no
+    conversion (order matters). Session 3 (other user): view only ->
+    no click. cvr = 1/2 = 500000 ppm."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import sessionize as SZ
+
+    t0 = dt.datetime(2024, 3, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + h, 1, "purchase", 1.0, "{}"),
+        (3, t0 + 7 * h, 1, "purchase", 1.0, "{}"),   # session 2 starts
+        (4, t0 + 8 * h, 1, "click", 1.0, "{}"),
+        (5, t0, 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    key = _inject(spark, tmp_path, "events", df)
+    try:
+        r = SZ.evt_session_funnel(spark, str(tmp_path)).collect()[0]
+    finally:
+        C._table_cache.pop(key, None)
+    assert (r.n_sessions, r.n_with_click, r.n_converted, r.cvr_ppm) == (
+        3, 2, 1, 500_000)
