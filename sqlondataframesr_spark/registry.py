@@ -37,6 +37,7 @@ from .operators import (
     affinity,
     aggmerge,
     asof,
+    concentration,
     graph,
     grouped,
     growth,
@@ -88,6 +89,7 @@ _MODULES = [
     growth,
     aggmerge,
     asof,
+    concentration,
     graph,
     hypertable,
     journeys,

@@ -665,3 +665,54 @@ def test_session_funnel_designed(spark, tmp_path):
         C._table_cache.pop(key, None)
     assert (r.n_sessions, r.n_with_click, r.n_converted, r.cvr_ppm) == (
         3, 2, 1, 500_000)
+
+
+def test_gini_designed_extremes(spark, tmp_path):
+    """Perfect equality (4 users x 3 events) -> gini 0. Near-perfect
+    concentration (one user with 99 events, three with 1) -> gini =
+    (2*(1+2+3+4*99) - 5*102)*1e6 // (4*102) = 705882 ppm; cross-checked
+    against the closed-form computation."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import concentration as CN
+
+    t0 = dt.datetime(2024, 3, 1)
+    s = dt.timedelta(seconds=1)
+
+    def run(counts):
+        rows, eid = [], 0
+        for uid, n in enumerate(counts, start=1):
+            for j in range(n):
+                rows.append((eid, t0 + eid * s, uid, "click", 1.0, "{}"))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        key = _inject(spark, tmp_path, "events", df)
+        try:
+            return CN.evt_activity_gini(spark, str(tmp_path)).collect()[0]
+        finally:
+            C._table_cache.pop(key, None)
+
+    eq = run([3, 3, 3, 3])
+    assert (eq.n_users, eq.total_events, eq.gini_ppm) == (4, 12, 0)
+    conc = run([1, 1, 1, 99])
+    expect = (2 * (1 + 2 + 3 + 4 * 99) - 5 * 102) * 1_000_000 // (4 * 102)
+    assert (conc.n_users, conc.total_events, conc.gini_ppm) == (4, 102, expect)
+
+
+def test_activity_deciles_invariants(spark, sf_dir):
+    """Decile sizes even to +-1; shares monotone nonincreasing in the
+    decile (1 = most active); shares sum to ~1e6 (truncation slack)."""
+    from sqlondataframesr_spark.operators import concentration as CN
+
+    rows = CN.evt_activity_deciles(spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    sizes = [r.n_users for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    shares = [r.share_ppm for r in rows]
+    assert shares == sorted(shares, reverse=True)
+    assert 1_000_000 - 10 <= sum(shares) <= 1_000_000
