@@ -276,3 +276,80 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    n_files: int = 8,
+    mode: str = "error",
+    bits: int = 16,
+) -> None:
+    """Z-order (Morton-curve) clustered parquet layout: multi-column
+    data skipping, where :func:`write_clustered` is exact only for the
+    leading column.
+
+    Each z column is min-max normalized to a ``bits``-wide integer
+    (timestamps via ``unix_micros``; the one-row min/max aggregate is
+    a broadcast, the normalization is map-only), the per-column bits
+    are interleaved into one Morton key, and files are range-
+    partitioned + sorted on that key. The result: every file covers a
+    small HYPER-RECTANGLE of the value space, so parquet footer
+    min/max stats prune files for predicates on ANY z column — the
+    same mechanism Delta/Iceberg OPTIMIZE ZORDER uses. Cost model:
+    one extra shuffle at write time (identical to write_clustered);
+    the interleave is an unrolled codegen expression, no UDF.
+
+    ``bits`` * len(zorder_by) must stay < 63 (the key is one bigint);
+    16 bits/column keeps file-boundary resolution far below any
+    realistic file count through 3 columns.
+    """
+    if bits * len(zorder_by) >= 63:
+        raise ValueError("bits * n_columns must stay below 63")
+    from pyspark.sql.types import TimestampType
+
+    n = len(zorder_by)
+    work = df
+    qcols = []
+    for c in zorder_by:
+        field = df.schema[c].dataType
+        num = (
+            f"cast(unix_micros({c}) as double)"
+            if isinstance(field, TimestampType)
+            else f"cast({c} as double)"
+        )
+        q = f"__zq_{c}"
+        qcols.append(q)
+        work = work.withColumn(f"__zv_{c}", F.expr(num))
+    stats = work.agg(
+        *[F.min(f"__zv_{c}").alias(f"__mn_{c}") for c in zorder_by],
+        *[F.max(f"__zv_{c}").alias(f"__mx_{c}") for c in zorder_by],
+    )
+    work = work.crossJoin(F.broadcast(stats))
+    top = (1 << bits) - 1
+    for c, q in zip(zorder_by, qcols):
+        work = work.withColumn(
+            q,
+            F.expr(
+                f"cast(coalesce(floor((__zv_{c} - __mn_{c})"
+                f" / nullif(__mx_{c} - __mn_{c}, 0.0d) * {top} + 0.5d),"
+                f" 0) as bigint)"
+            ),
+        )
+    # interleave: bit j of column k lands at position j*n + (n-1-k),
+    # so the leading column owns the most significant bit of each group
+    terms = [
+        f"shiftleft(shiftright({q}, {j}) & 1, {j * n + (n - 1 - k)})"
+        for j in range(bits)
+        for k, q in enumerate(qcols)
+    ]
+    z = " + ".join(terms)  # disjoint bit positions: + == bitwise OR
+    (
+        work.withColumn("__z", F.expr(z))
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .select(*df.columns)  # projection preserves intra-partition order
+        .write.mode(mode)
+        .parquet(path)
+    )

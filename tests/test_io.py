@@ -249,3 +249,51 @@ def test_write_clustered_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi <= b_lo, (a_hi, b_lo)
     assert spark.read.parquet(path).count() == ords.count()
+
+
+def test_write_zordered_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order must bound per-file min/max spans on BOTH z columns —
+    that is its whole advantage over single-column range clustering,
+    which leaves every file spanning the full domain of the second
+    column. Asserted against that exact baseline."""
+    import pyarrow.parquet as pq
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def spans(path, col):
+        out, lows, highs = [], [], []
+        for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+            pf = pq.ParquetFile(f)
+            md = pf.metadata
+            ci = pf.schema_arrow.names.index(col)
+            st = [
+                md.row_group(rg).column(ci).statistics
+                for rg in range(md.num_row_groups)
+            ]
+            lo, hi = min(s.min for s in st), max(s.max for s in st)
+            lows.append(lo), highs.append(hi)
+            out.append((lo, hi))
+        g = max(highs) - min(lows)
+        g = g.total_seconds() if hasattr(g, "total_seconds") else g
+        return [
+            ((hi - lo).total_seconds() if hasattr(hi - lo, "total_seconds")
+             else hi - lo) / g
+            for lo, hi in out
+        ]
+
+    zpath = str(tmp_path / "ev_z")
+    io.write_zordered(ev, zpath, zorder_by=["user_id", "ts"], n_files=8)
+    cpath = str(tmp_path / "ev_range")
+    io.write_clustered(ev, cpath, cluster_by=["user_id"], n_files=8)
+
+    z_user, z_ts = spans(zpath, "user_id"), spans(zpath, "ts")
+    c_ts = spans(cpath, "ts")
+    # every z file covers a bounded slice of the leading column...
+    assert max(z_user) <= 0.6, z_user
+    # ...and the SECOND column is also bounded on average (one file may
+    # straddle a Morton-curve jump), where range clustering prunes
+    # nothing on it
+    assert sum(z_ts) / len(z_ts) <= 0.8, z_ts
+    assert sum(c_ts) / len(c_ts) >= 0.9, c_ts
+    # lossless: same rows back
+    assert spark.read.parquet(zpath).count() == ev.count()
