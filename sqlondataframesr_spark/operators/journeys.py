@@ -324,11 +324,74 @@ EVT_DAILY_SPIKES_ORACLE = _SPIKES_BODY.format(DIV="//")
 EVT_DAILY_SPIKES_SPARK_SQL = _SPIKES_BODY.format(DIV="div")
 
 
+def orders_yoy_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with the year-over-year ratio: for each
+    (year, month), revenue in cents and ``yoy_ratio_ppm`` =
+    this-year revenue as ppm of the same month last year (1e6 = flat;
+    NULL when that month has no prior year).
+
+    One partial-aggregated shuffle to the year x month grid (<= 84
+    rows here; bounded by the calendar at any corpus size), then a
+    per-month lag window ON the grid. The ratio form keeps the ppm
+    numerator non-negative — no reliance on negative-division
+    semantics anywhere in the repo's oracle contract.
+    """
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+        )
+        .agg(F.expr(f"sum({_CENTS})").cast("long").alias("revenue_c"))
+    )
+    w = Window.partitionBy("o_month").orderBy("o_year")
+    return (
+        rev.withColumn("prev_year_c", F.lag("revenue_c").over(w))
+        .withColumn(
+            "yoy_ratio_ppm",
+            F.expr(
+                "cast(revenue_c * 1000000L div nullif(prev_year_c, 0L)"
+                " as bigint)"
+            ),
+        )
+        # lag is only "same month last year" if years are contiguous
+        # per month — true for this corpus (1995-2001 all months); the
+        # strict form would join on (o_year-1, o_month), same grid cost
+        .select("o_year", "o_month", "revenue_c", "prev_year_c", "yoy_ratio_ppm")
+        .orderBy("o_year", "o_month")
+    )
+
+
+_YOY_BODY = f"""
+  WITH rev AS (
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,
+           CAST(SUM({_CENTS}) AS BIGINT) AS revenue_c
+    FROM orders GROUP BY 1, 2
+  ),
+  lagged AS (
+    SELECT o_year, o_month, revenue_c,
+           lag(revenue_c) OVER (PARTITION BY o_month ORDER BY o_year)
+             AS prev_year_c
+    FROM rev
+  )
+  SELECT o_year, o_month, revenue_c, CAST(prev_year_c AS BIGINT) AS prev_year_c,
+         CAST(revenue_c * 1000000 {{DIV}} NULLIF(prev_year_c, 0) AS BIGINT)
+           AS yoy_ratio_ppm
+  FROM lagged
+  ORDER BY o_year, o_month
+"""
+
+ORDERS_YOY_SEASONALITY_ORACLE = _YOY_BODY.format(DIV="//")
+ORDERS_YOY_SEASONALITY_SPARK_SQL = _YOY_BODY.format(DIV="div")
+
+
 QUERIES = {
     "evt_transition_matrix": evt_transition_matrix,
     "cust_rfm_segments": cust_rfm_segments,
     "orders_snapshot_diff": orders_snapshot_diff,
     "evt_daily_spikes": evt_daily_spikes,
+    "orders_yoy_seasonality": orders_yoy_seasonality,
 }
 
 ORACLES = {
@@ -336,6 +399,7 @@ ORACLES = {
     "cust_rfm_segments": CUST_RFM_SEGMENTS_ORACLE,
     "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_ORACLE,
     "evt_daily_spikes": EVT_DAILY_SPIKES_ORACLE,
+    "orders_yoy_seasonality": ORDERS_YOY_SEASONALITY_ORACLE,
 }
 
 SPARK_SQL = {
@@ -343,4 +407,5 @@ SPARK_SQL = {
     "cust_rfm_segments": CUST_RFM_SEGMENTS_SPARK_SQL,
     "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_SPARK_SQL,
     "evt_daily_spikes": EVT_DAILY_SPIKES_SPARK_SQL,
+    "orders_yoy_seasonality": ORDERS_YOY_SEASONALITY_SPARK_SQL,
 }

@@ -716,3 +716,37 @@ def test_activity_deciles_invariants(spark, sf_dir):
     shares = [r.share_ppm for r in rows]
     assert shares == sorted(shares, reverse=True)
     assert 1_000_000 - 10 <= sum(shares) <= 1_000_000
+
+
+def test_yoy_seasonality_designed(spark, tmp_path):
+    """Jan-1995 100.00, Jan-1996 150.00, Feb-1996 20.00: the 1996-01
+    row carries ratio 1.5e6 vs its prior year; first-year rows and
+    months with no prior year have NULL."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import journeys as J
+
+    rows = [
+        (1, 10, "F", 100.00, dt.datetime(1995, 1, 5), "1-URGENT"),
+        (2, 10, "F", 150.00, dt.datetime(1996, 1, 9), "1-URGENT"),
+        (3, 20, "O", 20.00, dt.datetime(1996, 2, 1), "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    key = _inject(spark, tmp_path, "orders", df)
+    try:
+        got = [
+            (r.o_year, r.o_month, r.revenue_c, r.prev_year_c, r.yoy_ratio_ppm)
+            for r in J.orders_yoy_seasonality(spark, str(tmp_path)).collect()
+        ]
+    finally:
+        C._table_cache.pop(key, None)
+    assert got == [
+        (1995, 1, 10000, None, None),
+        (1996, 1, 15000, 10000, 1_500_000),
+        (1996, 2, 2000, None, None),
+    ]
