@@ -295,3 +295,95 @@ def test_source_overlap_matches_python_set_model(spark, texts):
                     round(shared / min(len(sets[sa]), len(sets[sb])), 6),
                 )
     assert got == want
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=12)
+)
+@_SETTINGS
+def test_gini_matches_closed_form_and_is_label_invariant(spark, counts, tmp_path_factory):
+    """For ANY per-user count multiset: the operator's gini equals the
+    closed-form rank-sum computation, and relabeling users (reversing
+    ids) leaves it unchanged — gini is a function of the multiset."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import concentration as CN
+
+    t0 = dt.datetime(2024, 3, 1)
+    s = dt.timedelta(seconds=1)
+    tmp = tmp_path_factory.mktemp("gini")
+
+    def run(label_of):
+        rows, eid = [], 0
+        for uid, n in enumerate(counts, start=1):
+            for _ in range(n):
+                rows.append((eid, t0 + eid * s, label_of(uid), "c", 1.0, "{}"))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        key = (spark.sparkContext.applicationId, str(tmp), "events")
+        C._table_cache[key] = df
+        try:
+            return CN.evt_activity_gini(spark, str(tmp)).collect()[0]
+        finally:
+            C._table_cache.pop(key, None)
+
+    got = run(lambda uid: uid)
+    xs = sorted(counts)
+    n, tot = len(xs), sum(xs)
+    rank_sum = sum((i + 1) * x for i, x in enumerate(xs))
+    expect = (2 * rank_sum - (n + 1) * tot) * 1_000_000 // (n * tot)
+    assert (got.n_users, got.total_events, got.gini_ppm) == (n, tot, expect)
+    relabeled = run(lambda uid: 1000 - uid)
+    assert relabeled.gini_ppm == got.gini_ppm
+
+
+@given(
+    seq=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user
+            st.sampled_from(["a", "b", "c"]),       # event type
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_transition_matrix_conservation(spark, seq, tmp_path_factory):
+    """For ANY event stream: transitions = events - users(with >=1
+    event), and each prev row's prob_ppm sums to 1e6 within truncation
+    slack (< n_next_types)."""
+    import datetime as dt
+    from collections import defaultdict
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import journeys as J
+
+    t0 = dt.datetime(2024, 3, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (i, t0 + i * s, uid, et, 1.0, "{}") for i, (uid, et) in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    tmp = tmp_path_factory.mktemp("tm")
+    key = (spark.sparkContext.applicationId, str(tmp), "events")
+    C._table_cache[key] = df
+    try:
+        out = J.evt_transition_matrix(spark, str(tmp)).collect()
+    finally:
+        C._table_cache.pop(key, None)
+    n_users = len({u for u, _ in seq})
+    assert sum(r.n_transitions for r in out) == len(seq) - n_users
+    per_prev = defaultdict(list)
+    for r in out:
+        per_prev[r.prev_type].append(r.prob_ppm)
+    for ppms in per_prev.values():
+        assert 1_000_000 - len(ppms) < sum(ppms) <= 1_000_000
