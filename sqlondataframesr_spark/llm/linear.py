@@ -175,6 +175,189 @@ def ml_perceptron_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: one-vs-rest rounds — fewer than the binary trainer's 5 because each
+#: OvR round costs a CLASSES x corpus fan-out (the standard OvR price)
+OVR_ROUNDS = 3
+
+#: the embeddings label vocabulary (0..9 in the synthetic corpus; the
+#: designed pytest exercises a different class set via its own inject)
+N_CLASSES = 10
+
+
+def ml_perceptron_ovr_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass (one-vs-rest) batch perceptron: train
+    :data:`OVR_ROUNDS` rounds of :data:`N_CLASSES` binary classifiers
+    SIMULTANEOUSLY, then serve by argmax margin; returns the 10x10
+    confusion matrix of the trained model over the training set.
+
+    The state is CLASSES rows of (ws, b); each round is ONE pass over
+    the classes x corpus fan-out (broadcast weight join — the corpus
+    never shuffles) and ONE |classes|-group aggregate for all updates.
+    Serving picks ``max_by(cls, struct(margin, -cls))`` per vector —
+    the single-shuffle argmax of operators/argmax.py, ties to the
+    smallest class on both engines.
+
+    Output: (y_true, y_pred, n) ordered, <= classes^2 rows.
+    """
+    qv = materialize(
+        _quantized_multi(spark, sf_dir)
+    )  # (vec_id, label, xq)
+    classes = spark.range(N_CLASSES).select(F.col("id").cast("long").alias("cls"))
+    q10 = qv.crossJoin(F.broadcast(classes)).select(
+        "vec_id",
+        "label",
+        "cls",
+        F.when(F.col("label") == F.col("cls"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+        "xq",
+    )
+    w = classes.select(
+        "cls",
+        F.expr(f"array_repeat(0L, {DIM})").alias("ws"),
+        F.lit(0).cast("long").alias("b"),
+    )
+    mg_expr = (
+        "aggregate(zip_with(xq, ws, (x, wi) -> x * wi), 0L,"
+        " (acc, e) -> acc + e) + b"
+    )
+    for _ in range(OVR_ROUNDS):
+        mis = (
+            q10.join(F.broadcast(w), "cls")
+            .withColumn("mg", F.expr(mg_expr))
+            .filter(F.expr("y * mg <= 0"))
+        )
+        upd = mis.groupBy("cls").agg(
+            F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("db"),
+            *[
+                F.coalesce(F.sum(F.expr(f"y * element_at(xq, {i + 1})")), F.lit(0))
+                .cast("long")
+                .alias(f"d{i}")
+                for i in range(DIM)
+            ],
+        )
+        w = (
+            w.join(upd, "cls", "left")
+            .select(
+                "cls",
+                F.array(
+                    *[
+                        F.expr(f"element_at(ws, {i + 1}) + coalesce(d{i}, 0L)")
+                        for i in range(DIM)
+                    ]
+                ).alias("ws"),
+                (F.col("b") + F.coalesce(F.col("db"), F.lit(0))).cast("long").alias("b"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    scored = q10.join(F.broadcast(w), "cls").withColumn("mg", F.expr(mg_expr))
+    pred = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cls", F.struct(F.col("mg"), (-F.col("cls")).cast("long"))
+        ).alias("y_pred"),
+        F.max("label").cast("long").alias("y_true"),
+    )
+    return (
+        pred.groupBy("y_true", "y_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("y_true", "y_pred")
+    )
+
+
+def _quantized_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, xq) — the int8 quantization of :func:`_quantized`
+    keeping the raw multiclass label."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    return emb.withColumn(
+        "maxabs", F.expr("array_max(transform(v, x -> abs(x)))")
+    ).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(v, x -> cast(floor(x * (case when maxabs > 0"
+            " then 127.0 / maxabs else 0.0 end) + 0.5d) as bigint))"
+        ).alias("xq"),
+    )
+
+
+def _perceptron_ovr_sql(lt: str, lmax: str, elem: str, gens: str) -> str:
+    """Unrolled one-vs-rest training + argmax scoring as SQL. ``gens``
+    is the dialect's 0..N_CLASSES-1 generator table snippet aliased
+    ``c(cls)``."""
+
+    def e(col: str, i: int) -> str:
+        return elem.format(col=col, i=i)
+
+    margin = " + ".join(f"{e('xq', i + 1)} * w.w{i}" for i in range(DIM))
+    d_sums = ",\n         ".join(
+        f"COALESCE(SUM(y * {e('xq', i + 1)}), 0) AS d{i}" for i in range(DIM)
+    )
+    w_upd = ", ".join(f"w.w{i} + COALESCE(u.d{i}, 0) AS w{i}" for i in range(DIM))
+    w_zero = ", ".join(f"CAST(0 AS BIGINT) AS w{i}" for i in range(DIM))
+    sql = f"""
+WITH v AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         {lt}(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, label, v, {lmax}({lt}(v, x -> abs(x))) AS maxabs FROM v
+),
+q AS (
+  SELECT vec_id, label,
+         {lt}(v, x -> CAST(floor(x * (CASE WHEN maxabs > 0
+             THEN 127.0 / maxabs ELSE 0.0 END) + 0.5) AS BIGINT)) AS xq
+  FROM s
+),
+classes AS (SELECT CAST(cls AS BIGINT) AS cls FROM {gens}),
+q10 AS (
+  SELECT q.vec_id, q.label, c.cls,
+         CAST(CASE WHEN q.label = c.cls THEN 1 ELSE -1 END AS BIGINT) AS y,
+         q.xq
+  FROM q CROSS JOIN classes c
+),
+w0 AS (SELECT cls, CAST(0 AS BIGINT) AS b, {w_zero} FROM classes)"""
+    for t in range(1, OVR_ROUNDS + 1):
+        sql += f""",
+mis{t} AS (
+  SELECT * FROM (
+    SELECT q10.cls, q10.y, q10.xq, ({margin}) + w.b AS mg
+    FROM q10 JOIN w{t - 1} w USING (cls))
+  WHERE y * mg <= 0
+),
+u{t} AS (
+  SELECT cls, COALESCE(SUM(y), 0) AS db,
+         {d_sums}
+  FROM mis{t} GROUP BY cls
+),
+w{t} AS (
+  SELECT w.cls, CAST(w.b + COALESCE(u.db, 0) AS BIGINT) AS b, {w_upd}
+  FROM w{t - 1} w LEFT JOIN u{t} u ON u.cls = w.cls
+)"""
+    sql += f""",
+scored AS (
+  SELECT q10.vec_id, q10.label, q10.cls, ({margin}) + w.b AS mg
+  FROM q10 JOIN w{OVR_ROUNDS} w USING (cls)
+),
+pred AS (
+  SELECT vec_id, label AS y_true, cls AS y_pred FROM (
+    SELECT vec_id, label, cls,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY mg DESC, cls ASC) AS rnk
+    FROM scored) WHERE rnk = 1
+)
+SELECT CAST(y_true AS BIGINT) AS y_true, CAST(y_pred AS BIGINT) AS y_pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY y_true, y_pred
+ORDER BY y_true, y_pred"""
+    return sql
+
+
 def _perceptron_sql(lt: str, lmax: str, elem: str, final: str = "curve") -> str:
     """The SAME unrolled training replayed as SQL. Dialect params:
     ``lt``/``lmax`` = transform/max-over-list function names, ``elem``
@@ -257,15 +440,27 @@ ML_PERCEPTRON_CONFUSION_ORACLE = _perceptron_sql(**_DUCK, final="confusion")
 ML_PERCEPTRON_CONFUSION_SPARK_SQL = _perceptron_sql(**_SPARK, final="confusion")
 
 
+ML_PERCEPTRON_OVR_ORACLE = _perceptron_ovr_sql(
+    **_DUCK, gens=f"generate_series(0, {N_CLASSES - 1}) AS c(cls)"
+)
+ML_PERCEPTRON_OVR_SPARK_SQL = _perceptron_ovr_sql(
+    **_SPARK,
+    gens=f"(SELECT explode(sequence(0, {N_CLASSES - 1})) AS cls) c",
+)
+
+
 QUERIES = {
     "ml_perceptron_curve": ml_perceptron_curve,
     "ml_perceptron_confusion": ml_perceptron_confusion,
+    "ml_perceptron_ovr_confusion": ml_perceptron_ovr_confusion,
 }
 ORACLES = {
     "ml_perceptron_curve": ML_PERCEPTRON_CURVE_ORACLE,
     "ml_perceptron_confusion": ML_PERCEPTRON_CONFUSION_ORACLE,
+    "ml_perceptron_ovr_confusion": ML_PERCEPTRON_OVR_ORACLE,
 }
 SPARK_SQL = {
     "ml_perceptron_curve": ML_PERCEPTRON_CURVE_SPARK_SQL,
     "ml_perceptron_confusion": ML_PERCEPTRON_CONFUSION_SPARK_SQL,
+    "ml_perceptron_ovr_confusion": ML_PERCEPTRON_OVR_SPARK_SQL,
 }

@@ -1191,3 +1191,34 @@ def test_perceptron_confusion_perfect_on_separable_data(spark, tmp_path):
     finally:
         C._table_cache.pop(key, None)
     assert got == {(1, 1): 3, (-1, -1): 3}
+
+
+def test_perceptron_ovr_perfect_on_axis_separated_classes(spark, tmp_path):
+    """Three classes sitting on three orthogonal axes (+-e1/e2/e3, two
+    vectors each): after training, argmax-margin serving must produce
+    a perfect diagonal confusion matrix; classes with no positive
+    examples never win the argmax."""
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.llm import linear as L
+
+    rows = []
+    vid = 0
+    for cls in range(3):
+        for _ in range(2):
+            v = [0.0] * 64
+            v[cls] = 1.0
+            rows.append((vid, v, cls))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    key = (spark.sparkContext.applicationId, str(tmp_path), "embeddings")
+    C._table_cache[key] = df
+    try:
+        got = {
+            (r.y_true, r.y_pred): r.n
+            for r in L.ml_perceptron_ovr_confusion(spark, str(tmp_path)).collect()
+        }
+    finally:
+        C._table_cache.pop(key, None)
+    assert got == {(0, 0): 2, (1, 1): 2, (2, 2): 2}
