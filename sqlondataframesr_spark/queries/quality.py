@@ -390,16 +390,110 @@ ORDER BY bucket
 """
 
 
+def dq_join_fanout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-blowup audit for orders ⋈ lineitem on the order key: per-
+    side key multiplicities and the EXACT join cardinality, computed
+    from the two per-key count tables WITHOUT running the join — the
+    check a pipeline runs before an expensive join to catch fan-out
+    bugs (duplicate keys, accidental many-to-many).
+
+    Scale: two partial-aggregated shuffles down to per-key counts
+    (each bounded by the key domain), one key-to-key join of those
+    count tables, one global aggregate. Σ(n_left·n_right) over common
+    keys IS the join's output cardinality — exact, no estimation.
+    Output: ONE row (left_rows, right_rows, n_left_keys, n_right_keys,
+    n_common_keys, max_left_mult, max_right_mult, exact_join_rows,
+    amplification_ppm = join rows as ppm of the larger input).
+    """
+    lc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nl"))
+    )
+    rc = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nr"))
+    )
+    both = lc.join(rc, "k", "full_outer")
+    return both.agg(
+        F.sum(F.coalesce("nl", F.lit(0))).cast("long").alias("left_rows"),
+        F.sum(F.coalesce("nr", F.lit(0))).cast("long").alias("right_rows"),
+        F.count("nl").cast("long").alias("n_left_keys"),
+        F.count("nr").cast("long").alias("n_right_keys"),
+        F.sum(
+            F.when(F.col("nl").isNotNull() & F.col("nr").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_common_keys"),
+        F.max("nl").cast("long").alias("max_left_mult"),
+        F.max("nr").cast("long").alias("max_right_mult"),
+        F.sum(
+            F.when(
+                F.col("nl").isNotNull() & F.col("nr").isNotNull(),
+                F.col("nl") * F.col("nr"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("exact_join_rows"),
+    ).select(
+        "*",
+        F.expr(
+            "cast(exact_join_rows * 1000000L div"
+            " nullif(greatest(left_rows, right_rows), 0L) as bigint)"
+        ).alias("amplification_ppm"),
+    )
+
+
+_FANOUT_BODY = """
+  WITH lc AS (
+    SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS nl
+    FROM orders GROUP BY o_orderkey
+  ),
+  rc AS (
+    SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS nr
+    FROM lineitem GROUP BY l_orderkey
+  ),
+  both_sides AS (
+    SELECT lc.nl, rc.nr FROM lc FULL OUTER JOIN rc ON lc.k = rc.k
+  ),
+  agg AS (
+    SELECT CAST(SUM(COALESCE(nl, 0)) AS BIGINT) AS left_rows,
+           CAST(SUM(COALESCE(nr, 0)) AS BIGINT) AS right_rows,
+           CAST(COUNT(nl) AS BIGINT) AS n_left_keys,
+           CAST(COUNT(nr) AS BIGINT) AS n_right_keys,
+           CAST(SUM(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_common_keys,
+           CAST(MAX(nl) AS BIGINT) AS max_left_mult,
+           CAST(MAX(nr) AS BIGINT) AS max_right_mult,
+           CAST(SUM(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL
+                          THEN nl * nr ELSE 0 END) AS BIGINT)
+             AS exact_join_rows
+    FROM both_sides
+  )
+  SELECT agg.*,
+         CAST(exact_join_rows * 1000000 {DIV}
+              NULLIF(GREATEST(left_rows, right_rows), 0) AS BIGINT)
+           AS amplification_ppm
+  FROM agg
+"""
+
+DQ_JOIN_FANOUT_ORACLE = _FANOUT_BODY.format(DIV="//")
+DQ_JOIN_FANOUT_SPARK_SQL = _FANOUT_BODY.format(DIV="div")
+
+
 QUERIES = {
     "profile_orders": profile_orders,
     "dq_violations": dq_violations,
     "dq_split_psi": dq_split_psi,
+    "dq_join_fanout_report": dq_join_fanout_report,
 }
 
 ORACLES = {
     "profile_orders": PROFILE_ORDERS_ORACLE,
     "dq_violations": DQ_VIOLATIONS_ORACLE,
     "dq_split_psi": _psi_oracle(),
+    "dq_join_fanout_report": DQ_JOIN_FANOUT_ORACLE,
 }
 
 SPARK_SQL: dict[str, str] = {
@@ -407,4 +501,5 @@ SPARK_SQL: dict[str, str] = {
     # the scalar-subquery UNION spelling is dialect-neutral
     "dq_violations": DQ_VIOLATIONS_ORACLE,
     "dq_split_psi": _psi_spark_sql(),
+    "dq_join_fanout_report": DQ_JOIN_FANOUT_SPARK_SQL,
 }

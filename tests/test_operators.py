@@ -750,3 +750,21 @@ def test_yoy_seasonality_designed(spark, tmp_path):
         (1996, 1, 15000, 10000, 1_500_000),
         (1996, 2, 2000, None, None),
     ]
+
+
+def test_join_fanout_report_matches_actual_join(spark, sf_dir):
+    """The report's exact_join_rows must equal the true join
+    cardinality, and with orders' PK on the left the join cannot
+    amplify beyond the lineitem row count."""
+    from sqlondataframesr_spark.catalog import load_table
+    from sqlondataframesr_spark.queries.quality import dq_join_fanout_report
+
+    r = dq_join_fanout_report(spark, sf_dir).collect()[0]
+    ords = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    actual = ords.join(li, ords.o_orderkey == li.l_orderkey).count()
+    assert r.exact_join_rows == actual
+    assert r.max_left_mult == 1  # o_orderkey is a PK
+    assert r.left_rows == ords.count() and r.right_rows == li.count()
+    assert r.n_common_keys <= min(r.n_left_keys, r.n_right_keys)
+    assert r.amplification_ppm == actual * 1_000_000 // max(r.left_rows, r.right_rows)
