@@ -292,20 +292,101 @@ EVT_SESSION_FUNNEL_ORACLE = _SESSIONS_DUCK + _FUNNEL_BODY.format(DIV="//")
 EVT_SESSION_FUNNEL_SPARK_SQL = _SESSIONS_SPARK + _FUNNEL_BODY.format(DIV="div")
 
 
+#: the strict-order funnel stages (each must occur AT or AFTER the
+#: previous stage's first occurrence within the session)
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def evt_session_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order 3-stage session funnel: a session reaches stage k
+    only if stage k's event occurs at or after the first occurrence
+    that satisfied stage k-1. The sequential condition needs one
+    grouped pass PER stage (each a conditional min over events joined
+    to the previous stage's timestamps — 3 session-keyed shuffles,
+    never a self-join of raw events).
+
+    Output: ONE row (n_sessions, reached_view, reached_click,
+    reached_purchase) — monotone nonincreasing by construction.
+    """
+    a = _assigned(spark, sf_dir).select(
+        "user_id", "session_id", "event_type", "t_us"
+    )
+    key = ["user_id", "session_id"]
+    stage = a.groupBy(*key).agg(
+        F.min(
+            F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("t_us"))
+        ).alias("s_us")
+    ).filter(F.col("s_us").isNotNull())
+    stages = [stage]
+    for ev in FUNNEL_STAGES[1:]:
+        prev = stages[-1]
+        nxt = (
+            a.filter(F.col("event_type") == ev)
+            .join(prev, key)
+            .filter(F.col("t_us") >= F.col("s_us"))
+            .groupBy(*key)
+            .agg(F.min("t_us").alias("s_us"))
+        )
+        stages.append(nxt)
+    total = _sessions(spark, sf_dir).select(*key)
+    row = total.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    for ev, s in zip(FUNNEL_STAGES, stages):
+        row = row.crossJoin(
+            F.broadcast(
+                s.agg(F.count(F.lit(1)).cast("long").alias(f"reached_{ev}"))
+            )
+        )
+    return row
+
+
+_STAGES_BODY = """
+  , s1 AS (
+    SELECT user_id, session_id,
+           MIN(CASE WHEN event_type = 'view' THEN t_us END) AS s_us
+    FROM assigned GROUP BY user_id, session_id
+    HAVING MIN(CASE WHEN event_type = 'view' THEN t_us END) IS NOT NULL
+  ),
+  s2 AS (
+    SELECT a.user_id, a.session_id, MIN(a.t_us) AS s_us
+    FROM assigned a JOIN s1
+      ON a.user_id = s1.user_id AND a.session_id = s1.session_id
+    WHERE a.event_type = 'click' AND a.t_us >= s1.s_us
+    GROUP BY a.user_id, a.session_id
+  ),
+  s3 AS (
+    SELECT a.user_id, a.session_id, MIN(a.t_us) AS s_us
+    FROM assigned a JOIN s2
+      ON a.user_id = s2.user_id AND a.session_id = s2.session_id
+    WHERE a.event_type = 'purchase' AND a.t_us >= s2.s_us
+    GROUP BY a.user_id, a.session_id
+  )
+  SELECT CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions,
+         CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS reached_view,
+         CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS reached_click,
+         CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS reached_purchase
+"""
+
+EVT_SESSION_FUNNEL_STAGES_ORACLE = _SESSIONS_DUCK + _STAGES_BODY
+EVT_SESSION_FUNNEL_STAGES_SPARK_SQL = _SESSIONS_SPARK + _STAGES_BODY
+
+
 QUERIES = {
     "evt_sessionize_profile": evt_sessionize_profile,
     "evt_sessionize_top": evt_sessionize_top,
     "evt_session_funnel": evt_session_funnel,
+    "evt_session_funnel_stages": evt_session_funnel_stages,
 }
 
 ORACLES = {
     "evt_sessionize_profile": EVT_SESSIONIZE_PROFILE_ORACLE,
     "evt_sessionize_top": EVT_SESSIONIZE_TOP_ORACLE,
     "evt_session_funnel": EVT_SESSION_FUNNEL_ORACLE,
+    "evt_session_funnel_stages": EVT_SESSION_FUNNEL_STAGES_ORACLE,
 }
 
 SPARK_SQL = {
     "evt_sessionize_profile": EVT_SESSIONIZE_PROFILE_SPARK_SQL,
     "evt_sessionize_top": EVT_SESSIONIZE_TOP_SPARK_SQL,
     "evt_session_funnel": EVT_SESSION_FUNNEL_SPARK_SQL,
+    "evt_session_funnel_stages": EVT_SESSION_FUNNEL_STAGES_SPARK_SQL,
 }

@@ -768,3 +768,41 @@ def test_join_fanout_report_matches_actual_join(spark, sf_dir):
     assert r.left_rows == ords.count() and r.right_rows == li.count()
     assert r.n_common_keys <= min(r.n_left_keys, r.n_right_keys)
     assert r.amplification_ppm == actual * 1_000_000 // max(r.left_rows, r.right_rows)
+
+
+def test_session_funnel_stages_strict_order(spark, tmp_path):
+    """Session A: view, click, purchase in order -> reaches all three.
+    Session B: click BEFORE the first view, purchase after -> reaches
+    view but NOT click (strict order), so not purchase either. Session
+    C: view only. Funnel: 3 sessions, 3 views, 1 click, 1 purchase."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import sessionize as SZ
+
+    t0 = dt.datetime(2024, 3, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # session A (user 1)
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + m, 1, "click", 1.0, "{}"),
+        (3, t0 + 2 * m, 1, "purchase", 1.0, "{}"),
+        # session B (user 2): click precedes the first view
+        (4, t0, 2, "click", 1.0, "{}"),
+        (5, t0 + m, 2, "view", 1.0, "{}"),
+        (6, t0 + 2 * m, 2, "purchase", 1.0, "{}"),
+        # session C (user 3)
+        (7, t0, 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    key = _inject(spark, tmp_path, "events", df)
+    try:
+        r = SZ.evt_session_funnel_stages(spark, str(tmp_path)).collect()[0]
+    finally:
+        C._table_cache.pop(key, None)
+    assert (r.n_sessions, r.reached_view, r.reached_click,
+            r.reached_purchase) == (3, 3, 1, 1)
