@@ -370,11 +370,83 @@ EVT_SESSION_FUNNEL_STAGES_ORACLE = _SESSIONS_DUCK + _STAGES_BODY
 EVT_SESSION_FUNNEL_STAGES_SPARK_SQL = _SESSIONS_SPARK + _STAGES_BODY
 
 
+def evt_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time from a session's first click to its first purchase at or
+    after that click, over converted sessions: count, exact mean, and
+    p50/p90 seconds.
+
+    Two grouped passes (first-click table, then conditional-min join —
+    the funnel-stage pattern); the mean divides exact integer
+    microsecond sums once; the percentiles use the engine-aligned
+    interpolating percentile (the llm/lm.py tercile-cutoff precedent),
+    all rounded to 6 dp. Output: ONE row.
+    """
+    a = _assigned(spark, sf_dir).select(
+        "user_id", "session_id", "event_type", "t_us"
+    )
+    key = ["user_id", "session_id"]
+    clicks = a.groupBy(*key).agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("t_us"))).alias(
+            "c_us"
+        )
+    ).filter(F.col("c_us").isNotNull())
+    lat = (
+        a.filter(F.col("event_type") == "purchase")
+        .join(clicks, key)
+        .filter(F.col("t_us") >= F.col("c_us"))
+        .groupBy(*key)
+        .agg((F.min("t_us") - F.min("c_us")).alias("lat_us"))
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(
+            F.sum("lat_us") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
+        ).alias("mean_latency_s"),
+        F.round(F.percentile("lat_us", F.lit(0.5)) / F.lit(1_000_000.0), 6).alias(
+            "p50_s"
+        ),
+        F.round(F.percentile("lat_us", F.lit(0.9)) / F.lit(1_000_000.0), 6).alias(
+            "p90_s"
+        ),
+    )
+
+
+_LATENCY_BODY = """
+  , clicks AS (
+    SELECT user_id, session_id,
+           MIN(CASE WHEN event_type = 'click' THEN t_us END) AS c_us
+    FROM assigned GROUP BY user_id, session_id
+    HAVING MIN(CASE WHEN event_type = 'click' THEN t_us END) IS NOT NULL
+  ),
+  lat AS (
+    SELECT a.user_id, a.session_id, MIN(a.t_us) - MIN(c.c_us) AS lat_us
+    FROM assigned a JOIN clicks c
+      ON a.user_id = c.user_id AND a.session_id = c.session_id
+    WHERE a.event_type = 'purchase' AND a.t_us >= c.c_us
+    GROUP BY a.user_id, a.session_id
+  )
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+         ROUND(SUM(lat_us) / (COUNT(*) * CAST(1000000 AS DOUBLE)), 6)
+           AS mean_latency_s,
+         ROUND({P50} / CAST(1000000 AS DOUBLE), 6) AS p50_s,
+         ROUND({P90} / CAST(1000000 AS DOUBLE), 6) AS p90_s
+  FROM lat
+"""
+
+EVT_CONVERSION_LATENCY_ORACLE = _SESSIONS_DUCK + _LATENCY_BODY.format(
+    P50="quantile_cont(lat_us, 0.5)", P90="quantile_cont(lat_us, 0.9)"
+)
+EVT_CONVERSION_LATENCY_SPARK_SQL = _SESSIONS_SPARK + _LATENCY_BODY.format(
+    P50="percentile(lat_us, 0.5D)", P90="percentile(lat_us, 0.9D)"
+)
+
+
 QUERIES = {
     "evt_sessionize_profile": evt_sessionize_profile,
     "evt_sessionize_top": evt_sessionize_top,
     "evt_session_funnel": evt_session_funnel,
     "evt_session_funnel_stages": evt_session_funnel_stages,
+    "evt_conversion_latency": evt_conversion_latency,
 }
 
 ORACLES = {
@@ -382,6 +454,7 @@ ORACLES = {
     "evt_sessionize_top": EVT_SESSIONIZE_TOP_ORACLE,
     "evt_session_funnel": EVT_SESSION_FUNNEL_ORACLE,
     "evt_session_funnel_stages": EVT_SESSION_FUNNEL_STAGES_ORACLE,
+    "evt_conversion_latency": EVT_CONVERSION_LATENCY_ORACLE,
 }
 
 SPARK_SQL = {
@@ -389,4 +462,5 @@ SPARK_SQL = {
     "evt_sessionize_top": EVT_SESSIONIZE_TOP_SPARK_SQL,
     "evt_session_funnel": EVT_SESSION_FUNNEL_SPARK_SQL,
     "evt_session_funnel_stages": EVT_SESSION_FUNNEL_STAGES_SPARK_SQL,
+    "evt_conversion_latency": EVT_CONVERSION_LATENCY_SPARK_SQL,
 }

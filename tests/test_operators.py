@@ -806,3 +806,36 @@ def test_session_funnel_stages_strict_order(spark, tmp_path):
         C._table_cache.pop(key, None)
     assert (r.n_sessions, r.reached_view, r.reached_click,
             r.reached_purchase) == (3, 3, 1, 1)
+
+
+def test_conversion_latency_designed(spark, tmp_path):
+    """Two converted sessions with latencies 60s and 180s (plus a
+    pre-click purchase that must not count): mean 120s, p50 120s
+    (interpolated midpoint of two samples), p90 168s."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import sessionize as SZ
+
+    t0 = dt.datetime(2024, 3, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, t0, 1, "purchase", 1.0, "{}"),        # before click: ignored
+        (2, t0 + 10 * s, 1, "click", 1.0, "{}"),
+        (3, t0 + 70 * s, 1, "purchase", 1.0, "{}"),   # 60s
+        (4, t0, 2, "click", 1.0, "{}"),
+        (5, t0 + 180 * s, 2, "purchase", 1.0, "{}"),  # 180s
+        (6, t0, 3, "click", 1.0, "{}"),               # never converts
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    key = _inject(spark, tmp_path, "events", df)
+    try:
+        r = SZ.evt_conversion_latency(spark, str(tmp_path)).collect()[0]
+    finally:
+        C._table_cache.pop(key, None)
+    assert (r.n_converted, r.mean_latency_s, r.p50_s, r.p90_s) == (
+        2, 120.0, 120.0, 168.0)
