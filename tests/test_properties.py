@@ -387,3 +387,51 @@ def test_transition_matrix_conservation(spark, seq, tmp_path_factory):
         per_prev[r.prev_type].append(r.prob_ppm)
     for ppms in per_prev.values():
         assert 1_000_000 - len(ppms) < sum(ppms) <= 1_000_000
+
+
+@given(
+    gaps=st.lists(
+        st.lists(st.integers(min_value=1, max_value=30_000), min_size=0, max_size=8),
+        min_size=1,
+        max_size=4,
+    )
+)
+@_SETTINGS
+def test_sessionize_counts_match_reference_model(spark, gaps, tmp_path_factory):
+    """For ANY per-user gap sequence (seconds): the operator's session
+    count per user must equal the reference model 1 + #(gaps > GAP),
+    and total events must be conserved through the profile."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import sessionize as SZ
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    expected_sessions = 0
+    n_events = 0
+    for uid, user_gaps in enumerate(gaps, start=1):
+        t = t0
+        rows.append((eid, t, uid, "click", 1.0, "{}")); eid += 1
+        n_events += 1
+        expected_sessions += 1 + sum(
+            1 for g in user_gaps if g > SZ.SESSION_GAP_S
+        )
+        for g in user_gaps:
+            t = t + dt.timedelta(seconds=g)
+            rows.append((eid, t, uid, "click", 1.0, "{}")); eid += 1
+            n_events += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    tmp = tmp_path_factory.mktemp("sz")
+    key = (spark.sparkContext.applicationId, str(tmp), "events")
+    C._table_cache[key] = df
+    try:
+        prof = SZ.evt_sessionize_profile(spark, str(tmp)).collect()
+    finally:
+        C._table_cache.pop(key, None)
+    assert sum(r.n_sessions for r in prof) == expected_sessions
+    assert sum(r.n_events * r.n_sessions for r in prof) == n_events
