@@ -134,15 +134,103 @@ EVT_ACTIVITY_GINI_ORACLE = _GINI_BODY.format(DIV="//")
 EVT_ACTIVITY_GINI_SPARK_SQL = _GINI_BODY.format(DIV="div")
 
 
+def cust_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC revenue classification of customers (the 80/95 Pareto
+    cut): customers are ranked by lifetime spend descending and
+    assigned A while the cumulative share BEFORE them is under 80%,
+    B under 95%, else C — the straddling customer goes to the higher
+    class, so A is never empty.
+
+    All boundaries are exact integer inequalities on cents
+    (``prev_cum * 5 < 4 * total`` for 80%, ``prev_cum * 20 <
+    19 * total`` for 95%). One shuffle to the per-customer aggregate;
+    the ranking windows run on the dimension-sized table (the RFM
+    trade). Output: (abc_class, n_customers, revenue_c, share_ppm)
+    ordered by class.
+    """
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr("cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)")
+            .alias("spend_c")
+        )
+    )
+    w = Window.orderBy(F.col("spend_c").desc(), F.col("o_custkey").asc())
+    ranked = per.withColumn(
+        "cum_c", F.sum("spend_c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("total_c", F.sum("spend_c").over(Window.partitionBy()))
+    classed = ranked.withColumn(
+        "abc_class",
+        F.when(
+            F.expr("(cum_c - spend_c) * 5 < 4 * total_c"), F.lit("A")
+        ).when(
+            F.expr("(cum_c - spend_c) * 20 < 19 * total_c"), F.lit("B")
+        ).otherwise(F.lit("C")),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("spend_c").cast("long").alias("revenue_c"),
+        )
+        .withColumn(
+            "share_ppm",
+            F.expr("cast(revenue_c * 1000000 div sum(revenue_c) over () as bigint)"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+_ABC_BODY = """
+  WITH per AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS spend_c
+    FROM orders GROUP BY o_custkey
+  ),
+  ranked AS (
+    SELECT o_custkey, spend_c,
+           SUM(spend_c) OVER (ORDER BY spend_c DESC, o_custkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+           SUM(spend_c) OVER () AS total_c
+    FROM per
+  ),
+  classed AS (
+    SELECT spend_c,
+           CASE WHEN (cum_c - spend_c) * 5 < 4 * total_c THEN 'A'
+                WHEN (cum_c - spend_c) * 20 < 19 * total_c THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+  ),
+  agg AS (
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(spend_c) AS BIGINT) AS revenue_c
+    FROM classed GROUP BY abc_class
+  )
+  SELECT abc_class, n_customers, revenue_c,
+         CAST(revenue_c * 1000000 {DIV} SUM(revenue_c) OVER () AS BIGINT)
+           AS share_ppm
+  FROM agg
+  ORDER BY abc_class
+"""
+
+CUST_ABC_CLASSES_ORACLE = _ABC_BODY.format(DIV="//")
+CUST_ABC_CLASSES_SPARK_SQL = _ABC_BODY.format(DIV="div")
+
+
 QUERIES = {
     "evt_activity_deciles": evt_activity_deciles,
     "evt_activity_gini": evt_activity_gini,
+    "cust_abc_classes": cust_abc_classes,
 }
 ORACLES = {
     "evt_activity_deciles": EVT_ACTIVITY_DECILES_ORACLE,
     "evt_activity_gini": EVT_ACTIVITY_GINI_ORACLE,
+    "cust_abc_classes": CUST_ABC_CLASSES_ORACLE,
 }
 SPARK_SQL = {
     "evt_activity_deciles": EVT_ACTIVITY_DECILES_SPARK_SQL,
     "evt_activity_gini": EVT_ACTIVITY_GINI_SPARK_SQL,
+    "cust_abc_classes": CUST_ABC_CLASSES_SPARK_SQL,
 }

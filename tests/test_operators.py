@@ -839,3 +839,38 @@ def test_conversion_latency_designed(spark, tmp_path):
         C._table_cache.pop(key, None)
     assert (r.n_converted, r.mean_latency_s, r.p50_s, r.p90_s) == (
         2, 120.0, 120.0, 168.0)
+
+
+def test_abc_classes_designed_boundaries(spark, tmp_path):
+    """Spends 80/15/5 (of 100): the 80-unit customer is A (nothing
+    precedes it), the 15-unit lands exactly AT the 80% boundary ->
+    strict < sends it to B, and the 5-unit sits at 95% -> C."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import concentration as CN
+
+    t = dt.datetime(1997, 1, 1)
+    rows = [
+        (1, 100, "F", 80.00, t, "1-URGENT"),
+        (2, 200, "F", 15.00, t, "1-URGENT"),
+        (3, 300, "F", 5.00, t, "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    key = _inject(spark, tmp_path, "orders", df)
+    try:
+        got = {
+            r.abc_class: (r.n_customers, r.revenue_c, r.share_ppm)
+            for r in CN.cust_abc_classes(spark, str(tmp_path)).collect()
+        }
+    finally:
+        C._table_cache.pop(key, None)
+    assert got == {
+        "A": (1, 8000, 800_000),
+        "B": (1, 1500, 150_000),
+        "C": (1, 500, 50_000),
+    }
