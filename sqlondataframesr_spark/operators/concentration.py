@@ -6,11 +6,16 @@ generate 90% of traffic?" questions — the measurement side of the
 skew story that `operators/salt` handles mechanically.
 
 Scale design (100 TB): both operators reduce events to ONE row per
-user in a single partial-aggregated shuffle; the decile `ntile` and
-the Gini rank then run over the user-level aggregate (the same
-dimension-sized single-task-sort trade documented for
-`journeys.cust_rfm_segments`; the approximate path at extreme user
-counts is `percentile_approx` breakpoints).
+user in a single partial-aggregated shuffle; the decile bucketing and
+the Gini rank then run over the user-level aggregate via
+:func:`operators.drank.with_global_rank` — a range shuffle + N
+parallel per-partition sorts + broadcast offsets, NEVER an
+unpartitioned window (VERDICT r9 item 1: the old exact-``ntile``
+single-task sort was the named 10^8-user bottleneck). The rank is
+bit-for-bit the single sort's, so the oracles below keep their plain
+``OVER (ORDER BY ...)`` form and every output stays EXACT. Plan shape
+(no Sort fed by Exchange SinglePartition, rangepartitioning present)
+is pinned in tests/test_plans.py.
 
 Determinism: shares are integer ppm; the Gini numerator
 ``2*Σ(i·x_i) − (n+1)·Σx`` is exact bigint with a documented range
@@ -21,9 +26,10 @@ approximation (the rank sum, not the data, is what overflows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
+from .drank import ntile_expr, with_global_rank
 
 #: Pareto bucket count (deciles)
 N_DECILES = 10
@@ -44,11 +50,17 @@ def evt_activity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (decile, n_users, n_events, share_ppm) ordered by decile.
     """
-    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
-    bucketed = _per_user(spark, sf_dir).select(
-        F.ntile(N_DECILES).over(w).cast("long").alias("decile"), "n_events"
+    ranked = with_global_rank(
+        _per_user(spark, sf_dir),
+        [("n_events", "desc"), ("user_id", "asc")],
+        value_col="n_events",
     )
-    per_decile = bucketed.groupBy("decile").agg(
+    bucketed = ranked.select(
+        ntile_expr("g_rank", "g_n", N_DECILES).alias("decile"),
+        "n_events",
+        "g_vtotal",
+    )
+    per_decile = bucketed.groupBy("decile", "g_vtotal").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("n_events").cast("long").alias("n_events"),
     )
@@ -56,9 +68,7 @@ def evt_activity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile",
         "n_users",
         "n_events",
-        F.expr("n_events * 1000000L div sum(n_events) over ()")
-        .cast("long")
-        .alias("share_ppm"),
+        F.expr("n_events * 1000000L div g_vtotal").cast("long").alias("share_ppm"),
     ).orderBy("decile")
 
 
@@ -98,10 +108,11 @@ def evt_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: ONE row (n_users, total_events, gini_ppm).
     """
-    w = Window.orderBy(F.col("n_events").asc(), F.col("user_id").asc())
-    ranked = _per_user(spark, sf_dir).select(
-        F.row_number().over(w).cast("long").alias("i"), "n_events"
-    )
+    ranked = with_global_rank(
+        _per_user(spark, sf_dir),
+        [("n_events", "asc"), ("user_id", "asc")],
+        rank_name="i",
+    ).select("i", "n_events")
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("n_events").cast("long").alias("total_events"),
@@ -144,8 +155,10 @@ def cust_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     All boundaries are exact integer inequalities on cents
     (``prev_cum * 5 < 4 * total`` for 80%, ``prev_cum * 20 <
     19 * total`` for 95%). One shuffle to the per-customer aggregate;
-    the ranking windows run on the dimension-sized table (the RFM
-    trade). Output: (abc_class, n_customers, revenue_c, share_ppm)
+    the cumulative spend is a distributed prefix sum
+    (:func:`drank.with_global_rank` — range shuffle + parallel
+    per-partition running sums + broadcast offsets, no single-task
+    sort). Output: (abc_class, n_customers, revenue_c, share_ppm)
     ordered by class.
     """
     per = (
@@ -156,10 +169,13 @@ def cust_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("spend_c")
         )
     )
-    w = Window.orderBy(F.col("spend_c").desc(), F.col("o_custkey").asc())
-    ranked = per.withColumn(
-        "cum_c", F.sum("spend_c").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    ).withColumn("total_c", F.sum("spend_c").over(Window.partitionBy()))
+    ranked = with_global_rank(
+        per,
+        [("spend_c", "desc"), ("o_custkey", "asc")],
+        value_col="spend_c",
+        cum_name="cum_c",
+        vtotal_name="total_c",
+    )
     classed = ranked.withColumn(
         "abc_class",
         F.when(
@@ -169,14 +185,18 @@ def cust_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("C")),
     )
     return (
-        classed.groupBy("abc_class")
+        classed.groupBy("abc_class", "total_c")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
             F.sum("spend_c").cast("long").alias("revenue_c"),
         )
-        .withColumn(
-            "share_ppm",
-            F.expr("cast(revenue_c * 1000000 div sum(revenue_c) over () as bigint)"),
+        .select(
+            "abc_class",
+            "n_customers",
+            "revenue_c",
+            F.expr("cast(revenue_c * 1000000 div total_c as bigint)").alias(
+                "share_ppm"
+            ),
         )
         .orderBy("abc_class")
     )

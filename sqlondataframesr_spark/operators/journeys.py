@@ -14,14 +14,14 @@ Scale design:
   so its exchange moves <= 25 rows.
 - ``cust_rfm_segments`` — recency/frequency/monetary reduce to ONE row
   per customer in a single partial-aggregated shuffle (the fact table
-  is touched once); the exact-quintile ``ntile`` windows then run over
-  the customer-level aggregate. An unpartitioned ntile IS a
-  single-task sort — the honest price of EXACT quintiles, paid on the
-  dimension-sized aggregate (orders of magnitude below the fact
-  table), never on raw orders. The 100 TB relaxation is
-  ``percentile_approx`` breakpoints + a broadcast range join (same
-  trade documented at llm/lm.py:236 for the tercile gate); exact ntile
-  is kept here because it is the form an oracle can replay exactly.
+  is touched once); the three exact quintiles are then computed over
+  the customer-level aggregate by ``operators.drank.with_global_rank``
+  (range shuffle + parallel per-partition sorts + broadcast offsets —
+  VERDICT r9 item 1 replaced the old unpartitioned ``ntile``, which
+  was a single-task sort at 10^8+ customers) and converted to NTILE
+  buckets by the exact closed form ``drank.ntile_expr``. Bit-for-bit
+  the quintiles the oracle's plain ``NTILE(5) OVER (ORDER BY ...)``
+  assigns, because every order ends in the unique ``o_custkey``.
 - ``orders_snapshot_diff`` — change-data-capture between the snapshot
   at cutoff T1 and the current snapshot, FUSED into one conditional
   aggregation pass (``sum(if(date < T1, cents, 0))`` vs ``sum(cents)``)
@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
+from .drank import ntile_expr, with_global_rank
 
 _CENTS = "cast(round(o_totalprice * 100) as bigint)"
 
@@ -136,15 +137,17 @@ def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_days", F.datediff("ref_date", "last_order").cast("long")
     )
     n = RFM_BUCKETS
-    r_w = Window.orderBy(F.col("r_days").asc(), F.col("o_custkey").asc())
-    f_w = Window.orderBy(F.col("f_orders").desc(), F.col("o_custkey").asc())
-    m_w = Window.orderBy(F.col("m_cents").desc(), F.col("o_custkey").asc())
-    quintiled = scored.select(
-        F.ntile(n).over(r_w).cast("long").alias("r_q"),
-        F.ntile(n).over(f_w).cast("long").alias("f_q"),
-        F.ntile(n).over(m_w).cast("long").alias("m_q"),
-        "m_cents",
-    )
+    axes = [
+        ("r_q", [("r_days", "asc"), ("o_custkey", "asc")]),
+        ("f_q", [("f_orders", "desc"), ("o_custkey", "asc")]),
+        ("m_q", [("m_cents", "desc"), ("o_custkey", "asc")]),
+    ]
+    cur = scored
+    for q_name, order in axes:
+        cur = with_global_rank(
+            cur, order, rank_name="__rank", total_name="__n"
+        ).withColumn(q_name, ntile_expr("__rank", "__n", n)).drop("__rank", "__n")
+    quintiled = cur.select("r_q", "f_q", "m_q", "m_cents")
     return (
         quintiled.groupBy("r_q", "f_q", "m_q")
         .agg(

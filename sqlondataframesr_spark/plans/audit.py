@@ -26,6 +26,17 @@ _JOIN_RE = re.compile(
     r"BroadcastNestedLoopJoin|CartesianProduct)"
 )
 
+#: a Sort whose input is a single-partition exchange — the whole
+#: relation serializes through ONE task (the unpartitioned-window
+#: trap, VERDICT r9 item 1). Scalar-aggregate gathers also use
+#: Exchange SinglePartition but feed a HashAggregate, not a Sort, so
+#: they don't match. Tolerates one AQE/reuse wrapper line between the
+#: Sort and the exchange (ShuffleQueryStage / ReusedExchange).
+_SINGLE_TASK_SORT_RE = re.compile(
+    r"Sort \[[^\n]*\n(?:[^\n]*(?:ShuffleQueryStage|AQEShuffleRead)[^\n]*\n)?"
+    r"[^\n]*Exchange SinglePartition"
+)
+
 
 @dataclass
 class PlanAudit:
@@ -36,6 +47,7 @@ class PlanAudit:
     n_exchanges: int = 0
     has_cartesian: bool = False
     has_fused_topk: bool = False
+    has_single_task_sort: bool = False
 
     def scan_columns(self) -> set[str]:
         """Union of all columns any scan actually reads."""
@@ -83,4 +95,5 @@ def audit(df: DataFrame) -> PlanAudit:
         n_exchanges=plan.count("Exchange hashpartitioning"),
         has_cartesian="CartesianProduct" in plan,
         has_fused_topk="TakeOrderedAndProject" in plan,
+        has_single_task_sort=bool(_SINGLE_TASK_SORT_RE.search(plan)),
     )

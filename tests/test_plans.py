@@ -538,3 +538,28 @@ def test_skew_report_is_one_agg_with_fused_topk(spark, sf_dir):
     a = _audit(spark, sf_dir, "skew_key_report")
     assert a.has_fused_topk or "TakeOrderedAndProject" in a.text
     assert not a.has_cartesian or "BroadcastNestedLoopJoin" in a.text
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "evt_activity_deciles",
+        "evt_activity_gini",
+        "cust_abc_classes",
+        "cust_rfm_segments",
+    ],
+)
+def test_rank_operators_have_no_single_task_sort(spark, sf_dir, name):
+    """VERDICT r9 item 1: the concentration/RFM operators must compute
+    their exact global ranks via the distributed two-phase rank
+    (rangepartitioning + per-partition sorts + broadcast offsets),
+    NEVER an unpartitioned ntile/row_number window — a Sort fed by
+    Exchange SinglePartition serializes the whole relation through one
+    task at 10^8+ rows. `has_single_task_sort` matches exactly that
+    plan shape (scalar-aggregate gathers, which also use
+    SinglePartition but feed a HashAggregate, do not count)."""
+    a = _audit(spark, sf_dir, name)
+    assert not a.has_single_task_sort
+    assert "rangepartitioning" in a.text
+    assert "ntile" not in a.text
+    assert not a.has_cartesian or "BroadcastNestedLoopJoin" in a.text
