@@ -874,3 +874,52 @@ def test_abc_classes_designed_boundaries(spark, tmp_path):
         "B": (1, 1500, 150_000),
         "C": (1, 500, 50_000),
     }
+
+
+def test_basket_capped_designed_and_report(spark, tmp_path):
+    """Designed baskets: {1,2}, {1,2}, {1,2,3,4,5,6,7} (7 distinct
+    parts — over BASKET_SIZE_CAP=6). The capped operator analyzes only
+    the two small baskets: pair (1,2) support 2, n_a=n_b=n_baskets=2,
+    lift = 2*2/(2*2) = 1e6 ppm. The report counts the dropped basket
+    and flags cap_binds. With a cap above the max size, capped output
+    equals uncapped exactly (the property the docstring promises)."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import affinity as A
+
+    t = dt.datetime(1997, 1, 1)
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2)] + [(12, p) for p in range(1, 8)]
+    df = spark.createDataFrame(
+        [(o, p, 5, 1.0, 10.0, 0.0, "N", t) for o, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " l_shipdate timestamp",
+    )
+    key = _inject(spark, tmp_path, "lineitem", df)
+    try:
+        capped = [
+            (r.part_a, r.part_b, r.n_orders, r.n_a, r.n_b, r.lift_ppm)
+            for r in A.basket_top_pairs_capped(spark, str(tmp_path)).collect()
+        ]
+        assert capped == [(1, 2, 2, 2, 2, 1_000_000)]
+        rep = A.basket_cap_report(spark, str(tmp_path)).collect()[0]
+        assert (
+            rep.n_baskets,
+            rep.max_basket_size,
+            rep.size_cap,
+            rep.n_baskets_dropped,
+            rep.cap_binds,
+        ) == (3, 7, A.BASKET_SIZE_CAP, 1, True)
+        uncapped = sorted(
+            tuple(r) for r in A.basket_top_pairs(spark, str(tmp_path)).collect()
+        )
+        wide = sorted(
+            tuple(r)
+            for r in A.basket_top_pairs_capped(
+                spark, str(tmp_path), cap=10**9
+            ).collect()
+        )
+        assert wide == uncapped
+    finally:
+        C._table_cache.pop(key, None)
