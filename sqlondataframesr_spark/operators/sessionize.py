@@ -47,19 +47,40 @@ _GAP_US = SESSION_GAP_S * 1_000_000
 #: top-k for the per-session leaderboard report
 TOP_SESSIONS_K = 15
 
+#: max events per user admitted by the capped variant (bot guard) —
+#: synthetic per-user counts run ~45..99 at every SF, so 80 genuinely
+#: binds on this corpus and the cap report proves it
+USER_EVENTS_CAP = 80
+
 _VAL_MICRO = "cast(round(round(value, 6) * 1000000.0) as bigint)"
 
 
-def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _assigned(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
     """Events with their session ordinal: (user_id, ts, event_id,
     event_type, v_micro, t_us, session_id). session_id is the
     per-user 1-based ordinal of the session in time order —
     deterministic given the (ts, event_id) sort. Downstream consumers
     that don't touch event_type/v_micro get them pruned by Catalyst
-    before the window shuffle."""
+    before the window shuffle.
+
+    ``cap``: drop every event of users with more than ``cap`` events
+    (the bot guard — the per-key window is inherently sequential, so a
+    10^8-event bot key IS one task's worth of work; the cap bounds it
+    and :func:`evt_sessionize_cap_report` makes the drop loud). The
+    per-user count is a COUNT() over the SAME user_id partitioning the
+    session windows need, so capping adds zero exchanges."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", F.expr(_VAL_MICRO).alias("v_micro")
     )
+    if cap is not None:
+        wu = Window.partitionBy("user_id")
+        ev = (
+            ev.withColumn("u_n", F.count(F.lit(1)).over(wu))
+            .filter(F.col("u_n") <= cap)
+            .drop("u_n")
+        )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.withColumn("t_us", F.unix_micros("ts")).withColumn(
         "new_session",
@@ -75,10 +96,12 @@ def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sessions(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
     """Per-session stats: (user_id, session_id, session_start,
     session_end, n_events, duration_s, total_value)."""
-    return _assigned(spark, sf_dir).groupBy("user_id", "session_id").agg(
+    return _assigned(spark, sf_dir, cap).groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -143,15 +166,30 @@ def evt_sessionize_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SESSIONS_DUCK = f"""
-  WITH flagged AS (
+def _sessions_cte(epoch: str, cap: int | None = None) -> str:
+    """The flagged/assigned/sess CTE prefix, parameterized over the
+    engine's exact epoch-microseconds function (DuckDB ``epoch_us``,
+    Spark ``unix_micros``) and the optional per-user event cap."""
+    capped, src = "", "events"
+    if cap is not None:
+        capped = f"""capped AS (
+    SELECT user_id, ts, event_id, event_type, value FROM (
+      SELECT user_id, ts, event_id, event_type, value,
+             COUNT(*) OVER (PARTITION BY user_id) AS u_n
+      FROM events
+    ) AS t WHERE u_n <= {cap}
+  ),
+  """
+        src = "capped"
+    return f"""
+  WITH {capped}flagged AS (
     SELECT user_id, ts, event_id, event_type,
            CAST(round(round(value, 6) * 1000000.0) AS BIGINT) AS v_micro,
-           epoch_us(ts) AS t_us,
-           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+           {epoch}(ts) AS t_us,
+           CASE WHEN {epoch}(ts) - lag({epoch}(ts)) OVER
                      (PARTITION BY user_id ORDER BY ts, event_id) <= {_GAP_US}
                 THEN 0 ELSE 1 END AS new_session
-    FROM events
+    FROM {src}
   ),
   assigned AS (
     SELECT *, SUM(new_session) OVER
@@ -169,31 +207,11 @@ _SESSIONS_DUCK = f"""
   )
 """
 
-_SESSIONS_SPARK = f"""
-  WITH flagged AS (
-    SELECT user_id, ts, event_id, event_type,
-           CAST(round(round(value, 6) * 1000000.0) AS BIGINT) AS v_micro,
-           unix_micros(ts) AS t_us,
-           CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) OVER
-                     (PARTITION BY user_id ORDER BY ts, event_id) <= {_GAP_US}
-                THEN 0 ELSE 1 END AS new_session
-    FROM events
-  ),
-  assigned AS (
-    SELECT *, SUM(new_session) OVER
-             (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-    FROM flagged
-  ),
-  sess AS (
-    SELECT user_id, session_id,
-           MIN(ts) AS session_start, MAX(ts) AS session_end,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND((MAX(t_us) - MIN(t_us)) / CAST(1000000 AS DOUBLE), 6) AS duration_s,
-           ROUND(SUM(v_micro) / CAST(1000000 AS DOUBLE), 6) AS total_value
-    FROM assigned GROUP BY user_id, session_id
-  )
-"""
+
+_SESSIONS_DUCK = _sessions_cte("epoch_us")
+_SESSIONS_SPARK = _sessions_cte("unix_micros")
+_SESSIONS_DUCK_CAPPED = _sessions_cte("epoch_us", USER_EVENTS_CAP)
+_SESSIONS_SPARK_CAPPED = _sessions_cte("unix_micros", USER_EVENTS_CAP)
 
 _PROFILE_BODY = """
   SELECT n_events,
@@ -217,6 +235,88 @@ _TOP_BODY = f"""
 
 EVT_SESSIONIZE_TOP_ORACLE = _SESSIONS_DUCK + _TOP_BODY
 EVT_SESSIONIZE_TOP_SPARK_SQL = _SESSIONS_SPARK + _TOP_BODY
+
+
+def evt_sessionize_profile_capped(
+    spark: SparkSession, sf_dir: str, cap: int = USER_EVENTS_CAP
+) -> DataFrame:
+    """:func:`evt_sessionize_profile` restricted to users with at most
+    ``cap`` events — the bot guard (VERDICT r9 item 6). Sessionization
+    is per-key sequential, so one 10^8-event bot key is ONE task's
+    sort in any engine; the cap bounds the worst task and
+    :func:`evt_sessionize_cap_report` counts what was dropped (the
+    affinity/dedup cap idiom: degrade loudly, never silently).
+
+    The per-user count rides the SAME user_id hash partitioning the
+    session windows need — capping adds zero exchanges (plan-pinned).
+    With ``cap >= max per-user count`` the output is identical to the
+    uncapped profile (tested).
+    """
+    s = _sessions(spark, sf_dir, cap)
+    return (
+        s.groupBy("n_events")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.round(
+                F.sum(F.expr("cast(round(duration_s * 1000000.0) as bigint)"))
+                / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+                6,
+            ).alias("avg_duration_s"),
+            F.max("duration_s").alias("max_duration_s"),
+        )
+        .orderBy("n_events")
+    )
+
+
+EVT_SESSIONIZE_PROFILE_CAPPED_ORACLE = _SESSIONS_DUCK_CAPPED + _PROFILE_BODY
+EVT_SESSIONIZE_PROFILE_CAPPED_SPARK_SQL = _SESSIONS_SPARK_CAPPED + _PROFILE_BODY
+
+
+def evt_sessionize_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-binding signal for :func:`evt_sessionize_profile_capped`:
+    one row saying whether :data:`USER_EVENTS_CAP` binds on this
+    corpus — ``cap_binds = true`` means hot users were excluded and
+    the capped profile is a sub-corpus analysis. Costs one keyed count
+    (one shuffle straight down to per-user totals).
+
+    Output: (n_users, max_user_events, events_cap, n_users_dropped,
+    n_events_dropped, cap_binds).
+    """
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cap = USER_EVENTS_CAP
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.max("n").cast("long").alias("max_user_events"),
+        F.lit(cap).cast("long").alias("events_cap"),
+        F.sum(F.expr(f"if(n > {cap}, 1L, 0L)")).cast("long").alias(
+            "n_users_dropped"
+        ),
+        F.sum(F.expr(f"if(n > {cap}, n, 0L)")).cast("long").alias(
+            "n_events_dropped"
+        ),
+        (F.max("n") > F.lit(cap)).alias("cap_binds"),
+    )
+
+
+EVT_SESSIONIZE_CAP_REPORT_SQL = f"""
+  WITH per AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+  )
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(MAX(n) AS BIGINT) AS max_user_events,
+         CAST({USER_EVENTS_CAP} AS BIGINT) AS events_cap,
+         CAST(SUM(CASE WHEN n > {USER_EVENTS_CAP} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_users_dropped,
+         CAST(SUM(CASE WHEN n > {USER_EVENTS_CAP} THEN n ELSE 0 END)
+              AS BIGINT) AS n_events_dropped,
+         MAX(n) > {USER_EVENTS_CAP} AS cap_binds
+  FROM per
+"""
 
 
 def evt_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,6 +543,8 @@ EVT_CONVERSION_LATENCY_SPARK_SQL = _SESSIONS_SPARK + _LATENCY_BODY.format(
 
 QUERIES = {
     "evt_sessionize_profile": evt_sessionize_profile,
+    "evt_sessionize_profile_capped": evt_sessionize_profile_capped,
+    "evt_sessionize_cap_report": evt_sessionize_cap_report,
     "evt_sessionize_top": evt_sessionize_top,
     "evt_session_funnel": evt_session_funnel,
     "evt_session_funnel_stages": evt_session_funnel_stages,
@@ -451,6 +553,8 @@ QUERIES = {
 
 ORACLES = {
     "evt_sessionize_profile": EVT_SESSIONIZE_PROFILE_ORACLE,
+    "evt_sessionize_profile_capped": EVT_SESSIONIZE_PROFILE_CAPPED_ORACLE,
+    "evt_sessionize_cap_report": EVT_SESSIONIZE_CAP_REPORT_SQL,
     "evt_sessionize_top": EVT_SESSIONIZE_TOP_ORACLE,
     "evt_session_funnel": EVT_SESSION_FUNNEL_ORACLE,
     "evt_session_funnel_stages": EVT_SESSION_FUNNEL_STAGES_ORACLE,
@@ -459,6 +563,9 @@ ORACLES = {
 
 SPARK_SQL = {
     "evt_sessionize_profile": EVT_SESSIONIZE_PROFILE_SPARK_SQL,
+    "evt_sessionize_profile_capped": EVT_SESSIONIZE_PROFILE_CAPPED_SPARK_SQL,
+    # the cap report is engine-portable SQL - one text, both engines
+    "evt_sessionize_cap_report": EVT_SESSIONIZE_CAP_REPORT_SQL,
     "evt_sessionize_top": EVT_SESSIONIZE_TOP_SPARK_SQL,
     "evt_session_funnel": EVT_SESSION_FUNNEL_SPARK_SQL,
     "evt_session_funnel_stages": EVT_SESSION_FUNNEL_STAGES_SPARK_SQL,

@@ -923,3 +923,70 @@ def test_basket_capped_designed_and_report(spark, tmp_path):
         assert wide == uncapped
     finally:
         C._table_cache.pop(key, None)
+
+
+def test_sessionize_capped_designed_and_wide_cap_identity(spark, tmp_path):
+    """Designed events: user 1 has 2 events (one session), user 2 has
+    5 (over cap=3). With cap=3 only user 1 is sessionized — profile is
+    a single (n_events=2) row. With a cap above every user's count the
+    capped profile equals the uncapped one row-for-row."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import sessionize as SZ
+
+    t0 = dt.datetime(2024, 5, 1)
+    s = dt.timedelta(seconds=30)
+    rows = [(i, t0 + i * s, 1, "view", 1.0, "{}") for i in range(2)] + [
+        (10 + i, t0 + i * s, 2, "view", 1.0, "{}") for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    key = _inject(spark, tmp_path, "events", df)
+    try:
+        prof = SZ.evt_sessionize_profile_capped(
+            spark, str(tmp_path), cap=3
+        ).collect()
+        assert [(r.n_events, r.n_sessions) for r in prof] == [(2, 1)]
+        wide = sorted(
+            tuple(r)
+            for r in SZ.evt_sessionize_profile_capped(
+                spark, str(tmp_path), cap=10**9
+            ).collect()
+        )
+        base = sorted(
+            tuple(r)
+            for r in SZ.evt_sessionize_profile(spark, str(tmp_path)).collect()
+        )
+        assert wide == base
+    finally:
+        C._table_cache.pop(key, None)
+
+
+def test_sessionize_cap_report_real_data(spark, sf_dir):
+    """On the synthetic corpus the 80-event cap binds (max per-user
+    count is 86..99 at every SF) and the report's drop accounting is
+    internally consistent."""
+    from sqlondataframesr_spark.operators import sessionize as SZ
+
+    r = SZ.evt_sessionize_cap_report(spark, sf_dir).collect()[0]
+    assert r.events_cap == SZ.USER_EVENTS_CAP
+    assert r.cap_binds and r.max_user_events > r.events_cap
+    assert 0 < r.n_users_dropped < r.n_users
+    assert r.n_events_dropped >= r.n_users_dropped * (r.events_cap + 1)
+
+
+def test_sessionize_cap_adds_zero_exchanges(spark, sf_dir):
+    """The per-user count rides the session windows' user_id
+    partitioning: the capped profile plan has exactly as many hash
+    exchanges as the uncapped one, and no single-task sort."""
+    from sqlondataframesr_spark.operators import sessionize as SZ
+    from sqlondataframesr_spark.plans.audit import audit
+
+    capped = audit(SZ.evt_sessionize_profile_capped(spark, sf_dir))
+    base = audit(SZ.evt_sessionize_profile(spark, sf_dir))
+    assert capped.n_exchanges == base.n_exchanges
+    assert not capped.has_single_task_sort
