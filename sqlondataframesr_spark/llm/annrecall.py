@@ -1,0 +1,138 @@
+"""Unified recall@k report for EVERY approximate ANN variant vs the
+exact brute-force baseline (VERDICT r9 item 7) — the one number an ANN
+user asks first, generalizing ``ann_matryoshka_recall_report`` from a
+single rung to the whole family: LSH, IVF (fixed + Lloyd-trained),
+SQ8, Matryoshka, PQ-ADC and IVF-PQ.
+
+North-star extension (no reference counterpart): every approximate
+operator in this repo ships with its own quality meter (the
+cap-report/recall-report posture); this module is the family-wide
+dashboard row.
+
+Scale design (100 TB): the report itself is bounded by
+``N_QUERIES x TOP_K x n_methods`` rows — the heavy lifting happens
+inside the (already banded/clustered, individually plan-pinned) ANN
+pipelines it composes. The hit join is a broadcast of the candidate
+set onto the brute-force truth set; nothing here scales with corpus
+size beyond what the underlying operators already pay.
+
+Determinism: recall is integer PPM (``n_hits * 10^6 div n_possible``),
+the repo-wide exact-division idiom, so the DuckDB oracle (a literal
+composition of the per-method oracle texts) hashes identically.
+
+No SPARK_SQL dual: this is a composition of registered queries
+(several of which, e.g. the Lloyd-trained IVF, are themselves
+non-dialect-expressible) — same justification as
+``ann_matryoshka_recall_report``'s entry in COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import pq as _pq
+from . import similarity as _sim
+
+#: (method label, Spark query fn, DuckDB oracle SQL) — label-sorted
+#: output; every entry's fn/oracle pair is itself driver-gated
+_METHODS = [
+    ("ivf", _sim.ann_ivf_topk, "ann_ivf_topk"),
+    ("ivf_pq", _pq.ann_ivf_pq_topk, "ann_ivf_pq_topk"),
+    ("ivf_trained", _sim.ann_ivf_trained, "ann_ivf_trained"),
+    ("lsh", _sim.ann_lsh_topk, "ann_lsh_topk"),
+    ("matryoshka", _sim.ann_matryoshka_topk, "ann_matryoshka_topk"),
+    ("pq_adc", _pq.ann_pq_adc, "ann_pq_adc"),
+    ("sq8", _sim.ann_sq8_topk, "ann_sq8_topk"),
+]
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@:data:`similarity.TOP_K` of each ANN method against the
+    exact brute-force top-k, one row per method: how many of the true
+    top-k pairs the approximate index recovered, pooled over all
+    :data:`similarity.N_QUERIES` queries.
+
+    Output: (method, n_hits, n_possible, recall_ppm) ordered by
+    method. ``n_possible = N_QUERIES * TOP_K`` (brute force always
+    returns a full top-k here); methods whose candidate generation
+    misses a bucket simply score fewer hits — that IS the signal.
+    """
+    bf = _sim.ann_cosine_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    cand = None
+    for label, fn, _ in _METHODS:
+        c = fn(spark, sf_dir).select(
+            F.lit(label).alias("method"),
+            "q_id",
+            "neighbor_id",
+            F.lit(1).alias("hit"),
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    methods = spark.range(1).select(
+        F.explode(F.array(*[F.lit(m) for m, _, _ in _METHODS])).alias("method")
+    )
+    pairs = bf.crossJoin(F.broadcast(methods))
+    return (
+        pairs.join(F.broadcast(cand), ["method", "q_id", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.count("hit").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("n_possible"),
+        )
+        .select(
+            "method",
+            "n_hits",
+            "n_possible",
+            F.expr("n_hits * 1000000L div n_possible")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("method")
+    )
+
+
+def _recall_oracle() -> str:
+    """Literal composition of the per-method DuckDB oracle texts —
+    each already-gated top-k SQL becomes a nested subquery, so this
+    oracle is exactly as trustworthy as its parts."""
+    from . import pq as pqmod
+    from . import similarity as simmod
+
+    texts = {
+        "ann_ivf_topk": simmod.ANN_IVF_TOPK_ORACLE,
+        "ann_ivf_pq_topk": pqmod.ORACLES["ann_ivf_pq_topk"],
+        "ann_ivf_trained": simmod.ORACLES["ann_ivf_trained"],
+        "ann_lsh_topk": simmod.ANN_LSH_TOPK_ORACLE,
+        "ann_matryoshka_topk": simmod.ANN_MATRYOSHKA_TOPK_ORACLE,
+        "ann_pq_adc": pqmod.ORACLES["ann_pq_adc"],
+        "ann_sq8_topk": simmod.ANN_SQ8_TOPK_ORACLE,
+    }
+    branches = " UNION ALL ".join(
+        f"SELECT '{label}' AS method, q_id, neighbor_id FROM ({texts[key]}) t_{label}"
+        for label, _, key in _METHODS
+    )
+    return f"""
+WITH bf AS (
+  SELECT q_id, neighbor_id FROM ({_sim.ANN_COSINE_TOPK_ORACLE}) t_bf
+),
+cand AS ({branches}),
+methods AS (SELECT DISTINCT method FROM cand),
+pairs AS (SELECT m.method, bf.q_id, bf.neighbor_id FROM bf CROSS JOIN methods m),
+hits AS (
+  SELECT p.method,
+         COUNT(c.q_id) AS n_hits,
+         COUNT(*) AS n_possible
+  FROM pairs p LEFT JOIN cand c
+    ON c.method = p.method AND c.q_id = p.q_id
+   AND c.neighbor_id = p.neighbor_id
+  GROUP BY p.method
+)
+SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_possible AS BIGINT) AS n_possible,
+       CAST(n_hits * 1000000 // n_possible AS BIGINT) AS recall_ppm
+FROM hits ORDER BY method
+"""
+
+
+QUERIES = {"ann_recall_report": ann_recall_report}
+ORACLES = {"ann_recall_report": _recall_oracle()}
+SPARK_SQL: dict[str, str] = {}

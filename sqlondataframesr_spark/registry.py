@@ -8,6 +8,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .llm import (
+    annrecall,
     bloom,
     bm25,
     bpe,
@@ -54,6 +55,7 @@ from .streaming import windows as streaming_windows
 
 _MODULES = [
     affinity,
+    annrecall,
     reference,
     extensions,
     stackexchange,

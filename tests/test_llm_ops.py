@@ -1222,3 +1222,22 @@ def test_perceptron_ovr_perfect_on_axis_separated_classes(spark, tmp_path):
     finally:
         C._table_cache.pop(key, None)
     assert got == {(0, 0): 2, (1, 1): 2, (2, 2): 2}
+
+
+def test_ann_recall_report_invariants(spark, sf_dir):
+    """One row per ANN method; pooled n_possible = N_QUERIES * TOP_K;
+    recall_ppm bounded by [0, 1e6] and exactly n_hits-consistent; the
+    exact-rerank methods (sq8 scores in int8 but reranks shortlists
+    exactly) can never beat brute force (recall <= 1e6 is structural,
+    not statistical)."""
+    from sqlondataframesr_spark.llm import annrecall as AR
+    from sqlondataframesr_spark.llm import similarity as S
+
+    rows = AR.ann_recall_report(spark, sf_dir).collect()
+    assert [r.method for r in rows] == sorted(
+        m for m, _, _ in AR._METHODS
+    )
+    for r in rows:
+        assert r.n_possible == S.N_QUERIES * S.TOP_K
+        assert 0 <= r.n_hits <= r.n_possible
+        assert r.recall_ppm == r.n_hits * 1_000_000 // r.n_possible
