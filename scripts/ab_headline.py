@@ -1,5 +1,8 @@
-"""Bench-protocol timing of the six headline queries on a given tree.
-Usage: python /tmp/time_six.py <repo_root>"""
+"""Bench-protocol timing of the six headline queries on a given tree —
+the FROZEN cross-tree A/B protocol (e3f920a): same confs, same warm-up,
+same median-of-7, whatever tree is passed in, so two trees' numbers are
+comparable on an idle machine.
+Usage: python scripts/ab_headline.py <repo_root>"""
 import statistics, sys, time
 
 root = sys.argv[1]
@@ -18,13 +21,7 @@ qs = registry.queries()
 # warm
 for n in NAMES:
     qs[n](spark, SF).toPandas()
-confs = {"spark.sql.adaptive.enabled": "false",
-         "spark.sql.shuffle.partitions": "8"}
-try:
-    confs["spark.sql.files.maxPartitionBytes"] = spark.conf.get("spark.sql.files.maxPartitionBytes")
-except Exception:
-    pass
-# replicate current bench ref_confs only if tree uses them: set explicitly like bench
+# the bench ref_confs, set explicitly so every tree runs identically
 for k, v in {"spark.sql.adaptive.enabled": "false",
              "spark.sql.shuffle.partitions": "8",
              "spark.sql.files.maxPartitionBytes": "256k"}.items():

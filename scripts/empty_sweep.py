@@ -6,11 +6,10 @@ per-family battery lives in tests/test_empty_inputs.py; this sweep is
 the round-boundary exhaustive version — commit its output as
 EMPTYCHECK_r{N}.txt.
 
-Known, documented exception: `stream_dedup_history` reads its input
-through a Structured-Streaming FILE source, which requires a real
-directory path by Spark API design — a cached zero-row frame cannot
-stand in for it. Its empty-input analogue (an empty source DIRECTORY)
-is exercised by the streaming tests' restart no-op case.
+As of r10 there are NO skips: `stream_dedup_history` materializes its
+file-stream source from the catalog cache when the pseudo sf_dir has
+no real parquet (two zero-row parity files), so even the streaming
+sink runs end-to-end on empty input.
 
 Run: python scripts/empty_sweep.py
 """
@@ -23,7 +22,7 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-SKIP = {"stream_dedup_history"}  # streaming file source needs a real dir
+SKIP: set[str] = set()  # r10: the streaming sink now handles pseudo sf_dirs
 
 EMPTY = "_empty_sweep"
 

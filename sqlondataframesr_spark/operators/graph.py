@@ -182,13 +182,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-joins are broadcast-sized BY CONSTRUCTION. Triangles are
     enumerated once each via the canonical ordering a < b < c
     (undirected edges stored with a < b, so the (a,b)x(b,c)x(a,c)
-    join cannot double-count). Self-loops (domestic trade) are
-    excluded — a triangle is three distinct nations.
+    join cannot double-count). Self-loop EDGES (domestic trade) are
+    excluded — a triangle is three distinct nations — but the node set
+    is built from the RAW edge list before that filter, so a nation
+    whose only trade is domestic still appears with zero triangles
+    (r9 ADVICE: it used to vanish entirely).
 
     Output: (nation, n_triangles) for every trading nation, zeros
     included, ordered by (n_triangles desc, nation asc).
     """
-    edges = _trade_edges(spark, sf_dir).select("src", "dst")
+    # pin the distilled edge list: BOTH the undirected edge set and
+    # the (raw, self-loops included) node set read it, and the distill
+    # pass is the only corpus-sized work here
+    edges = materialize(_trade_edges(spark, sf_dir).select("src", "dst"))
     und = materialize(
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -209,8 +215,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.b").alias("z"),
         )
     )
-    nodes = und.select(F.col("a").alias("nation")).union(
-        und.select("b")
+    nodes = edges.select(F.col("src").alias("nation")).union(
+        edges.select("dst")
     ).distinct()
     parts = (
         tri.select(F.col("x").alias("nation"))
@@ -244,8 +250,8 @@ tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
         FROM und e1
         JOIN und e2 ON e2.a = e1.b
         JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
-nodes AS (SELECT DISTINCT a AS nation FROM und
-          UNION SELECT DISTINCT b FROM und),
+nodes AS (SELECT DISTINCT src AS nation FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
 parts AS (SELECT x AS nation FROM tri
           UNION ALL SELECT y FROM tri
           UNION ALL SELECT z FROM tri)

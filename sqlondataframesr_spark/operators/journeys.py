@@ -335,9 +335,13 @@ def orders_yoy_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One partial-aggregated shuffle to the year x month grid (<= 84
     rows here; bounded by the calendar at any corpus size), then a
-    per-month lag window ON the grid. The ratio form keeps the ppm
-    numerator non-negative — no reliance on negative-division
-    semantics anywhere in the repo's oracle contract.
+    self-join ON THE GRID matching (o_year - 1, o_month) exactly — NOT
+    a per-month lag, which on a sparse calendar silently compares
+    against a >1-year-old month (r9 ADVICE); a missing prior year now
+    yields NULL, which is what the column name promises. The ratio
+    form keeps the ppm numerator non-negative — no reliance on
+    negative-division semantics anywhere in the repo's oracle
+    contract.
     """
     rev = (
         load_table(spark, sf_dir, "orders")
@@ -347,9 +351,13 @@ def orders_yoy_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.expr(f"sum({_CENTS})").cast("long").alias("revenue_c"))
     )
-    w = Window.partitionBy("o_month").orderBy("o_year")
+    prev = rev.select(
+        (F.col("o_year") + 1).alias("o_year"),
+        "o_month",
+        F.col("revenue_c").alias("prev_year_c"),
+    )
     return (
-        rev.withColumn("prev_year_c", F.lag("revenue_c").over(w))
+        rev.join(F.broadcast(prev), ["o_year", "o_month"], "left")
         .withColumn(
             "yoy_ratio_ppm",
             F.expr(
@@ -357,9 +365,6 @@ def orders_yoy_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " as bigint)"
             ),
         )
-        # lag is only "same month last year" if years are contiguous
-        # per month — true for this corpus (1995-2001 all months); the
-        # strict form would join on (o_year-1, o_month), same grid cost
         .select("o_year", "o_month", "revenue_c", "prev_year_c", "yoy_ratio_ppm")
         .orderBy("o_year", "o_month")
     )
@@ -372,16 +377,15 @@ _YOY_BODY = f"""
            CAST(SUM({_CENTS}) AS BIGINT) AS revenue_c
     FROM orders GROUP BY 1, 2
   ),
-  lagged AS (
-    SELECT o_year, o_month, revenue_c,
-           lag(revenue_c) OVER (PARTITION BY o_month ORDER BY o_year)
-             AS prev_year_c
-    FROM rev
+  joined AS (
+    SELECT r.o_year, r.o_month, r.revenue_c, p.revenue_c AS prev_year_c
+    FROM rev r LEFT JOIN rev p
+      ON p.o_year = r.o_year - 1 AND p.o_month = r.o_month
   )
   SELECT o_year, o_month, revenue_c, CAST(prev_year_c AS BIGINT) AS prev_year_c,
          CAST(revenue_c * 1000000 {{DIV}} NULLIF(prev_year_c, 0) AS BIGINT)
            AS yoy_ratio_ppm
-  FROM lagged
+  FROM joined
   ORDER BY o_year, o_month
 """
 

@@ -95,21 +95,48 @@ def incremental_dedup_sink(
     )
 
 
+def _write_single_parquet(df: DataFrame, path: str) -> None:
+    """Write ``df`` as ONE flat parquet file at ``path`` (the file
+    stream source does not recurse into Spark's output directories).
+    ``repartition(1)`` guarantees exactly one writer task even for an
+    empty frame, so a schema-bearing zero-row file always exists."""
+    import shutil
+
+    stage = tempfile.mkdtemp(prefix="sqlondataframesr_dedup_stage_")
+    df.repartition(1).write.mode("overwrite").parquet(stage)
+    part = [f for f in os.listdir(stage) if f.startswith("part-")]
+    shutil.move(os.path.join(stage, part[0]), path)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def _split_documents_by_parity(spark: SparkSession, sf_dir: str) -> str:
     """Materialize documents as TWO parquet files (doc_id parity),
     mtime-ordered so the file stream source replays even-ids as batch
     0 and odd-ids as batch 1 — the deterministic arrival order the
-    oracle reproduces."""
-    import pyarrow.parquet as pq
-    import pyarrow.compute as pc
+    oracle reproduces.
 
+    When ``sf_dir`` has no real documents.parquet (a pseudo sf_dir
+    serving tables through the catalog cache — the empty-input sweep,
+    fixture tests), the split is produced from the catalog table via
+    Spark instead of pyarrow, so the streaming path is exercised on
+    EXACTLY the same inputs as every batch operator (EMPTYCHECK skip=0,
+    VERDICT r9 item 3)."""
     d = tempfile.mkdtemp(prefix="sqlondataframesr_dedup_stream_")
-    t = pq.read_table(f"{sf_dir}/documents.parquet")
-    even = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
-    odd = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
     p0, p1 = os.path.join(d, "batch0.parquet"), os.path.join(d, "batch1.parquet")
-    pq.write_table(even, p0)
-    pq.write_table(odd, p1)
+    src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(src):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src)
+        even = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+        odd = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
+        pq.write_table(even, p0)
+        pq.write_table(odd, p1)
+    else:
+        docs = load_table(spark, sf_dir, "documents")
+        _write_single_parquet(docs.filter(F.expr("doc_id % 2 = 0")), p0)
+        _write_single_parquet(docs.filter(F.expr("doc_id % 2 = 1")), p1)
     now = os.stat(p0).st_mtime
     os.utime(p0, (now - 60, now - 60))  # strictly older -> first batch
     os.utime(p1, (now, now))
@@ -134,11 +161,15 @@ def stream_dedup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(src_dir)
     )
     incremental_dedup_sink(stream, out_dir, ckpt).awaitTermination()
-    return (
-        spark.read.parquet(out_dir)
-        .select("doc_id", "source", "batch_id")
-        .orderBy("doc_id")
-    )
+    try:
+        hist = spark.read.parquet(out_dir)
+    except Exception:
+        # zero-row input: every micro-batch appended an empty frame, so
+        # the sink holds no schema-bearing files — the history is empty
+        return spark.createDataFrame(
+            [], "doc_id long, source string, batch_id long"
+        )
+    return hist.select("doc_id", "source", "batch_id").orderBy("doc_id")
 
 
 #: the whole streaming pipeline as one window query: first occurrence

@@ -990,3 +990,97 @@ def test_sessionize_cap_adds_zero_exchanges(spark, sf_dir):
     base = audit(SZ.evt_sessionize_profile(spark, sf_dir))
     assert capped.n_exchanges == base.n_exchanges
     assert not capped.has_single_task_sort
+
+
+def test_yoy_sparse_calendar_yields_null_not_stale(spark, tmp_path):
+    """r9 ADVICE: Jan-1995 and Jan-1997 with NO Jan-1996 — the 1997
+    row's prev_year_c must be NULL (no same-month-last-year), never
+    the stale 1995 value a per-month lag would silently pick up."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import journeys as J
+
+    rows = [
+        (1, 100, "F", 10.00, dt.datetime(1995, 1, 15), "1-URGENT"),
+        (2, 100, "F", 20.00, dt.datetime(1997, 1, 15), "1-URGENT"),
+        (3, 100, "F", 30.00, dt.datetime(1997, 2, 15), "1-URGENT"),
+        (4, 100, "F", 45.00, dt.datetime(1998, 2, 15), "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    key = _inject(spark, tmp_path, "orders", df)
+    try:
+        got = {
+            (r.o_year, r.o_month): (r.revenue_c, r.prev_year_c, r.yoy_ratio_ppm)
+            for r in J.orders_yoy_seasonality(spark, str(tmp_path)).collect()
+        }
+    finally:
+        C._table_cache.pop(key, None)
+    assert got == {
+        (1995, 1): (1000, None, None),
+        (1997, 1): (2000, None, None),   # gap year -> NULL, not 1995
+        (1997, 2): (3000, None, None),
+        (1998, 2): (4500, 3000, 1_500_000),  # contiguous -> exact ratio
+    }
+
+
+def test_triangle_count_keeps_self_loop_only_nation(spark, tmp_path):
+    """r9 ADVICE: a nation whose ONLY trade edge is a self-loop
+    (domestic-only) must still appear in the output with zero
+    triangles — the node set derives from the raw edge list, the
+    self-loop filter only shapes the triangle enumeration. Designed
+    graph: A-B-C triangle + D trading only with itself."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import graph as G
+
+    t = dt.datetime(1997, 1, 1)
+    nations = [(k, n, 0, "") for k, n in enumerate(["A", "B", "C", "D"])]
+    # customer k and supplier k live in nation k
+    custs = [(k, f"c{k}", "", k, "", 0.0, "", "") for k in range(4)]
+    supps = [(k, f"s{k}", "", k, "", 0.0, "") for k in range(4)]
+    # one order per customer; lineitems pick suppliers to draw edges
+    # cust A->supp B, B->C, A->C (triangle A,B,C); cust D->supp D only
+    orders = [(o, c, "F", 10.0, t, "") for o, c in [(0, 0), (1, 1), (2, 0), (3, 3)]]
+    lines = [
+        (0, 1, 10.0, 0.0),  # A -> B
+        (1, 2, 10.0, 0.0),  # B -> C
+        (2, 2, 10.0, 0.0),  # A -> C
+        (3, 3, 10.0, 0.0),  # D -> D (self-loop only)
+    ]
+    keys = [
+        _inject(spark, tmp_path, "nation", spark.createDataFrame(
+            nations, "n_nationkey long, n_name string, n_regionkey long,"
+            " n_comment string")),
+        _inject(spark, tmp_path, "customer", spark.createDataFrame(
+            custs, "c_custkey long, c_name string, c_address string,"
+            " c_nationkey long, c_phone string, c_acctbal double,"
+            " c_mktsegment string, c_comment string")),
+        _inject(spark, tmp_path, "supplier", spark.createDataFrame(
+            supps, "s_suppkey long, s_name string, s_address string,"
+            " s_nationkey long, s_phone string, s_acctbal double,"
+            " s_comment string")),
+        _inject(spark, tmp_path, "orders", spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string")),
+        _inject(spark, tmp_path, "lineitem", spark.createDataFrame(
+            [(o, s, 1, 1.0, p, d, "N", t) for o, s, p, d in lines],
+            "l_orderkey long, l_suppkey long, l_partkey long,"
+            " l_quantity double, l_extendedprice double, l_discount double,"
+            " l_returnflag string, l_shipdate timestamp")),
+    ]
+    try:
+        got = {
+            r.nation: r.n_triangles
+            for r in G.graph_triangle_count(spark, str(tmp_path)).collect()
+        }
+    finally:
+        for k in keys:
+            C._table_cache.pop(k, None)
+    assert got == {"A": 1, "B": 1, "C": 1, "D": 0}

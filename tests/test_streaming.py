@@ -165,8 +165,11 @@ def test_tws_user_type_profile_matches_batch(spark, sf_dir):
 
     TWS's state-server protocol needs google.protobuf at runtime
     (pyspark.sql.streaming.proto); containers without it can't run the
-    operator at all — skip rather than fail (the applyInPandasWithState
-    operator above covers the stateful surface there)."""
+    operator at all — skip rather than fail. The skip is purely
+    environmental, not a coverage hole: the SAME output contract is
+    verified on every build by test_gs_user_type_profile_matches_batch
+    below via the protobuf-free applyInPandasWithState twin
+    (user_type_profile_gs)."""
     import pytest
 
     pytest.importorskip("google.protobuf")
@@ -307,3 +310,41 @@ def test_stream_stream_left_join_matches_batch_on_closed_horizon(spark, sf_dir):
     closed_g = got.filter(F.col("click_ts") < cutoff)
     assert closed_b.filter("purchase_id IS NULL").count() > 0  # non-vacuous
     assert not compare_frames(closed_g, closed_b)
+
+
+def test_gs_user_type_profile_matches_batch(spark, sf_dir):
+    """applyInPandasWithState twin of the TWS profile (no protobuf
+    dependency, so this runs on EVERY build — the TWS variant's test
+    above is environment-gated): the last emitted per-user profile
+    must equal the batch aggregate (count, distinct types,
+    deterministic dominant type)."""
+    from pyspark.sql import functions as F
+
+    from sqlondataframesr_spark.streaming.stateful import user_type_profile_gs
+
+    got = _run_stream(
+        spark, user_type_profile_gs(W.stream_events(spark, sf_dir)), mode="update"
+    )
+    latest = {}
+    for r in got.collect():  # memory sink appends per batch; keep last
+        latest[r["user_id"]] = (
+            r["n_events"], r["n_types"], r["top_type"], r["top_type_n"]
+        )
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    batch = {
+        r["user_id"]: (r["n"], r["k"], r["top"], r["topn"])
+        for r in per_type.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("k"),
+            F.expr("min_by(event_type, struct(-c, event_type))").alias("top"),
+            F.expr("max(c)").alias("topn"),
+        )
+        .collect()
+    }
+    assert set(latest) == set(batch)
+    for uid, want in batch.items():
+        assert latest[uid] == want, (uid, latest[uid], want)
