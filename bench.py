@@ -390,12 +390,23 @@ def main() -> None:
         # to BENCH_DETAILS.json and to the chunked lines above.
         "queries": {k: v for k, v in timings.items() if is_ref(k)},
         # literal SE tasks at reference magnitude: name -> [median,
-        # baseline_sqldf, ratio] (compact — the line must stay small)
+        # baseline_sqldf, ratio, ratio_minus_floor] (compact — the
+        # line must stay small). ratio_minus_floor strips the measured
+        # per-query scheduling floor from our side (VERDICT r9 item 2:
+        # the floor-subtracted ratio rides in the recorded headline
+        # line, not only in BENCH_DETAILS, so a contended-run artifact
+        # is visible as such right in BENCH_r{N}.json).
         "se_tasks": {
-            k: [timings[k], BASELINE_SQLDF[k], round(timings[k] / BASELINE_SQLDF[k], 2)]
+            k: [
+                timings[k],
+                BASELINE_SQLDF[k],
+                round(timings[k] / BASELINE_SQLDF[k], 2),
+                round(max(0.0, timings[k] - floor_noop) / BASELINE_SQLDF[k], 2),
+            ]
             for k in sorted(se_names)
             if k in timings and k in BASELINE_SQLDF
         },
+        "floor_sec": {"noop": floor_noop, "scan_count": floor_scan},
         "se_scale": se_scale,
         # stress rows past reference magnitude: ratio is vs a
         # PROJECTED baseline = measured scale-100 sqldf median scaled

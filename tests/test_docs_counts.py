@@ -46,3 +46,24 @@ def test_every_query_has_an_oracle_and_duals_are_registered_queries():
     q, o, s = registry.queries(), registry.oracles(), registry.spark_sql()
     assert set(o) == set(q), set(o) ^ set(q)
     assert set(s) <= set(q), set(s) - set(q)
+
+
+def test_coverage_map_is_current():
+    """The generated per-query gate map in COVERAGE.md must match a
+    fresh regeneration from the live registry + newest evidence files
+    (VERDICT r9 item 8) — a registry or evidence change without
+    `python scripts/gen_coverage_map.py` fails here."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_coverage_map", os.path.join(ROOT, "scripts", "gen_coverage_map.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    text = _read("COVERAGE.md")
+    assert mod.BEGIN in text and mod.END in text, "COVERAGE.md lost the map"
+    committed = text.split(mod.BEGIN, 1)[1].split(mod.END, 1)[0]
+    fresh = mod.generate().split(mod.BEGIN, 1)[1].split(mod.END, 1)[0]
+    assert committed == fresh, "stale map: run python scripts/gen_coverage_map.py"
+    q = registry.queries()
+    assert committed.count("\n| ") - 1 == len(q)  # one row per query
