@@ -171,12 +171,105 @@ ORDER BY doc_a, doc_b
 """
 
 
+def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision meter for the MinHash-LSH candidate generator
+    vs the EXACT shingle-Jaccard ground truth (the ANN-recall-report
+    posture applied to dedup, closing the one approximate family that
+    still lacked its own quality meter): one row — of the true
+    Jaccard>=0.8 pairs, how many did LSH surface (recall), and how
+    many LSH candidates are true near-dups (precision)? Production
+    gates a banding change on this row.
+
+    Scale: composes the two registered pipelines; the report join
+    itself touches only the two pair sets (bounded by duplicate
+    density, not corpus size). Output: (n_true_pairs,
+    n_candidate_pairs, n_hits, recall_ppm, precision_ppm).
+    """
+    from .dedup import dedup_ngram_jaccard
+
+    truth = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
+    )
+    cand = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("c")
+    )
+    return (
+        truth.join(cand, ["doc_a", "doc_b"], "full")
+        .agg(
+            F.count("t").cast("long").alias("n_true_pairs"),
+            F.count("c").cast("long").alias("n_candidate_pairs"),
+            F.coalesce(
+                F.sum(F.expr("if(t is not null and c is not null, 1L, 0L)")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "n_true_pairs",
+            "n_candidate_pairs",
+            "n_hits",
+            F.expr("n_hits * 1000000L div nullif(n_true_pairs, 0L)")
+            .cast("long")
+            .alias("recall_ppm"),
+            F.expr("n_hits * 1000000L div nullif(n_candidate_pairs, 0L)")
+            .cast("long")
+            .alias("precision_ppm"),
+        )
+    )
+
+
+def _recall_report_sql(truth_sql: str, cand_sql: str, div: str) -> str:
+    """The report as one composed SQL text — truth/cand are the two
+    registered pipelines' own (dialect-specific) texts."""
+    hit = "COALESCE(SUM(CASE WHEN t IS NOT NULL AND c IS NOT NULL THEN 1 ELSE 0 END), 0)"
+    return f"""
+WITH truth AS (
+  SELECT doc_a, doc_b, 1 AS t FROM ({truth_sql}) tt
+),
+cand AS (
+  SELECT doc_a, doc_b, 1 AS c FROM ({cand_sql}) cc
+),
+joined AS (
+  SELECT truth.t, cand.c FROM truth
+  FULL OUTER JOIN cand
+    ON cand.doc_a = truth.doc_a AND cand.doc_b = truth.doc_b
+)
+SELECT CAST(COUNT(t) AS BIGINT) AS n_true_pairs,
+       CAST(COUNT(c) AS BIGINT) AS n_candidate_pairs,
+       CAST({hit} AS BIGINT) AS n_hits,
+       CAST({hit} * 1000000 {div} NULLIF(COUNT(t), 0) AS BIGINT) AS recall_ppm,
+       CAST({hit} * 1000000 {div} NULLIF(COUNT(c), 0) AS BIGINT) AS precision_ppm
+FROM joined
+"""
+
+
+def _recall_report_oracle() -> str:
+    from .dedup import DEDUP_NGRAM_JACCARD_ORACLE
+
+    return _recall_report_sql(
+        DEDUP_NGRAM_JACCARD_ORACLE, DEDUP_MINHASH_LSH_ORACLE, "//"
+    )
+
+
+def _recall_report_spark_sql() -> str:
+    from . import dedup as _dedup
+
+    return _recall_report_sql(
+        _dedup.SPARK_SQL["dedup_ngram_jaccard"],
+        DEDUP_MINHASH_LSH_SPARK_SQL,
+        "div",
+    )
+
+
 QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "minhash_recall_report": minhash_recall_report,
 }
 
 ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_ORACLE,
+    "minhash_recall_report": _recall_report_oracle(),
 }
 
 # Spark-SQL N-version form (fluent ≡ SQL, tests/test_reference_queries.py);
@@ -220,5 +313,6 @@ ORDER BY doc_a, doc_b
 
 SPARK_SQL: dict[str, str] = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SPARK_SQL,
+    "minhash_recall_report": _recall_report_spark_sql(),
 }
 

@@ -1,7 +1,8 @@
-"""Growth-accounting analytics over ``events``: the new-user curve and
-rolling active-user (DAU/WAU stickiness) reports.
+"""Growth-accounting analytics over ``events``: the new-user curve,
+rolling active-user (DAU/WAU stickiness), and monthly cohort-retention
+reports.
 
-North-star extension (no reference counterpart): the two charts every
+North-star extension (no reference counterpart): the three charts every
 growth dashboard opens with, built shuffle-minimal.
 
 Scale design (100 TB):
@@ -145,15 +146,124 @@ EVT_DAU_WAU_SPARK_SQL = _DAU_WAU_BODY.format(
 )
 
 
+#: cohort epoch — a Monday, so week indices align to ISO-style weeks
+COHORT_EPOCH = "1970-01-05"
+
+
+def evt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle — the third chart on every
+    growth dashboard: users are cohorted by their FIRST active week
+    (weeks start Monday, indexed from :data:`COHORT_EPOCH`); for each
+    (cohort_week, week_offset) cell, how many cohort members were
+    active that many weeks later, and the retention rate vs the
+    cohort's size in integer ppm (offset 0 is 1e6 by construction).
+    Weekly, not monthly, because the synthetic corpus spans ~5 weeks —
+    the grain a month-long event store actually dashboards.
+
+    Scale (100 TB): events reduce ONCE to the DISTINCT (user, week)
+    activity table; the per-user first week is a keyed min REUSING
+    that user_id partitioning (aggregate + self-join on the same key —
+    no second corpus scan); the grid aggregate is bounded by weeks^2
+    (a 10-year store is ~136k cells), and the cohort-size join
+    broadcasts the offset-0 diagonal.
+
+    Determinism: week indices are integer day-diffs div 7, retention
+    is truncating bigint ppm. Output: (cohort_week DATE, week_offset,
+    n_active, cohort_size, retention_ppm) ordered by (cohort_week,
+    week_offset).
+    """
+    uw = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                f"cast(datediff(to_date(ts), date'{COHORT_EPOCH}') div 7"
+                " as long)"
+            ).alias("widx"),
+        )
+        .distinct()
+    )
+    first = uw.groupBy("user_id").agg(F.min("widx").alias("cidx"))
+    act = uw.join(first, "user_id").select(
+        "cidx", (F.col("widx") - F.col("cidx")).cast("long").alias("week_offset")
+    )
+    grid = act.groupBy("cidx", "week_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    base = grid.filter(F.col("week_offset") == 0).select(
+        F.col("cidx").alias("bidx"), F.col("n_active").alias("cohort_size")
+    )
+    return (
+        grid.join(F.broadcast(base), F.col("cidx") == F.col("bidx"))
+        .select(
+            F.expr(
+                f"date_add(date'{COHORT_EPOCH}', cast(cidx * 7 as int))"
+            ).alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.expr("n_active * 1000000L div cohort_size")
+            .cast("long")
+            .alias("retention_ppm"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_COHORT_BODY = f"""
+  WITH uw AS (
+    SELECT DISTINCT user_id,
+           CAST({{DDIFF}} {{DIV}} 7 AS BIGINT) AS widx
+    FROM events
+  ),
+  first_w AS (
+    SELECT user_id, MIN(widx) AS cidx FROM uw GROUP BY user_id
+  ),
+  act AS (
+    SELECT f.cidx, CAST(uw.widx - f.cidx AS BIGINT) AS week_offset
+    FROM uw JOIN first_w f ON f.user_id = uw.user_id
+  ),
+  grid AS (
+    SELECT cidx, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act GROUP BY cidx, week_offset
+  ),
+  base AS (
+    SELECT cidx, n_active AS cohort_size FROM grid WHERE week_offset = 0
+  )
+  SELECT {{WSTART}} AS cohort_week,
+         g.week_offset AS week_offset,
+         g.n_active AS n_active,
+         b.cohort_size AS cohort_size,
+         CAST(g.n_active * 1000000 {{DIV}} b.cohort_size AS BIGINT)
+           AS retention_ppm
+  FROM grid g JOIN base b ON b.cidx = g.cidx
+  ORDER BY cohort_week, week_offset
+"""
+
+EVT_COHORT_RETENTION_ORACLE = _COHORT_BODY.format(
+    DDIFF=f"date_diff('day', DATE '{COHORT_EPOCH}', CAST(ts AS DATE))",
+    WSTART=f"DATE '{COHORT_EPOCH}' + CAST(g.cidx * 7 AS INT)",
+    DIV="//",
+)
+EVT_COHORT_RETENTION_SPARK_SQL = _COHORT_BODY.format(
+    DDIFF=f"datediff(to_date(ts), date'{COHORT_EPOCH}')",
+    WSTART=f"date_add(date'{COHORT_EPOCH}', CAST(g.cidx * 7 AS INT))",
+    DIV="div",
+)
+
+
 QUERIES = {
     "evt_new_users_daily": evt_new_users_daily,
     "evt_dau_wau": evt_dau_wau,
+    "evt_cohort_retention": evt_cohort_retention,
 }
 ORACLES = {
     "evt_new_users_daily": EVT_NEW_USERS_DAILY_ORACLE,
     "evt_dau_wau": EVT_DAU_WAU_ORACLE,
+    "evt_cohort_retention": EVT_COHORT_RETENTION_ORACLE,
 }
 SPARK_SQL = {
     "evt_new_users_daily": EVT_NEW_USERS_DAILY_SPARK_SQL,
     "evt_dau_wau": EVT_DAU_WAU_SPARK_SQL,
+    "evt_cohort_retention": EVT_COHORT_RETENTION_SPARK_SQL,
 }

@@ -1084,3 +1084,41 @@ def test_triangle_count_keeps_self_loop_only_nation(spark, tmp_path):
         for k in keys:
             C._table_cache.pop(k, None)
     assert got == {"A": 1, "B": 1, "C": 1, "D": 0}
+
+
+def test_cohort_retention_designed_triangle(spark, tmp_path):
+    """Designed two-cohort corpus (weeks of 2024-01-01 and 2024-01-08,
+    both Mondays): users 1,2 first seen week 0 — user 1 returns week
+    1, user 2 does not; user 3 first seen week 1. Offset-0 cells are
+    1e6 ppm by construction; cohort A's offset-1 retention is 50%."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import growth as G
+
+    w0, w1 = dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 10)
+    rows = [
+        (0, w0, 1, "view", 1.0, "{}"),
+        (1, w0, 2, "view", 1.0, "{}"),
+        (2, w1, 1, "view", 1.0, "{}"),   # user 1 retained into week 1
+        (3, w1, 3, "view", 1.0, "{}"),   # user 3 = week-1 cohort
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    key = _inject(spark, tmp_path, "events", df)
+    try:
+        got = [
+            (str(r.cohort_week), r.week_offset, r.n_active, r.cohort_size,
+             r.retention_ppm)
+            for r in G.evt_cohort_retention(spark, str(tmp_path)).collect()
+        ]
+    finally:
+        C._table_cache.pop(key, None)
+    assert got == [
+        ("2024-01-01", 0, 2, 2, 1_000_000),
+        ("2024-01-01", 1, 1, 2, 500_000),
+        ("2024-01-08", 0, 1, 1, 1_000_000),
+    ]
