@@ -563,3 +563,23 @@ def test_rank_operators_have_no_single_task_sort(spark, sf_dir, name):
     assert "rangepartitioning" in a.text
     assert "ntile" not in a.text
     assert not a.has_cartesian or "BroadcastNestedLoopJoin" in a.text
+
+
+def test_cohort_retention_plan_shape(spark, sf_dir):
+    """The activity table's user_id partitioning must be REUSED by the
+    first-week aggregate + self-join (no extra user_id exchange
+    beyond the distinct + min pair), the cohort-size join must
+    broadcast, and nothing is cartesian or single-task sorted."""
+    a = _audit(spark, sf_dir, "evt_cohort_retention")
+    assert not a.has_cartesian
+    assert not a.has_single_task_sort
+    assert "BroadcastExchange" in a.text
+
+
+def test_minhash_recall_report_plan_shape(spark, sf_dir):
+    """The recall meter composes two banded pipelines: no cartesian
+    anywhere, and the full-outer hit join is on the pair keys (a
+    SortMergeJoin/ShuffledHashJoin over pair sets is fine — pairs are
+    duplicate-density-bounded, not corpus-bounded)."""
+    a = _audit(spark, sf_dir, "minhash_recall_report")
+    assert not a.has_cartesian
