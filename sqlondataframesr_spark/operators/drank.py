@@ -45,6 +45,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..materialize import materialize
+
 __all__ = ["with_global_rank", "ntile_expr"]
 
 #: temp column names (dropped before return)
@@ -90,8 +92,22 @@ def with_global_rank(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     order = _order_cols(order_by)
-    sdf = df.repartitionByRange(npart, *order).withColumn(
-        _PID, F.spark_partition_id()
+    # PIN the range-shuffled frame: both consumers below (the offsets
+    # aggregate and the ranking join) key on spark_partition_id(), and
+    # pid labels are only consistent across consumers if both read the
+    # SAME physical partitions. Without the pin that consistency hangs
+    # on ReuseExchange firing — and under AQE the two duplicated
+    # subtrees can be re-planned with DIFFERENT coalesced shuffle
+    # reads, renumbering pids in one branch only (observed at sf0.1 on
+    # the chained RFM ranks: single-level reuse held, nested reuse
+    # did not). The cached RDD fixes partition identity structurally.
+    # Memory contract: every consumer ranks a dimension-sized
+    # aggregate (per-user / per-customer rows), never a fact table,
+    # and the pin is MEMORY_AND_DISK (spills, lineage preserved).
+    sdf = materialize(
+        df.repartitionByRange(npart, *order).withColumn(
+            _PID, F.spark_partition_id()
+        )
     )
 
     aggs = [F.count(F.lit(1)).cast("long").alias(_CNT)]
