@@ -302,6 +302,79 @@ def evt_sessionize_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly session-concurrency curve — the classic interval-count
+    report (how loaded is the system over time): per hour, sessions
+    started, sessions ended, and sessions still open at the END of the
+    hour (``n_open = cum(started) - cum(ended)``; a session ending
+    inside hour *h* counts closed for *h*).
+
+    Scale (100 TB): the per-session table (already one user_id-keyed
+    shuffle) aggregates straight down to TWO hour-keyed counts; the
+    full-outer merge and the cumulative windows run on the HOUR GRID —
+    bounded by the calendar (a 10-year store is ~88k rows), the same
+    bounded-window class as evt_new_users_daily, never data-sized.
+
+    Output: (hr, n_started, n_ended, n_open) ordered by hr.
+    """
+    s = _sessions(spark, sf_dir)
+    starts = s.groupBy(
+        F.date_trunc("hour", "session_start").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_started"))
+    ends = s.groupBy(
+        F.date_trunc("hour", "session_end").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_ended"))
+    grid = (
+        starts.join(ends, "hr", "full")
+        .select(
+            "hr",
+            F.coalesce("n_started", F.lit(0)).cast("long").alias("n_started"),
+            F.coalesce("n_ended", F.lit(0)).cast("long").alias("n_ended"),
+        )
+    )
+    cum = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.withColumn(
+            "n_open",
+            (F.sum("n_started").over(cum) - F.sum("n_ended").over(cum)).cast(
+                "long"
+            ),
+        )
+        .orderBy("hr")
+    )
+
+
+_CONCURRENT_BODY = """
+  , starts AS (
+    SELECT date_trunc('hour', session_start) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n_started
+    FROM sess GROUP BY 1
+  ),
+  ends AS (
+    SELECT date_trunc('hour', session_end) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n_ended
+    FROM sess GROUP BY 1
+  ),
+  grid AS (
+    SELECT COALESCE(s.hr, e.hr) AS hr,
+           CAST(COALESCE(s.n_started, 0) AS BIGINT) AS n_started,
+           CAST(COALESCE(e.n_ended, 0) AS BIGINT) AS n_ended
+    FROM starts s FULL OUTER JOIN ends e ON e.hr = s.hr
+  )
+  SELECT hr, n_started, n_ended,
+         CAST(SUM(n_started) OVER (ORDER BY hr
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - SUM(n_ended) OVER (ORDER BY hr
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_open
+  FROM grid
+  ORDER BY hr
+"""
+
+EVT_CONCURRENT_SESSIONS_ORACLE = _SESSIONS_DUCK + _CONCURRENT_BODY
+EVT_CONCURRENT_SESSIONS_SPARK_SQL = _SESSIONS_SPARK + _CONCURRENT_BODY
+
+
 EVT_SESSIONIZE_CAP_REPORT_SQL = f"""
   WITH per AS (
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
@@ -545,6 +618,7 @@ QUERIES = {
     "evt_sessionize_profile": evt_sessionize_profile,
     "evt_sessionize_profile_capped": evt_sessionize_profile_capped,
     "evt_sessionize_cap_report": evt_sessionize_cap_report,
+    "evt_concurrent_sessions": evt_concurrent_sessions,
     "evt_sessionize_top": evt_sessionize_top,
     "evt_session_funnel": evt_session_funnel,
     "evt_session_funnel_stages": evt_session_funnel_stages,
@@ -555,6 +629,7 @@ ORACLES = {
     "evt_sessionize_profile": EVT_SESSIONIZE_PROFILE_ORACLE,
     "evt_sessionize_profile_capped": EVT_SESSIONIZE_PROFILE_CAPPED_ORACLE,
     "evt_sessionize_cap_report": EVT_SESSIONIZE_CAP_REPORT_SQL,
+    "evt_concurrent_sessions": EVT_CONCURRENT_SESSIONS_ORACLE,
     "evt_sessionize_top": EVT_SESSIONIZE_TOP_ORACLE,
     "evt_session_funnel": EVT_SESSION_FUNNEL_ORACLE,
     "evt_session_funnel_stages": EVT_SESSION_FUNNEL_STAGES_ORACLE,
@@ -566,6 +641,7 @@ SPARK_SQL = {
     "evt_sessionize_profile_capped": EVT_SESSIONIZE_PROFILE_CAPPED_SPARK_SQL,
     # the cap report is engine-portable SQL - one text, both engines
     "evt_sessionize_cap_report": EVT_SESSIONIZE_CAP_REPORT_SQL,
+    "evt_concurrent_sessions": EVT_CONCURRENT_SESSIONS_SPARK_SQL,
     "evt_sessionize_top": EVT_SESSIONIZE_TOP_SPARK_SQL,
     "evt_session_funnel": EVT_SESSION_FUNNEL_SPARK_SQL,
     "evt_session_funnel_stages": EVT_SESSION_FUNNEL_STAGES_SPARK_SQL,

@@ -1122,3 +1122,40 @@ def test_cohort_retention_designed_triangle(spark, tmp_path):
         ("2024-01-01", 1, 1, 2, 500_000),
         ("2024-01-08", 0, 1, 1, 1_000_000),
     ]
+
+
+def test_concurrent_sessions_designed_curve(spark, tmp_path):
+    """Three users: u1's session lives inside hour 0; u2 has one
+    session in hour 0 and one in hour 5; u3's session SPANS the
+    hour-0/hour-1 boundary. At the end of hour 0: 3 started, 2 ended,
+    1 open (u3). Hour 1 closes it; hour 5 opens and closes u2's
+    second. Open count returns to zero at the end."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import sessionize as SZ
+
+    d = dt.datetime
+    rows = [
+        (0, d(2024, 3, 1, 0, 10), 1, "view", 1.0, "{}"),
+        (1, d(2024, 3, 1, 0, 20), 1, "view", 1.0, "{}"),
+        (2, d(2024, 3, 1, 0, 50), 2, "view", 1.0, "{}"),
+        (3, d(2024, 3, 1, 5, 30), 2, "view", 1.0, "{}"),
+        (4, d(2024, 3, 1, 5, 40), 2, "view", 1.0, "{}"),
+        (5, d(2024, 3, 1, 0, 55), 3, "view", 1.0, "{}"),
+        (6, d(2024, 3, 1, 1, 10), 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    key = _inject(spark, tmp_path, "events", df)
+    try:
+        got = [
+            (r.hr.hour, r.n_started, r.n_ended, r.n_open)
+            for r in SZ.evt_concurrent_sessions(spark, str(tmp_path)).collect()
+        ]
+    finally:
+        C._table_cache.pop(key, None)
+    assert got == [(0, 3, 2, 1), (1, 0, 1, 0), (5, 1, 1, 0)]
