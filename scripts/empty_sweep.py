@@ -11,7 +11,7 @@ file-stream source from the catalog cache when the pseudo sf_dir has
 no real parquet (two zero-row parity files), so even the streaming
 sink runs end-to-end on empty input.
 
-Run: python scripts/empty_sweep.py
+Run: python scripts/empty_sweep.py [name_prefix ...]
 """
 
 from __future__ import annotations
@@ -79,6 +79,9 @@ def main() -> int:
         C._table_cache[(app, EMPTY, name)] = df
 
     qs = registry.queries()
+    if len(sys.argv) > 1:  # prefix filter, same CLI as driver_sim.py
+        qs = {n: f for n, f in qs.items()
+              if any(n.startswith(p) for p in sys.argv[1:])}
     ok, fails = 0, []
     for n in sorted(qs):
         if n in SKIP:

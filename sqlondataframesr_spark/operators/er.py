@@ -1,0 +1,178 @@
+"""Entity resolution (blocked fuzzy self-join) and item-item
+collaborative filtering — the two record-linkage workloads a curation
+team runs on a 100 TB catalog.
+
+North-star extensions (no reference counterpart — RDataFramesSQL.Rmd
+has no fuzzy matching or recommender surface; SURVEY.md §2 north-star
+scope). Related: the text near-dup family in llm/dedup.py does
+*document* linkage by content; this module links *entities* by name
+and *items* by co-occurrence.
+
+Scale design (100 TB):
+
+- ``er_customer_pairs`` — the classic blocking decomposition: candidate
+  pairs are generated ONLY within a blocking key
+  ``(c_nationkey, c_mktsegment)``, so the quadratic blow-up is bounded
+  per block (b rows → b²/2 pairs) instead of corpus-wide. The join is
+  an equi-join on the block key (shuffle- or broadcast-hash, Catalyst's
+  choice) with the `a.key < b.key` dedup and the Levenshtein threshold
+  applied as post-join filters — `.explain` shows the equi-keys in the
+  join condition, NOT a cartesian product. At 1000× data, blocks grow
+  linearly, so per-block pairs grow quadratically: the documented
+  escape is a finer block key (append a name-prefix bucket), the same
+  knob every ER system exposes. Levenshtein runs JVM-side
+  (whole-stage codegen), never in Python.
+- ``rec_item_cosine`` — user×item counts reduce first (partial-agg
+  shuffle keyed (user_id, event_type) moves pre-aggregated rows, not
+  raw events), then the pair join runs on the REDUCED relation (≤
+  |items| rows per user) and collapses straight to the |items|²
+  cosine matrix. The norm join joins a |items|-row frame — broadcast.
+
+Determinism: Levenshtein is the classic unit-cost edit distance in
+both engines (exact INT). Cosines are computed from exact BIGINT
+dot/norm sums with one IEEE-754 expression —
+``dot / (sqrt(na) * sqrt(nb))`` — where /, *, sqrt are all correctly
+rounded, so Spark and DuckDB produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+
+#: max edit distance for a candidate match
+ER_MAX_DISTANCE = 2
+
+#: top-k emitted match pairs
+ER_TOP_K = 100
+
+
+def er_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate duplicate customers: pairs inside the same
+    (nation, mktsegment) block whose names are within edit distance
+    2. Top-100 by (distance, custkey_a, custkey_b) — deterministic,
+    TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.c_nationkey") == F.col("b.c_nationkey"),
+                F.col("a.c_mktsegment") == F.col("b.c_mktsegment"),
+                F.col("a.c_custkey") < F.col("b.c_custkey"),
+            ],
+        )
+        .filter(lev <= ER_MAX_DISTANCE)
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("a.c_nationkey").alias("nationkey"),
+            F.col("a.c_mktsegment").alias("mktsegment"),
+            lev.cast("long").alias("name_distance"),
+        )
+    )
+    return pairs.orderBy("name_distance", "custkey_a", "custkey_b").limit(ER_TOP_K)
+
+
+def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity between
+    event types over the user × event_type count matrix. Output: one
+    row per unordered item pair (≤ |items|² / 2), ordered."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    ui = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    norms = ui.groupBy("event_type").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("nrm")
+    )
+    a = ui.alias("a")
+    b = ui.alias("b")
+    dots = (
+        a.join(
+            b,
+            on=[
+                F.col("a.user_id") == F.col("b.user_id"),
+                F.col("a.event_type") < F.col("b.event_type"),
+            ],
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("dot"))
+    )
+    na = norms.alias("na")
+    nb = norms.alias("nb")
+    # one IEEE expression, mirrored verbatim in the oracle: each of
+    # /, *, sqrt is correctly rounded, so the doubles are bit-identical
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na.nrm").cast("double"))
+        * F.sqrt(F.col("nb.nrm").cast("double"))
+    )
+    return (
+        dots.join(F.broadcast(na), F.col("na.event_type") == F.col("item_a"))
+        .join(F.broadcast(nb), F.col("nb.event_type") == F.col("item_b"))
+        .select("item_a", "item_b", "dot", cosine.alias("cosine"))
+        .orderBy("item_a", "item_b")
+    )
+
+
+ER_PAIRS_ORACLE = f"""
+SELECT a.c_custkey AS custkey_a,
+       b.c_custkey AS custkey_b,
+       a.c_nationkey AS nationkey,
+       a.c_mktsegment AS mktsegment,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_distance
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {ER_MAX_DISTANCE}
+ORDER BY name_distance, custkey_a, custkey_b
+LIMIT {ER_TOP_K}
+"""
+
+REC_COSINE_ORACLE = """
+WITH ui AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY user_id, event_type
+),
+norms AS (
+    SELECT event_type, CAST(SUM(cnt * cnt) AS BIGINT) AS nrm
+    FROM ui
+    GROUP BY event_type
+),
+dots AS (
+    SELECT a.event_type AS item_a, b.event_type AS item_b,
+           CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS dot
+    FROM ui a
+    JOIN ui b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+)
+SELECT d.item_a, d.item_b, d.dot,
+       CAST(d.dot AS DOUBLE)
+         / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+         AS cosine
+FROM dots d
+JOIN norms na ON na.event_type = d.item_a
+JOIN norms nb ON nb.event_type = d.item_b
+ORDER BY d.item_a, d.item_b
+"""
+
+QUERIES = {
+    "er_customer_pairs": er_customer_pairs,
+    "rec_item_cosine": rec_item_cosine,
+}
+
+ORACLES = {
+    "er_customer_pairs": ER_PAIRS_ORACLE,
+    "rec_item_cosine": REC_COSINE_ORACLE,
+}

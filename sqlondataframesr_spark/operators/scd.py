@@ -1,0 +1,184 @@
+"""SCD Type 2 interval builder over the append-only ``events`` stream:
+per-user runs of equal ``event_type`` become dimension *versions* with
+``[valid_from, valid_to)`` validity intervals (gaps-and-islands).
+
+North-star extension (no reference counterpart — RDataFramesSQL.Rmd is
+six one-shot queries over a static dump): the slowly-changing-dimension
+build every warehouse team runs nightly, here expressed as one
+declarative pass so Catalyst keeps it to a single data-sized shuffle.
+
+Scale design (100 TB):
+
+- ONE shuffle keyed on ``user_id`` does all the heavy lifting: the
+  lag-based change flag, the running-sum island id, the per-version
+  MIN/COUNT reduce, and the lead-based ``valid_to`` all require only
+  ``ClusteredDistribution(user_id)``. Spark recognises that
+  ``HashPartitioning(user_id)`` satisfies the groupBy on
+  ``(user_id, run_id)`` (partition keys ⊆ grouping keys), so the
+  version reduce and the second window reuse the first window's
+  exchange — `.explain` shows exactly one ``Exchange hashpartitioning``
+  over event-sized data.
+- Output is bounded: the summary is |event_types| rows; the movers
+  query is a ``TakeOrderedAndProject`` top-k, never a global sort.
+- Skew: a bot user with 10^7 events lands in one task for the window
+  (inherent to per-key order). The capped-sessionize guard
+  (operators/sessionize.py) is the documented escape hatch; at this
+  corpus the max events/user is bounded (see skew_key_report).
+
+Determinism: versions are keyed by the total order ``(ts, event_id)``
+(``event_id`` unique), durations are exact integer MICROSECONDS
+(``unix_micros`` on Spark ≡ ``epoch_us`` on DuckDB — ``unix_timestamp``
+would floor to seconds; see operators/sessionize.py:27), and every sum
+is BIGINT — both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+
+#: top-k longest-lived closed versions emitted by cdc_scd2_top_versions
+TOP_K = 100
+
+
+def _versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_id × run → one SCD2 version row (valid_from, valid_to,
+    n_events); valid_to is NULL for the open (current) version."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    flagged = ev.withColumn(
+        "chg",
+        F.when(prev.isNull() | (prev != F.col("event_type")), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    vers = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return vers.withColumn("valid_to", F.lead("valid_from").over(w2))
+
+
+def cdc_scd2_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: how many SCD2 versions exist, how many are the
+    open (current) version, and total/max closed-version duration in
+    exact microseconds. Output: |event_types| rows ordered by event_type."""
+    vers = _versions(spark, sf_dir)
+    closed_us = F.when(
+        F.col("valid_to").isNotNull(),
+        F.unix_micros("valid_to") - F.unix_micros("valid_from"),
+    )
+    return (
+        vers.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_versions"),
+            F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_current"),
+            F.sum(F.coalesce(closed_us, F.lit(0))).cast("long").alias(
+                "total_closed_us"
+            ),
+            F.max(closed_us).cast("long").alias("max_closed_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def cdc_scd2_top_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 longest-lived CLOSED versions (the records an auditor
+    pulls first). Deterministic: ties on duration break on the unique
+    (user_id, valid_from). TakeOrderedAndProject — no global sort."""
+    vers = _versions(spark, sf_dir).filter(F.col("valid_to").isNotNull())
+    out = vers.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        (F.unix_micros("valid_to") - F.unix_micros("valid_from"))
+        .cast("long")
+        .alias("duration_us"),
+        "n_events",
+    )
+    return out.orderBy(
+        F.desc("duration_us"), F.asc("user_id"), F.asc("valid_from")
+    ).limit(TOP_K)
+
+
+_VERSIONS_CTE = """
+ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+    SELECT user_id, ts, event_type,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS run_id
+    FROM ordered
+),
+vers0 AS (
+    SELECT user_id, run_id, event_type,
+           MIN(ts) AS valid_from,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands
+    GROUP BY user_id, run_id, event_type
+),
+vers AS (
+    SELECT user_id, run_id, event_type, valid_from, n_events,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+             AS valid_to
+    FROM vers0
+)
+"""
+
+SCD2_SUMMARY_ORACLE = f"""
+WITH {_VERSIONS_CTE}
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_versions,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_current,
+       CAST(SUM(CASE WHEN valid_to IS NOT NULL
+                     THEN epoch_us(valid_to) - epoch_us(valid_from)
+                     ELSE 0 END) AS BIGINT) AS total_closed_us,
+       CAST(MAX(CASE WHEN valid_to IS NOT NULL
+                     THEN epoch_us(valid_to) - epoch_us(valid_from)
+                END) AS BIGINT) AS max_closed_us
+FROM vers
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+SCD2_TOP_ORACLE = f"""
+WITH {_VERSIONS_CTE}
+SELECT user_id, event_type, valid_from, valid_to,
+       CAST(epoch_us(valid_to) - epoch_us(valid_from) AS BIGINT)
+         AS duration_us,
+       n_events
+FROM vers
+WHERE valid_to IS NOT NULL
+ORDER BY duration_us DESC, user_id, valid_from
+LIMIT {TOP_K}
+"""
+
+QUERIES = {
+    "cdc_scd2_summary": cdc_scd2_summary,
+    "cdc_scd2_top_versions": cdc_scd2_top_versions,
+}
+
+ORACLES = {
+    "cdc_scd2_summary": SCD2_SUMMARY_ORACLE,
+    "cdc_scd2_top_versions": SCD2_TOP_ORACLE,
+}

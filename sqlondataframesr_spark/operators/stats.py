@@ -1,0 +1,474 @@
+"""Inferential statistics on exact integer aggregates: closed-form
+per-group OLS trend, a two-proportion A/B z-test, and MAD-robust
+outlier days — the experimentation/trend surface of an analytics
+engine, built so a 100 TB input reduces to a bounded frame before any
+floating-point touches it.
+
+North-star extensions (no reference counterpart — RDataFramesSQL.Rmd
+has no regression/test-statistic surface; SURVEY.md north-star scope).
+
+Scale design (100 TB):
+
+- ``ml_ols_trend`` — the fact table is touched ONCE: a
+  partial-aggregating shuffle down to (nation, month) rows (bounded by
+  |nations| × |calendar months|), then a second tiny shuffle to one row
+  per nation carrying the five OLS sufficient statistics
+  (n, Σx, Σy, Σxy, Σx², Σy²). The regression itself is O(|nations|)
+  arithmetic on those sums — no iterative fitting, no driver loop.
+  Overflow: y is whole DOLLARS so Σy² fits BIGINT through ~sf10; the
+  documented ≥sf100 path is DECIMAL(38,0) sums (Spark decimal sums are
+  exact, DuckDB sums land in HUGEINT — see SCALE.md).
+- ``ab_conversion_ztest`` — one shuffle keyed user_id collapses events
+  to per-user conversion flags (partial agg moves (user, flag) pairs,
+  not raw events); the arm split (user_id % 2 — a deterministic stand-in
+  for the assignment column a real experiment carries) and the pooled
+  z-statistic reduce to a SINGLE row.
+- ``evt_mad_spikes`` / ``evt_cusum_shifts`` — daily totals first
+  (partial-agg shuffle bounded by the calendar), then medians /
+  running sums over the ≤ |days| frame. The unpartitioned windows here
+  run ON that bounded frame (repo idiom: "the window runs on the
+  matrix") — they never see event-sized data, so no single-task-sort
+  hazard at any SF. CUSUM's max(0, S + x) recursion is unrolled into
+  running_sum - running_min (exact, window-expressible) instead of a
+  recursive scan.
+- ``ml_discount_qty_corr`` — same sufficient-statistics shape as the
+  OLS: lineitem ⋈ part reduces to 6 exact BIGINT sums per brand
+  (discount in basis points ≤ 10, quantity ≤ 50: Σxy per brand stays
+  < 2^63 beyond sf1000), then one mirrored float expression.
+
+Determinism: every aggregate is exact BIGINT; doubles appear only in
+final expressions built from +, -, *, /, sqrt on exact integers —
+all IEEE-754 correctly rounded, mirrored token-for-token in the
+oracles, hence bit-identical across engines. Guard rails: NULLIF on
+every denominator — including the z-test's pooled-variance sqrt,
+which is exactly 0.0 when the pooled rate is 0 or 1 (tiny SFs where
+every sampled user converts). Degenerate inputs yield NULL, never an
+ANSI div-by-zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+
+#: MAD multiplier for spike flagging (|x - med| > K * MAD); 2 rather
+#: than the classic 3 because the events corpus spans only ~30 days —
+#: K=3 flags nothing at sf<=0.01
+MAD_K = 2
+
+#: big-ticket conversion threshold for the A/B report (purchase value)
+CONV_VALUE_MIN = 150
+
+
+def ml_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation linear revenue trend: OLS of monthly revenue (whole
+    dollars) against month index, via exact sufficient statistics.
+
+    Output: (n_name, n_months, slope_dollars_per_month, intercept_dollars,
+    r2) — one row per nation, ordered by n_name.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 12
+                + F.month("o_orderdate")
+                - F.lit(1)
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(F.expr("cast(round(o_totalprice) as bigint)")).alias("y")
+        )
+    )
+    stats = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # mirrored token-for-token in the oracle (exact ints -> IEEE ops)
+    return stats.selectExpr(
+        "n_name",
+        "n_months",
+        "cast(n_months * sxy - sx * sy as double)"
+        " / cast(nullif(n_months * sxx - sx * sx, 0) as double)"
+        " as slope_dollars_per_month",
+        "(cast(sy as double)"
+        " - (cast(n_months * sxy - sx * sy as double)"
+        "    / cast(nullif(n_months * sxx - sx * sx, 0) as double))"
+        "   * cast(sx as double))"
+        " / cast(n_months as double) as intercept_dollars",
+        "(cast(n_months * sxy - sx * sy as double)"
+        " * cast(n_months * sxy - sx * sy as double))"
+        " / (cast(nullif(n_months * sxx - sx * sx, 0) as double)"
+        "    * cast(nullif(n_months * syy - sy * sy, 0) as double)) as r2",
+    ).orderBy("n_name")
+
+
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of big-ticket conversion (a purchase of
+    value >= CONV_VALUE_MIN — plain "any purchase" saturates to p=1 on
+    this corpus) between arms (user_id % 2): a single-row experiment
+    report with counts, exact ppm conversion rates, lift, and the
+    pooled z statistic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= CONV_VALUE_MIN),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    row = per_user.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_control"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_control"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_treat"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_treat"),
+    )
+    return row.selectExpr(
+        "n_control",
+        "conv_control",
+        "n_treat",
+        "conv_treat",
+        "conv_control * 1000000 div nullif(n_control, 0) as conv_control_ppm",
+        "conv_treat * 1000000 div nullif(n_treat, 0) as conv_treat_ppm",
+        "conv_treat * 1000000 div nullif(n_treat, 0)"
+        " - conv_control * 1000000 div nullif(n_control, 0) as lift_ppm",
+        # pooled two-proportion z; parenthesization mirrored in the oracle
+        "(cast(conv_treat as double) / cast(nullif(n_treat, 0) as double)"
+        " - cast(conv_control as double) / cast(nullif(n_control, 0) as double))"
+        " / nullif(sqrt((cast(conv_control + conv_treat as double)"
+        "         / cast(nullif(n_control + n_treat, 0) as double))"
+        "        * (1.0 - cast(conv_control + conv_treat as double)"
+        "               / cast(nullif(n_control + n_treat, 0) as double))"
+        "        * (1.0 / cast(nullif(n_control, 0) as double)"
+        "           + 1.0 / cast(nullif(n_treat, 0) as double))), 0.0d) as z_score",
+    )
+
+
+def evt_mad_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly days: daily purchase revenue whose absolute
+    deviation from the LOWER MEDIAN exceeds MAD_K × MAD (median
+    absolute deviation). Exact integer medians (k-th smallest at
+    k = (n+1) div 2, total order (value, day)) — no interpolation, no
+    floats. Output: (day, cents, med_cents, mad_cents, abs_dev) for
+    spike days, ordered by day."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("cents")
+    )
+    # bounded frame (|calendar days| rows): unpartitioned windows are
+    # safe here — they never see event-sized data
+    n_k = daily.agg(
+        ((F.count(F.lit(1)) + 1) / 2).cast("long").alias("k")
+    )
+    w_med = Window.orderBy("cents", "day")
+    med = (
+        daily.withColumn("rn", F.row_number().over(w_med))
+        .join(F.broadcast(n_k), F.col("rn") == F.col("k"))
+        .select(F.col("cents").alias("med_cents"))
+    )
+    with_dev = daily.crossJoin(F.broadcast(med)).withColumn(
+        "abs_dev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    w_mad = Window.orderBy("abs_dev", "day")
+    mad = (
+        with_dev.withColumn("rn", F.row_number().over(w_mad))
+        .join(F.broadcast(n_k), F.col("rn") == F.col("k"))
+        .select(F.col("abs_dev").alias("mad_cents"))
+    )
+    return (
+        with_dev.crossJoin(F.broadcast(mad))
+        .filter(F.col("abs_dev") > MAD_K * F.col("mad_cents"))
+        .select("day", "cents", "med_cents", "mad_cents", "abs_dev")
+        .orderBy("day")
+    )
+
+
+def evt_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upward change-point (CUSUM) series over daily purchase revenue:
+    C_t = running_sum(cents - med) and cusum_pos = C_t - running_min(C),
+    the classic max(0, S+x) recursion unrolled into two windows — all
+    exact integers, no recursion, no floats.
+
+    Output: (day, cents, cusum_pos) for every day, ordered; a sustained
+    level shift shows as cusum_pos ramping away from zero."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("cents")
+    )
+    n_k = daily.agg(F.expr("(count(1) + 1) div 2").alias("k"))
+    w_med = Window.orderBy("cents", "day")
+    med = (
+        daily.withColumn("rn", F.row_number().over(w_med))
+        .join(F.broadcast(n_k), F.col("rn") == F.col("k"))
+        .select(F.col("cents").alias("med_cents"))
+    )
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    run = (
+        daily.crossJoin(F.broadcast(med))
+        .withColumn("c_t", F.sum(F.col("cents") - F.col("med_cents")).over(w_run))
+        .withColumn("c_min", F.min("c_t").over(w_run))
+    )
+    return run.select(
+        "day", "cents", (F.col("c_t") - F.col("c_min")).alias("cusum_pos")
+    ).orderBy("day")
+
+
+def ml_discount_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pearson correlation between discount (exact basis
+    points) and quantity (exact units), from BIGINT sufficient
+    statistics — the 'does discounting move volume' read, with the
+    whole fact table reduced to 6 sums per brand before any float op.
+
+    Output: (p_brand, n_lines, corr) ordered by p_brand."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("cast(round(l_discount * 100) as bigint)").alias("x"),
+        F.expr("cast(round(l_quantity) as bigint)").alias("y"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    stats = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    # mirrored token-for-token in the oracle
+    return stats.selectExpr(
+        "p_brand",
+        "n_lines",
+        "cast(n_lines * sxy - sx * sy as double)"
+        " / nullif(sqrt(cast(n_lines * sxx - sx * sx as double))"
+        "          * sqrt(cast(n_lines * syy - sy * sy as double)), 0.0d)"
+        " as corr",
+    ).orderBy("p_brand")
+
+
+OLS_TREND_ORACLE = """
+WITH monthly AS (
+    SELECT n.n_name,
+           CAST((extract(year FROM o.o_orderdate) - 1995) * 12
+                + extract(month FROM o.o_orderdate) - 1 AS BIGINT) AS x,
+           CAST(SUM(CAST(round(o.o_totalprice) AS BIGINT)) AS BIGINT) AS y
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name,
+             (extract(year FROM o.o_orderdate) - 1995) * 12
+             + extract(month FROM o.o_orderdate) - 1
+),
+stats AS (
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_months,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM monthly
+    GROUP BY n_name
+)
+SELECT n_name,
+       n_months,
+       CAST(n_months * sxy - sx * sy AS DOUBLE)
+         / CAST(nullif(n_months * sxx - sx * sx, 0) AS DOUBLE)
+         AS slope_dollars_per_month,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n_months * sxy - sx * sy AS DOUBLE)
+           / CAST(nullif(n_months * sxx - sx * sx, 0) AS DOUBLE))
+          * CAST(sx AS DOUBLE))
+        / CAST(n_months AS DOUBLE) AS intercept_dollars,
+       (CAST(n_months * sxy - sx * sy AS DOUBLE)
+        * CAST(n_months * sxy - sx * sy AS DOUBLE))
+        / (CAST(nullif(n_months * sxx - sx * sx, 0) AS DOUBLE)
+           * CAST(nullif(n_months * syy - sy * sy, 0) AS DOUBLE)) AS r2
+FROM stats
+ORDER BY n_name
+"""
+
+AB_ZTEST_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'purchase' AND value >= {CONV_VALUE_MIN}
+                    THEN 1 ELSE 0 END) AS conv
+    FROM events
+    GROUP BY user_id
+),
+row_agg AS (
+    SELECT
+      CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_control,
+      CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT)
+        AS conv_control,
+      CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_treat,
+      CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT)
+        AS conv_treat
+    FROM per_user
+)
+SELECT n_control, conv_control, n_treat, conv_treat,
+       conv_control * 1000000 // nullif(n_control, 0) AS conv_control_ppm,
+       conv_treat * 1000000 // nullif(n_treat, 0) AS conv_treat_ppm,
+       conv_treat * 1000000 // nullif(n_treat, 0)
+         - conv_control * 1000000 // nullif(n_control, 0) AS lift_ppm,
+       (CAST(conv_treat AS DOUBLE) / CAST(nullif(n_treat, 0) AS DOUBLE)
+        - CAST(conv_control AS DOUBLE) / CAST(nullif(n_control, 0) AS DOUBLE))
+        / nullif(sqrt((CAST(conv_control + conv_treat AS DOUBLE)
+                / CAST(nullif(n_control + n_treat, 0) AS DOUBLE))
+               * (1.0 - CAST(conv_control + conv_treat AS DOUBLE)
+                      / CAST(nullif(n_control + n_treat, 0) AS DOUBLE))
+               * (1.0 / CAST(nullif(n_control, 0) AS DOUBLE)
+                  + 1.0 / CAST(nullif(n_treat, 0) AS DOUBLE))), 0.0) AS z_score
+FROM row_agg
+"""
+
+MAD_SPIKES_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY CAST(ts AS DATE)
+),
+nk AS (
+    SELECT (CAST(COUNT(*) AS BIGINT) + 1) // 2 AS k FROM daily
+),
+med AS (
+    SELECT cents AS med_cents
+    FROM (SELECT cents,
+                 ROW_NUMBER() OVER (ORDER BY cents, day) AS rn
+          FROM daily) t, nk
+    WHERE t.rn = nk.k
+),
+with_dev AS (
+    SELECT d.day, d.cents, m.med_cents,
+           abs(d.cents - m.med_cents) AS abs_dev
+    FROM daily d, med m
+),
+mad AS (
+    SELECT abs_dev AS mad_cents
+    FROM (SELECT abs_dev,
+                 ROW_NUMBER() OVER (ORDER BY abs_dev, day) AS rn
+          FROM with_dev) t, nk
+    WHERE t.rn = nk.k
+)
+SELECT w.day, w.cents, w.med_cents, mad.mad_cents, w.abs_dev
+FROM with_dev w, mad
+WHERE w.abs_dev > {MAD_K} * mad.mad_cents
+ORDER BY w.day
+"""
+
+CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY CAST(ts AS DATE)
+),
+nk AS (
+    SELECT (CAST(COUNT(*) AS BIGINT) + 1) // 2 AS k FROM daily
+),
+med AS (
+    SELECT cents AS med_cents
+    FROM (SELECT cents,
+                 ROW_NUMBER() OVER (ORDER BY cents, day) AS rn
+          FROM daily) t, nk
+    WHERE t.rn = nk.k
+),
+run AS (
+    SELECT d.day, d.cents,
+           SUM(d.cents - m.med_cents)
+             OVER (ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_t
+    FROM daily d, med m
+)
+SELECT day, cents,
+       CAST(c_t - MIN(c_t) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT)
+         AS cusum_pos
+FROM run
+ORDER BY day
+"""
+
+DISCOUNT_CORR_ORACLE = """
+WITH li AS (
+    SELECT l_partkey,
+           CAST(round(l_discount * 100) AS BIGINT) AS x,
+           CAST(round(l_quantity) AS BIGINT) AS y
+    FROM lineitem
+),
+stats AS (
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM li
+    JOIN part p ON li.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+)
+SELECT p_brand,
+       n_lines,
+       CAST(n_lines * sxy - sx * sy AS DOUBLE)
+         / nullif(sqrt(CAST(n_lines * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n_lines * syy - sy * sy AS DOUBLE)), 0.0)
+         AS corr
+FROM stats
+ORDER BY p_brand
+"""
+
+
+QUERIES = {
+    "ml_ols_trend": ml_ols_trend,
+    "ab_conversion_ztest": ab_conversion_ztest,
+    "evt_mad_spikes": evt_mad_spikes,
+    "evt_cusum_shifts": evt_cusum_shifts,
+    "ml_discount_qty_corr": ml_discount_qty_corr,
+}
+
+ORACLES = {
+    "ml_ols_trend": OLS_TREND_ORACLE,
+    "ab_conversion_ztest": AB_ZTEST_ORACLE,
+    "evt_mad_spikes": MAD_SPIKES_ORACLE,
+    "evt_cusum_shifts": CUSUM_ORACLE,
+    "ml_discount_qty_corr": DISCOUNT_CORR_ORACLE,
+}

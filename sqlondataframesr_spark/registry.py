@@ -39,6 +39,8 @@ from .operators import (
     aggmerge,
     asof,
     concentration,
+    er,
+    forensics,
     graph,
     grouped,
     growth,
@@ -46,7 +48,10 @@ from .operators import (
     journeys,
     rangejoin,
     salt,
+    scd,
     sessionize,
+    stats,
+    survival,
     udtf,
 )
 from .queries import extensions, quality, reference, stackexchange, tpch_shapes
@@ -97,6 +102,11 @@ _MODULES = [
     journeys,
     rangejoin,
     salt,
+    scd,
+    er,
+    stats,
+    survival,
+    forensics,
     sessionize,
     udtf,
 ]

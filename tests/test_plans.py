@@ -583,3 +583,61 @@ def test_minhash_recall_report_plan_shape(spark, sf_dir):
     duplicate-density-bounded, not corpus-bounded)."""
     a = _audit(spark, sf_dir, "minhash_recall_report")
     assert not a.has_cartesian
+
+
+def test_scd2_one_event_sized_exchange(spark, sf_dir):
+    """The SCD2 build's contract (operators/scd.py docstring): the lag
+    flag, island cumsum, version reduce, and lead all ride ONE
+    user_id-keyed exchange — HashPartitioning(user_id) satisfies every
+    downstream ClusteredDistribution. Only the bounded post-frames
+    (|event_types| summary / top-k) may add exchanges."""
+    a = _audit(spark, sf_dir, "cdc_scd2_summary")
+    assert a.text.count("hashpartitioning(user_id") <= 1
+    assert not a.has_single_task_sort
+    top = _audit(spark, sf_dir, "cdc_scd2_top_versions")
+    assert top.has_fused_topk  # TakeOrderedAndProject, no global sort
+
+
+def test_er_pairs_is_blocked_equijoin(spark, sf_dir):
+    """ER candidate generation must join on the BLOCKING key (equi),
+    with the Levenshtein threshold as a filter — never a cartesian
+    pair explosion."""
+    a = _audit(spark, sf_dir, "er_customer_pairs")
+    assert not a.has_cartesian
+    assert "BroadcastNestedLoopJoin" not in a.join_strategies
+    assert any(
+        s in a.join_strategies
+        for s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert a.has_fused_topk
+
+
+def test_rec_cosine_norm_joins_are_broadcast(spark, sf_dir):
+    """The |items|-row norm frame must broadcast onto the |items|²
+    dot matrix; the user-keyed pair join must stay an equi-join."""
+    a = _audit(spark, sf_dir, "rec_item_cosine")
+    assert not a.has_cartesian
+    assert a.join_strategies.count("BroadcastHashJoin") >= 2
+
+
+def test_ols_trend_broadcasts_nation_no_cartesian(spark, sf_dir):
+    a = _audit(spark, sf_dir, "ml_ols_trend")
+    assert not a.has_cartesian
+    assert "BroadcastHashJoin" in a.join_strategies
+
+
+def test_km_curve_no_single_task_sort(spark, sf_dir):
+    """KM's windows are all partitioned by segment on the bounded
+    curve frame; the fold is an array expression. No single-task sort
+    of anything data-sized."""
+    a = _audit(spark, sf_dir, "km_survival_curve")
+    assert not a.has_cartesian
+    assert not a.has_single_task_sort
+
+
+def test_trigrams_topk_fused(spark, sf_dir):
+    a = _audit(spark, sf_dir, "evt_type_trigrams")
+    assert a.has_fused_topk
+    assert not a.has_cartesian
+    # both lags share one user_id sort: a single event-sized exchange
+    assert a.text.count("hashpartitioning(user_id") <= 1
