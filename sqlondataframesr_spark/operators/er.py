@@ -176,3 +176,7 @@ ORACLES = {
     "er_customer_pairs": ER_PAIRS_ORACLE,
     "rec_item_cosine": REC_COSINE_ORACLE,
 }
+
+# Spark-SQL duals: the oracle text is fully dialect-portable
+# (levenshtein, sqrt, CAST) — same string runs on both engines.
+SPARK_SQL = dict(ORACLES)

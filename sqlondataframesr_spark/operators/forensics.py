@@ -159,3 +159,15 @@ ORACLES = {
     "evt_type_trigrams": TRIGRAMS_ORACLE,
     "dq_benford_digits": BENFORD_ORACLE,
 }
+
+# Spark-SQL duals. Dialect seams: VARCHAR -> STRING and the range()
+# table function's column name (DuckDB ``range``, Spark ``id``).
+SPARK_SQL = {
+    "evt_type_trigrams": TRIGRAMS_ORACLE,  # fully portable
+    "dq_benford_digits": BENFORD_ORACLE.replace(
+        "AS VARCHAR", "AS STRING"
+    ).replace(
+        "SELECT CAST(range AS BIGINT) AS digit FROM range(1, 10)",
+        "SELECT CAST(id AS BIGINT) AS digit FROM range(1, 10)",
+    ),
+}

@@ -182,3 +182,12 @@ ORACLES = {
     "cdc_scd2_summary": SCD2_SUMMARY_ORACLE,
     "cdc_scd2_top_versions": SCD2_TOP_ORACLE,
 }
+
+# Spark-SQL duals (N-version: fluent plan vs SQL text on the Spark
+# engine — tests/test_reference_queries.py). One dialect seam: DuckDB
+# ``epoch_us`` is ``unix_micros`` in Spark SQL; everything else in the
+# oracle text is dialect-portable window SQL.
+SPARK_SQL = {
+    name: sql.replace("epoch_us(", "unix_micros(")
+    for name, sql in ORACLES.items()
+}

@@ -238,8 +238,13 @@ def evt_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_t", F.sum(F.col("cents") - F.col("med_cents")).over(w_run))
         .withColumn("c_min", F.min("c_t").over(w_run))
     )
+    # LEAST(c_min, 0): the classic recursion's implicit empty prefix
+    # (C_0 = 0) — without it a series that deviates upward from day one
+    # would wrongly read cusum_pos = 0 on its first day
     return run.select(
-        "day", "cents", (F.col("c_t") - F.col("c_min")).alias("cusum_pos")
+        "day",
+        "cents",
+        (F.col("c_t") - F.least(F.col("c_min"), F.lit(0))).alias("cusum_pos"),
     ).orderBy("day")
 
 
@@ -419,10 +424,10 @@ run AS (
     FROM daily d, med m
 )
 SELECT day, cents,
-       CAST(c_t - MIN(c_t) OVER (ORDER BY day
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                          AND CURRENT ROW) AS BIGINT)
-         AS cusum_pos
+       CAST(c_t - LEAST(MIN(c_t) OVER (ORDER BY day
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW), 0)
+            AS BIGINT) AS cusum_pos
 FROM run
 ORDER BY day
 """
@@ -471,4 +476,12 @@ ORACLES = {
     "evt_mad_spikes": MAD_SPIKES_ORACLE,
     "evt_cusum_shifts": CUSUM_ORACLE,
     "ml_discount_qty_corr": DISCOUNT_CORR_ORACLE,
+}
+
+# Spark-SQL duals. One dialect seam: DuckDB spells truncating integer
+# division ``//``, Spark SQL spells it ``div`` (identical semantics on
+# the non-negative operands used here); the float expressions are
+# already shared token-for-token.
+SPARK_SQL = {
+    name: sql.replace(" // ", " div ") for name, sql in ORACLES.items()
 }

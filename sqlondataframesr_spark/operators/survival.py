@@ -155,7 +155,7 @@ curve AS (
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND CURRENT ROW) AS n
         FROM steps
-    )
+    ) t
     WHERE d > 0
 ),
 km AS (
@@ -181,3 +181,22 @@ ORDER BY segment, duration_days
 QUERIES = {"km_survival_curve": km_survival_curve}
 
 ORACLES = {"km_survival_curve": KM_ORACLE}
+
+# Spark-SQL dual: Spark 4 supports WITH RECURSIVE, so the SAME
+# iterative KM recurrence runs as SQL text on the Spark engine.
+# Dialect seams: DuckDB ``//`` -> Spark ``div`` and
+# ``date_diff('day', a, b)`` -> ``datediff(b, a)`` (argument order is
+# reversed between the dialects).
+_KM_SPARK = (
+    KM_ORACLE.replace(" // ", " div ")
+    .replace(
+        "date_diff('day', CAST(first_o AS DATE), CAST(last_o AS DATE))",
+        "datediff(CAST(last_o AS DATE), CAST(first_o AS DATE))",
+    )
+    .replace(
+        f"date_diff('day', CAST(first_o AS DATE), DATE '{HORIZON}')",
+        f"datediff(DATE '{HORIZON}', CAST(first_o AS DATE))",
+    )
+)
+
+SPARK_SQL = {"km_survival_curve": _KM_SPARK}

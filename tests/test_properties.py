@@ -482,3 +482,110 @@ def test_distributed_rank_is_the_global_sort(spark, vals, npart):
         ).collect()
     }
     assert got == exp
+
+
+@given(
+    lifetimes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),  # duration days
+            st.booleans(),                            # observed (churn) vs censored
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@_SETTINGS
+def test_km_matches_python_reference(spark, lifetimes, tmp_path_factory):
+    """For ANY (duration, observed) multiset: the KM operator's curve
+    equals an independent Python implementation of the truncating
+    integer-ppm Kaplan-Meier recurrence. Censored subjects are encoded
+    as first = horizon - t, last = horizon (>= horizon -> censored at
+    exactly t); observed as first = 2000-01-01, last = first + t."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import survival as SV
+
+    horizon = dt.datetime(2001, 5, 1)
+    base = dt.datetime(2000, 1, 1)
+    cust_rows, order_rows = [], []
+    for i, (t, ev) in enumerate(lifetimes, start=1):
+        cust_rows.append((i, f"Customer#{i}", 1, 0.0, "SEG"))
+        if ev:
+            first, last = base, base + dt.timedelta(days=t)
+        else:
+            first, last = horizon - dt.timedelta(days=t), horizon
+        order_rows.append((2 * i, i, "F", 1.0, first, "1-URGENT"))
+        order_rows.append((2 * i + 1, i, "F", 1.0, last, "1-URGENT"))
+    cust = spark.createDataFrame(
+        cust_rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        order_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    tmp = tmp_path_factory.mktemp("km")
+    app = spark.sparkContext.applicationId
+    keys = [(app, str(tmp), "customer"), (app, str(tmp), "orders")]
+    C._table_cache[keys[0]] = cust
+    C._table_cache[keys[1]] = orders
+    try:
+        got = [
+            (r.duration_days, r.n_at_risk, r.d_events, r.survival_ppm)
+            for r in SV.km_survival_curve(spark, str(tmp)).collect()
+        ]
+    finally:
+        for k in keys:
+            C._table_cache.pop(k, None)
+    # independent reference: sort event times, at-risk = lifetimes >= t
+    want, s = [], 1_000_000
+    event_times = sorted({t for t, ev in lifetimes if ev})
+    for t in event_times:
+        n = sum(1 for tt, _ in lifetimes if tt >= t)
+        d = sum(1 for tt, ev in lifetimes if ev and tt == t)
+        s = (s * (n - d)) // n
+        want.append((t, n, d, s))
+    assert got == want
+
+
+@given(
+    cents=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=15)
+)
+@_SETTINGS
+def test_cusum_matches_recursion_model(spark, cents, tmp_path_factory):
+    """For ANY daily series: the window-unrolled cusum_pos equals the
+    classic recursion S_t = max(0, S_{t-1} + (x_t - med)) — including
+    series that deviate upward from day one (the empty-prefix case
+    that motivated LEAST(min, 0))."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import stats as ST
+
+    t0 = dt.datetime(2024, 3, 1)
+    day = dt.timedelta(days=1)
+    rows = [
+        (i, t0 + i * day, 1, "purchase", c / 100.0, "{}")
+        for i, c in enumerate(cents)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    tmp = tmp_path_factory.mktemp("cusum")
+    key = (spark.sparkContext.applicationId, str(tmp), "events")
+    C._table_cache[key] = df
+    try:
+        got = [r.cusum_pos for r in ST.evt_cusum_shifts(spark, str(tmp)).collect()]
+    finally:
+        C._table_cache.pop(key, None)
+    med = sorted(cents)[(len(cents) + 1) // 2 - 1]
+    s, want = 0, []
+    for c in cents:
+        s = max(0, s + (c - med))
+        want.append(s)
+    assert got == want
