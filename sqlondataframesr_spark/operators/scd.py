@@ -48,6 +48,13 @@ def _versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
+    return _versions_of(ev.withColumn("cnt", F.lit(1).cast("long")))
+
+
+def _versions_of(ev: DataFrame) -> DataFrame:
+    """Gaps-and-islands versioning of an event frame carrying a ``cnt``
+    weight column (1 for raw events; the open-version seed row of the
+    incremental path carries its absorbed count)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(w)
     flagged = ev.withColumn(
@@ -62,7 +69,7 @@ def _versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vers = runs.groupBy("user_id", "run_id", "event_type").agg(
         F.min("ts").alias("valid_from"),
-        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cnt").cast("long").alias("n_events"),
     )
     w2 = Window.partitionBy("user_id").orderBy("run_id")
     return vers.withColumn("valid_to", F.lead("valid_from").over(w2))
@@ -72,7 +79,10 @@ def cdc_scd2_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event_type: how many SCD2 versions exist, how many are the
     open (current) version, and total/max closed-version duration in
     exact microseconds. Output: |event_types| rows ordered by event_type."""
-    vers = _versions(spark, sf_dir)
+    return _summarize(_versions(spark, sf_dir))
+
+
+def _summarize(vers: DataFrame) -> DataFrame:
     closed_us = F.when(
         F.col("valid_to").isNotNull(),
         F.unix_micros("valid_to") - F.unix_micros("valid_from"),
@@ -173,14 +183,67 @@ ORDER BY duration_us DESC, user_id, valid_from
 LIMIT {TOP_K}
 """
 
+#: incremental-build cutoff: versions built from events <= SPLIT are
+#: the "existing dimension"; events after are the delta to merge
+#: (events span 2024-01-01 .. 2024-01-30 at every SF)
+SPLIT = "2024-01-20 00:00:00"
+
+
+def _incremental_summary(
+    spark: SparkSession, sf_dir: str, split: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cut = F.lit(split).cast("timestamp")
+    old = _versions_of(
+        ev.filter(F.col("ts") <= cut).withColumn("cnt", F.lit(1).cast("long"))
+    )
+    closed = old.filter(F.col("valid_to").isNotNull())
+    # the ONLY mutable state: one seed row per user (their open
+    # version), re-windowed together with the delta
+    seeds = old.filter(F.col("valid_to").isNull()).select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+        "event_type",
+        F.col("n_events").alias("cnt"),
+    )
+    delta = ev.filter(F.col("ts") > cut).withColumn(
+        "cnt", F.lit(1).cast("long")
+    )
+    tail = _versions_of(seeds.unionByName(delta))
+    merged = closed.select(
+        "user_id", "event_type", "valid_from", "n_events", "valid_to"
+    ).unionByName(
+        tail.select("user_id", "event_type", "valid_from", "n_events", "valid_to")
+    )
+    return _summarize(merged)
+
+
+def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: merge the post-SPLIT event delta
+    into the dimension built at SPLIT — closed versions pass through
+    UNTOUCHED (at 100 TB that's the bulk of the dimension, never
+    re-windowed); only a one-row-per-user seed (each open version) and
+    the delta are shuffled. The registered oracle is the FULL
+    recompute, so the driver gate proves incremental ≡ batch across
+    engines — the same maintenance contract as evt_hypertable_rollup
+    and dedup_incremental."""
+    return _incremental_summary(spark, sf_dir, SPLIT)
+
+
 QUERIES = {
     "cdc_scd2_summary": cdc_scd2_summary,
     "cdc_scd2_top_versions": cdc_scd2_top_versions,
+    "cdc_scd2_incremental": cdc_scd2_incremental,
 }
 
 ORACLES = {
     "cdc_scd2_summary": SCD2_SUMMARY_ORACLE,
     "cdc_scd2_top_versions": SCD2_TOP_ORACLE,
+    # deliberately the FULL-recompute SQL: the check IS incremental≡batch
+    "cdc_scd2_incremental": SCD2_SUMMARY_ORACLE,
 }
 
 # Spark-SQL duals (N-version: fluent plan vs SQL text on the Spark

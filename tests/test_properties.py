@@ -589,3 +589,57 @@ def test_cusum_matches_recursion_model(spark, cents, tmp_path_factory):
         s = max(0, s + (c - med))
         want.append(s)
     assert got == want
+
+
+@given(
+    seq=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # user
+            st.sampled_from(["a", "b", "c"]),        # event type
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    split_frac=st.integers(min_value=0, max_value=25),
+)
+@_SETTINGS
+def test_scd2_incremental_equals_full_recompute(
+    spark, seq, split_frac, tmp_path_factory
+):
+    """For ANY event stream and ANY split point — including split
+    before all events (pure rebuild) and after all (pure passthrough):
+    merging the delta into the dimension built at the split yields the
+    SAME summary as recomputing from scratch."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import scd as SCD
+
+    t0 = dt.datetime(2024, 3, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (i, t0 + i * m, uid, etype, 1.0, "{}")
+        for i, (uid, etype) in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    tmp = tmp_path_factory.mktemp("scd2inc")
+    key = (spark.sparkContext.applicationId, str(tmp), "events")
+    C._table_cache[key] = df
+    split = (t0 + split_frac * m - dt.timedelta(seconds=30)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    try:
+        full = sorted(
+            tuple(r) for r in SCD.cdc_scd2_summary(spark, str(tmp)).collect()
+        )
+        inc = sorted(
+            tuple(r)
+            for r in SCD._incremental_summary(spark, str(tmp), split).collect()
+        )
+    finally:
+        C._table_cache.pop(key, None)
+    assert inc == full
