@@ -1,0 +1,62 @@
+"""Reusable iterative connected-components (hash-to-min label
+propagation) over an explicit edge list — the shared engine behind
+entity clustering (operators/er.py). Same scheme as
+llm/dedup.dedup_clusters:837 (Kiveris et al., "Connected Components in
+MapReduce"): label(v) <- min(label(v), min over neighbours) to
+fixpoint, one shuffle of the label table per round, O(component
+diameter) rounds, lazy localCheckpoint to keep the plan one join deep.
+
+Scale design: each round shuffles only the (node, label) table — never
+the underlying corpus — and the convergence count is taken every
+second round (halves driver round-trips; blob-shaped match graphs
+converge in 1-2 rounds). For adversarial long-chain graphs the
+documented swap is large-star/small-star. An unconverged exit raises
+loudly (ADVICE r6): the oracles are FULL recursive closures, so a
+silent partial fixpoint must never reach the differential.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def min_label_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """``nodes(node)`` + undirected ``edges(src, dst)`` (both
+    directions present) -> ``(node, label)`` with label = min node id
+    of the component."""
+    labels = nodes.select(F.col("node"), F.col("node").alias("label"))
+    converged = False
+    for rnd in range(1, max_rounds + 1):
+        msg = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msg, labels.node == msg.node2, "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        converged = False
+        if rnd % 2 == 0 or rnd == max_rounds:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            converged = changed == 0
+        labels = new_labels
+        if converged:
+            break
+    if not converged:
+        raise RuntimeError(
+            f"min_label_components: no fixpoint within {max_rounds} rounds;"
+            " raise max_rounds (or switch to large-star/small-star)"
+        )
+    return labels

@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
+from .components import min_label_components
 
 #: max edit distance for a candidate match
 ER_MAX_DISTANCE = 2
@@ -78,6 +79,62 @@ def er_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.orderBy("name_distance", "custkey_a", "custkey_b").limit(ER_TOP_K)
+
+
+def _match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED threshold match pairs (the top-k cap in
+    er_customer_pairs is presentation; clustering needs every edge)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.c_nationkey") == F.col("b.c_nationkey"),
+                F.col("a.c_mktsegment") == F.col("b.c_mktsegment"),
+                F.col("a.c_custkey") < F.col("b.c_custkey"),
+            ],
+        )
+        .filter(lev <= ER_MAX_DISTANCE)
+        .select(
+            F.col("a.c_custkey").alias("ka"), F.col("b.c_custkey").alias("kb")
+        )
+    )
+
+
+def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ER pipeline's last mile: transitive closure of the
+    match pairs -> one entity id per customer (min custkey of the
+    component) plus the entity size. Iterative min-label propagation
+    (operators/components.py) vs the oracle's FULL recursive closure —
+    same iterative-vs-closure differential as dedup_clusters.
+
+    Output: (custkey, entity_id, entity_size), one row per customer,
+    ordered by custkey."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    pairs = _match_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("ka").alias("src"), F.col("kb").alias("dst")
+    ).union(pairs.select(F.col("kb").alias("src"), F.col("ka").alias("dst")))
+    labels = min_label_components(
+        cust.select(F.col("c_custkey").alias("node")), edges
+    )
+    sized = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("entity_size")
+    )
+    return (
+        labels.join(sized, "label")
+        .select(
+            F.col("node").alias("custkey"),
+            F.col("label").alias("entity_id"),
+            "entity_size",
+        )
+        .orderBy("custkey")
+    )
 
 
 def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,16 +224,55 @@ JOIN norms nb ON nb.event_type = d.item_b
 ORDER BY d.item_a, d.item_b
 """
 
+ER_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+    SELECT a.c_custkey AS ka, b.c_custkey AS kb
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= {ER_MAX_DISTANCE}
+),
+edges AS (
+    SELECT ka AS src, kb AS dst FROM pairs
+    UNION
+    SELECT kb AS src, ka AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT c_custkey, c_custkey FROM customer
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+    SELECT src AS custkey, MIN(dst) AS entity_id FROM reach GROUP BY src
+)
+SELECT c.custkey, c.entity_id, cs.entity_size
+FROM clusters c
+JOIN (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS entity_size
+      FROM clusters GROUP BY entity_id) cs USING (entity_id)
+ORDER BY c.custkey
+"""
+
 QUERIES = {
     "er_customer_pairs": er_customer_pairs,
+    "er_entity_clusters": er_entity_clusters,
     "rec_item_cosine": rec_item_cosine,
 }
 
 ORACLES = {
     "er_customer_pairs": ER_PAIRS_ORACLE,
+    "er_entity_clusters": ER_CLUSTERS_ORACLE,
     "rec_item_cosine": REC_COSINE_ORACLE,
 }
 
-# Spark-SQL duals: the oracle text is fully dialect-portable
-# (levenshtein, sqrt, CAST) — same string runs on both engines.
-SPARK_SQL = dict(ORACLES)
+# Spark-SQL duals: the pair/cosine oracle text is fully
+# dialect-portable (levenshtein, sqrt, CAST) — the same string runs on
+# both engines. er_entity_clusters has NO dual: its oracle's closure
+# needs a fixpoint UNION, and Spark 4's recursive CTE supports only
+# UNION ALL (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), which on a cyclic
+# edge list never terminates — same dual-less status as dedup_clusters.
+SPARK_SQL = {
+    "er_customer_pairs": ER_PAIRS_ORACLE,
+    "rec_item_cosine": REC_COSINE_ORACLE,
+}

@@ -420,3 +420,35 @@ def test_discount_corr_designed(spark, tmp_path):
     dx, dy = 3 * 14 - 36, 3 * 1400 - 3600
     assert got["BRAND_LIN"].corr == num / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
     assert got["BRAND_FLAT"].corr is None
+
+
+def test_er_entity_clusters_designed(spark, tmp_path):
+    """Chain 1-2 (dist 1) and 2-3 (dist 1) with 1-3 at dist 2: one
+    entity {1,2,3} labeled by min key; an unmatched customer stays a
+    singleton; blocking still separates identical names."""
+    from sqlondataframesr_spark.operators import er
+
+    rows = [
+        (1, "Customer#000000001", 1, 0.0, "SEG_A"),
+        (2, "Customer#000000002", 1, 0.0, "SEG_A"),
+        (3, "Customer#000000003", 1, 0.0, "SEG_A"),
+        (4, "Customer#000000999", 1, 0.0, "SEG_A"),  # distance 3+ to all
+        (5, "Customer#000000001", 2, 0.0, "SEG_A"),  # other block
+    ]
+    key = _inject(
+        spark, tmp_path, "customer", spark.createDataFrame(rows, CUST_SCHEMA)
+    )
+    try:
+        got = {
+            r.custkey: (r.entity_id, r.entity_size)
+            for r in er.er_entity_clusters(spark, str(tmp_path)).collect()
+        }
+    finally:
+        _cleanup([key])
+    assert got == {
+        1: (1, 3),
+        2: (1, 3),
+        3: (1, 3),
+        4: (4, 1),
+        5: (5, 1),
+    }
