@@ -62,6 +62,15 @@ BATTERY = [
     "graph_nation_pagerank",   # r9 sweep regression: n=0 division
     "evt_asof_attribution",
     "q20_regional_revenue",
+    # r10 inferential/linkage family
+    "cdc_scd2_summary",
+    "cdc_scd2_incremental",
+    "er_entity_clusters",
+    "ab_conversion_ztest",
+    "evt_mad_spikes",
+    "evt_cusum_shifts",
+    "km_survival_curve",
+    "dq_benford_digits",
 ]
 
 
