@@ -1,0 +1,189 @@
+"""Time-series parity operators: time-weighted average (TimescaleDB
+``time_weight('LOCF')`` shape) and OHLC candle bars — the two
+downsampling reads a metrics/trading team runs on a 100 TB tick store.
+
+North-star extensions (no reference counterpart — RDataFramesSQL.Rmd
+has no time-series surface; SURVEY.md north-star scope). Related: the
+continuous aggregate (operators/hypertable.py) maintains SUM/COUNT
+rollups; these two add order-sensitive per-bucket shapes.
+
+Scale design (100 TB):
+
+- Both operators are ONE bucket-keyed window shuffle (day / hour) with
+  the aggregation reusing the window's partitioning (grouping keys ⊇
+  partition keys — no second data-sized exchange), then bounded output
+  (|days| / |hours| rows). A hot bucket is a hot key — same inherent
+  bound as sessionize's hot user, same documented cap escape.
+- ``evt_time_weighted_avg`` — the LOCF integral: each observation
+  holds its value until the next one (or midnight). Durations
+  PARTITION the day, so the per-day integral Σ cents×dur_ms is
+  bounded by max_cents × 86,400,000 — a constant w.r.t. data volume:
+  the exact-BIGINT contract survives ANY scale factor (contrast the
+  OLS Σy² whose bound grows with SF — SCALE.md).
+- ``evt_ohlc_hourly`` — open/close are row_number endpoints on the
+  total per-bucket order (ts, event_id) — NOT ``arg_min(v, ts)``,
+  whose tie-break on equal timestamps is engine-dependent.
+
+Determinism: integer cents × integer milliseconds, truncating div for
+the weighted mean, total order (ts, event_id) for open/close — every
+emitted value is exact BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+
+_CENTS = "cast(round(value * 100) as bigint)"
+
+
+def evt_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day LOCF time-weighted average of the purchase-event value:
+    each event's cents are weighted by the milliseconds until the next
+    event of the day (the last event holds until midnight). The span
+    before the first event has no observation and contributes nothing
+    (document-parity with time_weight's first-point behavior).
+
+    Output: (day, n_events, weighted_ms, twap_cents) ordered by day.
+    twap_cents = Σ cents×dur_ms div Σ dur_ms (truncating)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("day").orderBy("t_ms", "event_id")
+    obs = ev.select(
+        F.to_date("ts").alias("day"),
+        F.expr("unix_micros(ts) div 1000").alias("t_ms"),
+        "event_id",
+        F.expr(_CENTS).alias("cents"),
+    )
+    day_end_ms = F.expr(
+        "unix_micros(cast(date_add(day, 1) as timestamp)) div 1000"
+    )
+    with_dur = obs.withColumn(
+        "dur_ms",
+        F.coalesce(F.lead("t_ms").over(w), day_end_ms) - F.col("t_ms"),
+    )
+    return (
+        with_dur.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("cents") * F.col("dur_ms")).cast("long").alias(
+                "weighted_ms"
+            ),
+            F.sum("dur_ms").cast("long").alias("span_ms"),
+        )
+        .selectExpr(
+            "day",
+            "n_events",
+            "weighted_ms",
+            "weighted_ms div nullif(span_ms, 0) as twap_cents",
+        )
+        .orderBy("day")
+    )
+
+
+def evt_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candle bars over purchase values: open/close are
+    the first/last observation in (ts, event_id) order, high/low the
+    extremes, volume the event count. Output: (hour, open_cents,
+    high_cents, low_cents, close_cents, n_events) ordered by hour."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    obs = ev.select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "ts",
+        "event_id",
+        F.expr(_CENTS).alias("cents"),
+    )
+    w = Window.partitionBy("hour").orderBy("ts", "event_id")
+    marked = obs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_in", F.count(F.lit(1)).over(Window.partitionBy("hour"))
+    )
+    return (
+        marked.groupBy("hour")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max(F.when(F.col("rn") == F.col("n_in"), F.col("cents"))).alias(
+                "close_cents"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("hour")
+    )
+
+
+TWAP_ORACLE = """
+WITH obs AS (
+    SELECT CAST(ts AS DATE) AS day,
+           epoch_us(ts) // 1000 AS t_ms,
+           event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type = 'purchase'
+),
+with_dur AS (
+    SELECT day, cents,
+           COALESCE(
+               LEAD(t_ms) OVER (PARTITION BY day ORDER BY t_ms, event_id),
+               epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP)) // 1000
+           ) - t_ms AS dur_ms
+    FROM obs
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents * dur_ms) AS BIGINT) AS weighted_ms,
+       CAST(SUM(cents * dur_ms) AS BIGINT)
+         // nullif(CAST(SUM(dur_ms) AS BIGINT), 0) AS twap_cents
+FROM with_dur
+GROUP BY day
+ORDER BY day
+"""
+
+OHLC_ORACLE = """
+WITH obs AS (
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           ts, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type = 'purchase'
+),
+marked AS (
+    SELECT hour, cents,
+           ROW_NUMBER() OVER (PARTITION BY hour ORDER BY ts, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY hour) AS n_in
+    FROM obs
+)
+SELECT hour,
+       MAX(CASE WHEN rn = 1 THEN cents END) AS open_cents,
+       MAX(cents) AS high_cents,
+       MIN(cents) AS low_cents,
+       MAX(CASE WHEN rn = n_in THEN cents END) AS close_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM marked
+GROUP BY hour
+ORDER BY hour
+"""
+
+QUERIES = {
+    "evt_time_weighted_avg": evt_time_weighted_avg,
+    "evt_ohlc_hourly": evt_ohlc_hourly,
+}
+
+ORACLES = {
+    "evt_time_weighted_avg": TWAP_ORACLE,
+    "evt_ohlc_hourly": OHLC_ORACLE,
+}
+
+# Spark-SQL duals. Dialect seams: ``//`` -> ``div``, ``epoch_us`` ->
+# ``unix_micros``, and DuckDB's bare ``INTERVAL 1 DAY`` -> ``INTERVAL
+# '1' DAY``; the OHLC text is fully portable.
+SPARK_SQL = {
+    "evt_time_weighted_avg": TWAP_ORACLE.replace(" // ", " div ")
+    .replace("epoch_us(", "unix_micros(")
+    .replace("INTERVAL 1 DAY", "INTERVAL '1' DAY"),
+    "evt_ohlc_hourly": OHLC_ORACLE,
+}

@@ -52,6 +52,7 @@ from .operators import (
     sessionize,
     stats,
     survival,
+    timeseries,
     udtf,
 )
 from .queries import extensions, quality, reference, stackexchange, tpch_shapes
@@ -107,6 +108,7 @@ _MODULES = [
     stats,
     survival,
     forensics,
+    timeseries,
     sessionize,
     udtf,
 ]

@@ -452,3 +452,58 @@ def test_er_entity_clusters_designed(spark, tmp_path):
         4: (4, 1),
         5: (5, 1),
     }
+
+
+# ----------------------------------------------------------- timeseries
+
+
+def test_twap_designed(spark, tmp_path):
+    """One day, two observations: $1 at 00:00 held for 6h, $3 at 06:00
+    held to midnight (18h): twap = (100*6 + 300*18)/24 = 250 cents —
+    far from the unweighted mean of 200."""
+    from sqlondataframesr_spark.operators import timeseries
+
+    d0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (1, d0, 1, "purchase", 1.0, "{}"),
+        (2, d0 + dt.timedelta(hours=6), 1, "purchase", 3.0, "{}"),
+        (3, d0, 1, "view", 99.0, "{}"),  # non-purchase: ignored
+    ]
+    key = _inject(spark, tmp_path, "events", spark.createDataFrame(rows, EV_SCHEMA))
+    try:
+        got = timeseries.evt_time_weighted_avg(spark, str(tmp_path)).collect()
+    finally:
+        _cleanup([key])
+    assert len(got) == 1
+    r = got[0]
+    h_ms = 3_600_000
+    assert r.n_events == 2
+    assert r.weighted_ms == 100 * 6 * h_ms + 300 * 18 * h_ms
+    assert r.twap_cents == 250
+
+
+def test_ohlc_designed(spark, tmp_path):
+    """One hour with values 2, 9, 1, 5 in time order -> open 200,
+    high 900, low 100, close 500; a same-timestamp tie at the close
+    breaks on event_id."""
+    from sqlondataframesr_spark.operators import timeseries
+
+    h0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, h0 + 0 * m, 1, "purchase", 2.0, "{}"),
+        (2, h0 + 1 * m, 1, "purchase", 9.0, "{}"),
+        (3, h0 + 2 * m, 1, "purchase", 1.0, "{}"),
+        (4, h0 + 3 * m, 1, "purchase", 7.0, "{}"),
+        (5, h0 + 3 * m, 1, "purchase", 5.0, "{}"),  # same ts: id 5 > 4 wins close
+    ]
+    key = _inject(spark, tmp_path, "events", spark.createDataFrame(rows, EV_SCHEMA))
+    try:
+        got = timeseries.evt_ohlc_hourly(spark, str(tmp_path)).collect()
+    finally:
+        _cleanup([key])
+    assert len(got) == 1
+    r = got[0]
+    assert (r.open_cents, r.high_cents, r.low_cents, r.close_cents, r.n_events) == (
+        200, 900, 100, 500, 5
+    )
