@@ -185,9 +185,7 @@ def evt_mad_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded frame (|calendar days| rows): unpartitioned windows are
     # safe here — they never see event-sized data
-    n_k = daily.agg(
-        ((F.count(F.lit(1)) + 1) / 2).cast("long").alias("k")
-    )
+    n_k = daily.agg(F.expr("(count(1) + 1) div 2").alias("k"))
     w_med = Window.orderBy("cents", "day")
     med = (
         daily.withColumn("rn", F.row_number().over(w_med))

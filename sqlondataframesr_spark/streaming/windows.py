@@ -453,7 +453,71 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 ORDER BY click_id, purchase_id
 """
 
+def ohlc_candles(events: DataFrame) -> DataFrame:
+    """Hourly OHLC candle bars of purchase values, window-function-free
+    so the SAME transformation runs under Structured Streaming:
+    open/close via min_by/max_by on the total (ts, event_id) order
+    (row_number is not stream-expressible; the unique event_id makes
+    the pick deterministic — streaming aggregation state is one
+    (cents, ts, event_id) pair per endpoint per open window). The
+    row_number batch strategy lives in operators/timeseries.py
+    (evt_ohlc_hourly); both check against the same oracle."""
+    cents = "cast(round(value * 100) as bigint)"
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.expr(f"min_by({cents}, struct(ts, event_id))").alias("open_cents"),
+            F.max(F.expr(cents)).alias("high_cents"),
+            F.min(F.expr(cents)).alias("low_cents"),
+            F.expr(f"max_by({cents}, struct(ts, event_id))").alias("close_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "n_events",
+        )
+    )
+
+
+def evt_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlc_candles(load_table(spark, sf_dir, "events")).orderBy("hour")
+
+
+# same result contract as operators/timeseries.evt_ohlc_hourly — the
+# differential proves the min_by strategy ≡ the row_number strategy
+EVT_OHLC_CANDLES_ORACLE = """
+WITH obs AS (
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           ts, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type = 'purchase'
+),
+marked AS (
+    SELECT hour, cents,
+           ROW_NUMBER() OVER (PARTITION BY hour ORDER BY ts, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY hour) AS n_in
+    FROM obs
+)
+SELECT hour,
+       MAX(CASE WHEN rn = 1 THEN cents END) AS open_cents,
+       MAX(cents) AS high_cents,
+       MIN(cents) AS low_cents,
+       MAX(CASE WHEN rn = n_in THEN cents END) AS close_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM marked
+GROUP BY hour
+ORDER BY hour
+"""
+
+
 QUERIES = {
+    "evt_ohlc_candles": evt_ohlc_candles,
     "evt_click_purchase_pairs": evt_click_purchase_pairs,
     "evt_click_purchase_left": evt_click_purchase_left,
     "evt_tumbling_daily": evt_tumbling_daily,
@@ -463,6 +527,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "evt_ohlc_candles": EVT_OHLC_CANDLES_ORACLE,
     "evt_click_purchase_pairs": EVT_CLICK_PURCHASE_PAIRS_ORACLE,
     "evt_click_purchase_left": EVT_CLICK_PURCHASE_LEFT_ORACLE,
     "evt_segment_daily": EVT_SEGMENT_DAILY_ORACLE,

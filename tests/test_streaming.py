@@ -348,3 +348,12 @@ def test_gs_user_type_profile_matches_batch(spark, sf_dir):
     assert set(latest) == set(batch)
     for uid, want in batch.items():
         assert latest[uid] == want, (uid, latest[uid], want)
+
+
+def test_ohlc_stream_matches_batch(spark, sf_dir):
+    """The min_by/max_by OHLC aggregation is stream-expressible: the
+    availableNow stream's final candles equal the batch result."""
+    batch = W.ohlc_candles(load_table(spark, sf_dir, "events"))
+    stream = W.ohlc_candles(W.with_watermark(W.stream_events(spark, sf_dir)))
+    got = _run_stream(spark, stream)
+    assert not compare_frames(got, batch)
