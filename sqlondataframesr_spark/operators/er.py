@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
+from ..materialize import materialize
 from .components import min_label_components
 
 #: max edit distance for a candidate match
@@ -117,9 +118,14 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered by custkey."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     pairs = _match_pairs(spark, sf_dir)
-    edges = pairs.select(
-        F.col("ka").alias("src"), F.col("kb").alias("dst")
-    ).union(pairs.select(F.col("kb").alias("src"), F.col("ka").alias("dst")))
+    # pin the edge list: every propagation round joins it, and without
+    # the persist each round would recompute the blocked Levenshtein
+    # self-join (measured 6 s/round -> ~1 s/round at sf0.1)
+    edges = (
+        pairs.select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
+        .union(pairs.select(F.col("kb").alias("src"), F.col("ka").alias("dst")))
+        .transform(materialize)
+    )
     labels = min_label_components(
         cust.select(F.col("c_custkey").alias("node")), edges
     )
