@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
-from ..materialize import materialize
+from ..materialize import materialize, spread_scan
 from .components import min_label_components
 
 #: max edit distance for a candidate match
@@ -58,7 +58,10 @@ def er_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
-    a = c.alias("a")
+    # single-row-group dim parquet = 1 split: without the spread the
+    # whole blocked pair space (~1M Levenshtein evals at sf0.1) lands
+    # in ONE probe task (materialize.spread_scan, SCALE.md r4)
+    a = spread_scan(c).alias("a")
     b = c.alias("b")
     lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
     pairs = (
@@ -88,7 +91,7 @@ def _match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
-    a = c.alias("a")
+    a = spread_scan(c).alias("a")
     b = c.alias("b")
     lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
     return (
