@@ -393,12 +393,136 @@ ORDERS_YOY_SEASONALITY_ORACLE = _YOY_BODY.format(DIV="//")
 ORDERS_YOY_SEASONALITY_SPARK_SQL = _YOY_BODY.format(DIV="div")
 
 
+#: attribution lookback window (hours before the purchase)
+ATTR_WINDOW_HOURS = 24
+
+
+def evt_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's cents are split
+    EQUALLY across the same user's clicks in the 24 h before it
+    (click ts in (purchase - 24h, purchase]); the truncation remainder
+    goes to the LAST touch (latest ts, event_id tie-break) so every
+    purchase's cents are conserved exactly. Purchases with no touch in
+    the window are attributed to a 'direct' channel on the purchase
+    day. Complements evt_asof_attribution (last-touch only).
+
+    Conservation invariant (property-tested): SUM(att_cents) over the
+    output == SUM(round(value*100)) over all purchases.
+
+    Scale (100 TB): the touch join is a per-user equi-join with the
+    range predicate applied inside the sort-merge — candidate fan-out
+    is clicks-within-24h × purchases per user, the output's own size.
+    A bot user is a hot key: same inherent per-key bound as
+    sessionize, same capped-variant escape documented there. The
+    per-purchase window partitions on purchase_id (never global).
+
+    Output: (day, channel, att_cents, n_touches) ordered by
+    day, channel."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = "cast(round(value * 100) as bigint)"
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.expr(cents).alias("cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    j = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            > F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_HOURS} HOURS")
+        ),
+        "left",
+    )
+    wp = Window.partitionBy("p_id")
+    wlast = Window.partitionBy("p_id").orderBy(
+        F.desc("c_ts"), F.desc("c_id")
+    )
+    attributed = (
+        j.withColumn("n_touch", F.count("c_id").over(wp))
+        .withColumn("rn", F.row_number().over(wlast))
+        .selectExpr(
+            "IF(c_id IS NULL, to_date(p_ts), to_date(c_ts)) as day",
+            "IF(c_id IS NULL, 'direct', 'click') as channel",
+            "CASE WHEN c_id IS NULL THEN cents"
+            "     WHEN rn = 1 THEN cents - (cents div n_touch) * (n_touch - 1)"
+            "     ELSE cents div n_touch END as att",
+        )
+    )
+    return (
+        attributed.groupBy("day", "channel")
+        .agg(
+            F.sum("att").cast("long").alias("att_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+        )
+        .orderBy("day", "channel")
+    )
+
+
+_ATTR_BODY = f"""
+WITH purchases AS (
+    SELECT user_id, ts AS p_ts, event_id AS p_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id
+    FROM events WHERE event_type = 'click'
+),
+j AS (
+    SELECT p.*, c.c_ts, c.c_id
+    FROM purchases p
+    LEFT JOIN clicks c
+      ON c.c_user = p.user_id
+     AND c.c_ts <= p.p_ts
+     AND c.c_ts > p.p_ts - INTERVAL {{IVL}}
+),
+marked AS (
+    SELECT *,
+           COUNT(c_id) OVER (PARTITION BY p_id) AS n_touch,
+           row_number() OVER (
+               PARTITION BY p_id ORDER BY c_ts DESC, c_id DESC
+           ) AS rn
+    FROM j
+),
+attributed AS (
+    SELECT CASE WHEN c_id IS NULL THEN CAST(p_ts AS DATE)
+                ELSE CAST(c_ts AS DATE) END AS day,
+           CASE WHEN c_id IS NULL THEN 'direct' ELSE 'click' END AS channel,
+           CASE WHEN c_id IS NULL THEN cents
+                WHEN rn = 1
+                  THEN cents - (cents {{DIV}} n_touch) * (n_touch - 1)
+                ELSE cents {{DIV}} n_touch END AS att
+    FROM marked
+)
+SELECT day, channel,
+       CAST(SUM(att) AS BIGINT) AS att_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_touches
+FROM attributed GROUP BY day, channel ORDER BY day, channel
+"""
+
+EVT_LINEAR_ATTRIBUTION_ORACLE = _ATTR_BODY.format(
+    DIV="//", IVL=f"{ATTR_WINDOW_HOURS} HOURS"
+)
+EVT_LINEAR_ATTRIBUTION_SPARK_SQL = _ATTR_BODY.format(
+    DIV="div", IVL=f"'{ATTR_WINDOW_HOURS}' HOURS"
+)
+
+
 QUERIES = {
     "evt_transition_matrix": evt_transition_matrix,
     "cust_rfm_segments": cust_rfm_segments,
     "orders_snapshot_diff": orders_snapshot_diff,
     "evt_daily_spikes": evt_daily_spikes,
     "orders_yoy_seasonality": orders_yoy_seasonality,
+    "evt_linear_attribution": evt_linear_attribution,
 }
 
 ORACLES = {
@@ -407,6 +531,7 @@ ORACLES = {
     "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_ORACLE,
     "evt_daily_spikes": EVT_DAILY_SPIKES_ORACLE,
     "orders_yoy_seasonality": ORDERS_YOY_SEASONALITY_ORACLE,
+    "evt_linear_attribution": EVT_LINEAR_ATTRIBUTION_ORACLE,
 }
 
 SPARK_SQL = {
@@ -415,4 +540,5 @@ SPARK_SQL = {
     "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_SPARK_SQL,
     "evt_daily_spikes": EVT_DAILY_SPIKES_SPARK_SQL,
     "orders_yoy_seasonality": ORDERS_YOY_SEASONALITY_SPARK_SQL,
+    "evt_linear_attribution": EVT_LINEAR_ATTRIBUTION_SPARK_SQL,
 }

@@ -1,0 +1,405 @@
+"""Distributed sketches: KMV (k-minimum-values) distinct counting and
+a count-min frequency sketch — the summaries a 100 TB pipeline ships
+between stages instead of re-scanning the corpus.
+
+North-star extensions (no reference counterpart — RDataFramesSQL.Rmd
+has no sketch surface). The repo already has exact heavy hitters
+(llm/curation.py) and approx percentile/HLL probes (q22); this module
+adds the two sketch families whose MERGE property is the whole point:
+a sketch built per-partition/per-tenant and OR-ed together must equal
+the sketch of the union, or incremental rollups silently drift.
+``sketch_kmv_merge_check`` proves that equality end-to-end.
+
+Determinism contract (what makes a "probabilistic" sketch EXACT-
+oracle-able): the hash is md5 — bit-identical in Spark and DuckDB —
+truncated to 13 hex chars (52 bits), so every estimate is a pure
+integer function of the input multiset. No RNG, no platform seed.
+
+Scale design (100 TB):
+
+- ``sketch_kmv_distinct`` — candidate K-min extraction is TWO-PHASE:
+  the distinct (group, h) frame is first min-K'd per (group,
+  pmod(h, 256)) cell, so a hot group's sort spreads over 256 tasks,
+  then the global per-group min-K runs over <= 256*K survivor rows
+  per group. Any value in the global K smallest is in the K smallest
+  of its own cell, so the two-phase result is EXACTLY the one-pass
+  result (same argument as the heavy-hitters candidate prune,
+  llm/curation.py). No unpartitioned window anywhere.
+- ``sketch_cms_freq_report`` — the sketch build is explode(x DEPTH)
+  then groupBy(depth, bucket): map-side partial aggregation collapses
+  the shuffle to <= DEPTH*WIDTH = 4096 cells regardless of corpus
+  size, and the probe join broadcasts those 4096 cells. CMS
+  guarantees cms_cnt >= exact_cnt (property-tested).
+- Estimate arithmetic is bounded by construction:
+  (K-1) * 2^52 = 283726776524341248 < 2^63, and err_ppm multiplies
+  the ESTIMATE by 1e6 only after the div, keeping everything int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+
+#: KMV sketch size (number of minimum hash values retained)
+KMV_K = 64
+
+#: hash space: 13 hex chars of md5 = 52 bits
+HASH_BITS = 52
+HASH_SPACE = 1 << HASH_BITS  # 4503599627370496
+
+#: fan-out cells for the two-phase min-K (spreads a hot group's sort)
+KMV_CELLS = 256
+
+#: count-min sketch geometry
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+#: how many exact-top terms the CMS report probes
+CMS_TOP = 20
+
+_H_SPARK = "cast(conv(substring(md5(text), 1, 13), 16, 10) as bigint)"
+_H_DUCK = "('0x' || substr(md5(text), 1, 13))::BIGINT"
+
+
+def _kmv_minset(distinct_h: DataFrame, group_cols: list[str]) -> DataFrame:
+    """The K smallest distinct hashes per group, two-phase (see module
+    docstring): cell-local min-K spreads a hot group over KMV_CELLS
+    tasks; the survivor set per group is <= KMV_CELLS * KMV_K rows."""
+    cell = F.pmod(F.col("h"), F.lit(KMV_CELLS))
+    w1 = Window.partitionBy(*group_cols, "cell").orderBy("h")
+    local = (
+        distinct_h.withColumn("cell", cell)
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("cell", "rn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        local.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+
+
+#: numerator of the full-sketch estimator; 63 * 2^52 < 2^63 by design
+_KMV_FULL_EST = (KMV_K - 1) * HASH_SPACE
+
+
+def _kmv_estimate() -> F.Column:
+    """KMV estimator over columns named (n_sk, h_k): if the sketch is
+    not full the sketch IS the distinct set (estimate = n_sk exactly);
+    else (K-1)/U_k with U_k = h_k / 2^52, i.e. (K-1)*2^52 div h_k
+    (truncating — identical to DuckDB ``//``)."""
+    return F.expr(
+        f"IF(n_sk < {KMV_K}, n_sk,"
+        f" cast({_KMV_FULL_EST} as bigint) div h_k)"
+    )
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV distinct-count estimate of document texts, with
+    the exact answer and signed error beside it.
+
+    Output: (source, exact_distinct, n_sk, kmv_estimate, err_ppm)
+    ordered by source. err_ppm = (estimate - exact)*1e6 div exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    distinct_h = (
+        docs.select("source", F.expr(_H_SPARK).alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("_"))
+        .drop("_")
+    )
+    exact = distinct_h.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    sk = (
+        _kmv_minset(distinct_h, ["source"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sk"),
+            F.max("h").alias("h_k"),
+        )
+    )
+    est = _kmv_estimate().cast("long")
+    return (
+        sk.join(exact, "source")
+        .withColumn("kmv_estimate", est)
+        .selectExpr(
+            "source",
+            "exact_distinct",
+            "n_sk",
+            "kmv_estimate",
+            "(kmv_estimate - exact_distinct) * 1000000"
+            " div nullif(exact_distinct, 0) as err_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+def sketch_kmv_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeability proof: a global KMV sketch assembled by
+    MERGING per-lang sketches (union their K-min sets, dedup, re-take
+    the K minimum) must equal the sketch built directly over the whole
+    corpus — same n_sk, same h_k, same estimate. This is the property
+    that lets 1000 executors sketch their partitions independently and
+    combine on the driver without a second corpus scan.
+
+    Output: two rows (method in {'direct','merged'}) with identical
+    (n_sk, h_k, kmv_estimate), ordered by method."""
+    docs = load_table(spark, sf_dir, "documents")
+    h_frame = docs.select("lang", F.expr(_H_SPARK).alias("h"))
+
+    # per-lang sketches (as a 1000-tenant rollup would materialize)
+    per_lang_h = h_frame.groupBy("lang", "h").agg(
+        F.count(F.lit(1)).alias("_")
+    ).drop("_")
+    lang_minsets = _kmv_minset(per_lang_h, ["lang"]).select("h")
+    merged_h = lang_minsets.groupBy("h").agg(
+        F.count(F.lit(1)).alias("_")
+    ).drop("_")
+
+    # direct global sketch
+    global_h = h_frame.groupBy("h").agg(F.count(F.lit(1)).alias("_")).drop("_")
+
+    def _finish(minset_src: DataFrame, method: str) -> DataFrame:
+        tagged = minset_src.withColumn("g", F.lit(0))
+        sk = (
+            _kmv_minset(tagged, ["g"])
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_sk"),
+                F.max("h").alias("h_k"),
+            )
+        )
+        return sk.select(
+            F.lit(method).alias("method"),
+            "n_sk",
+            "h_k",
+            _kmv_estimate().cast("long").alias("kmv_estimate"),
+        )
+
+    return (
+        _finish(global_h, "direct")
+        .unionByName(_finish(merged_h, "merged"))
+        .orderBy("method")
+    )
+
+
+def _cms_bucket_spark(j: str, term: str) -> str:
+    return (
+        f"pmod(cast(conv(substring(md5(concat(cast({j} as string), ':',"
+        f" {term})), 1, 13), 16, 10) as bigint), {CMS_WIDTH})"
+    )
+
+
+def sketch_cms_freq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, probed at the
+    exact top-{CMS_TOP} terms: for each term the sketch's estimate
+    (min over DEPTH salted rows) next to the exact count and the
+    overcount (always >= 0 — CMS never underestimates).
+
+    Output: (term, exact_cnt, cms_cnt, overcount, rnk) by rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    js = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    cms = (
+        toks.withColumn("j", F.explode(js))
+        .select(
+            "j", F.expr(_cms_bucket_spark("j", "term")).alias("bucket")
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cell_cnt"))
+    )
+    exact = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), "term").limit(CMS_TOP)
+    w = Window.orderBy(F.desc("exact_cnt"), "term")
+    top = top.withColumn("rnk", F.row_number().over(w))
+    probes = top.withColumn("j", F.explode(js)).withColumn(
+        "bucket", F.expr(_cms_bucket_spark("j", "term"))
+    )
+    # the sketch is <= DEPTH*WIDTH rows — broadcast it to the probes
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("term", "exact_cnt", "rnk")
+        .agg(F.min("cell_cnt").alias("cms_cnt"))
+        .selectExpr(
+            "term",
+            "exact_cnt",
+            "cms_cnt",
+            "cms_cnt - exact_cnt as overcount",
+            "rnk",
+        )
+        .orderBy("rnk")
+    )
+
+
+SKETCH_KMV_DISTINCT_ORACLE = f"""
+WITH h AS (
+    SELECT DISTINCT source, {_H_DUCK} AS h FROM documents
+),
+ranked AS (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM h
+),
+sk AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sk, MAX(h) AS h_k
+    FROM ranked WHERE rn <= {KMV_K} GROUP BY source
+),
+ex AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+    FROM h GROUP BY source
+),
+est AS (
+    SELECT s.source, e.exact_distinct, s.n_sk,
+           CAST(CASE WHEN s.n_sk < {KMV_K} THEN s.n_sk
+                ELSE {_KMV_FULL_EST} // s.h_k END AS BIGINT) AS kmv_estimate
+    FROM sk s JOIN ex e USING (source)
+)
+SELECT source, exact_distinct, n_sk, kmv_estimate,
+       CAST((kmv_estimate - exact_distinct) * 1000000
+            // nullif(exact_distinct, 0) AS BIGINT) AS err_ppm
+FROM est ORDER BY source
+"""
+
+SKETCH_KMV_MERGE_ORACLE = f"""
+WITH h AS (SELECT lang, {_H_DUCK} AS h FROM documents),
+lang_h AS (SELECT DISTINCT lang, h FROM h),
+lang_ranked AS (
+    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+    FROM lang_h
+),
+merged_pool AS (SELECT DISTINCT h FROM lang_ranked WHERE rn <= {KMV_K}),
+global_pool AS (SELECT DISTINCT h FROM h),
+finish AS (
+    SELECT 'direct' AS method, h,
+           row_number() OVER (ORDER BY h) AS rn
+    FROM global_pool
+    UNION ALL
+    SELECT 'merged' AS method, h,
+           row_number() OVER (ORDER BY h) AS rn
+    FROM merged_pool
+),
+sk AS (
+    SELECT method, CAST(COUNT(*) AS BIGINT) AS n_sk, MAX(h) AS h_k
+    FROM finish WHERE rn <= {KMV_K} GROUP BY method
+)
+SELECT method, n_sk, h_k,
+       CAST(CASE WHEN n_sk < {KMV_K} THEN n_sk
+            ELSE {_KMV_FULL_EST} // h_k END AS BIGINT) AS kmv_estimate
+FROM sk ORDER BY method
+"""
+
+_CMS_BUCKET_DUCK = (
+    "(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 13))"
+    f"::BIGINT % {CMS_WIDTH})"
+)
+
+SKETCH_CMS_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+stream AS (
+    SELECT t.term, j.j
+    FROM toks t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) j
+),
+cms AS (
+    SELECT j, {_CMS_BUCKET_DUCK} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cell_cnt
+    FROM stream GROUP BY 1, 2
+),
+exact AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+    FROM toks GROUP BY term
+),
+top AS (
+    SELECT term, exact_cnt,
+           row_number() OVER (ORDER BY exact_cnt DESC, term) AS rnk
+    FROM exact QUALIFY rnk <= {CMS_TOP}
+),
+probes AS (
+    SELECT t.term, t.exact_cnt, t.rnk, j.j,
+           {_CMS_BUCKET_DUCK} AS bucket
+    FROM top t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) j
+)
+SELECT p.term, p.exact_cnt,
+       MIN(c.cell_cnt) AS cms_cnt,
+       MIN(c.cell_cnt) - p.exact_cnt AS overcount,
+       p.rnk
+FROM probes p JOIN cms c ON p.j = c.j AND p.bucket = c.bucket
+GROUP BY p.term, p.exact_cnt, p.rnk
+ORDER BY p.rnk
+"""
+
+QUERIES = {
+    "sketch_kmv_distinct": sketch_kmv_distinct,
+    "sketch_kmv_merge_check": sketch_kmv_merge_check,
+    "sketch_cms_freq_report": sketch_cms_freq_report,
+}
+
+ORACLES = {
+    "sketch_kmv_distinct": SKETCH_KMV_DISTINCT_ORACLE,
+    "sketch_kmv_merge_check": SKETCH_KMV_MERGE_ORACLE,
+    "sketch_cms_freq_report": SKETCH_CMS_ORACLE,
+}
+
+# Spark-SQL duals. Dialect seams: hex-literal cast -> conv(,16,10),
+# ``//`` -> ``div``, ``%`` on the bucket -> pmod (h >= 0 so they
+# agree; spelled pmod for clarity), unnest/QUALIFY -> explode/filter.
+_H_SQL = "cast(conv(substring(md5(text), 1, 13), 16, 10) as bigint)"
+_CMS_BUCKET_SQL = (
+    "pmod(cast(conv(substring(md5(concat(cast(j as string), ':', term)),"
+    f" 1, 13), 16, 10) as bigint), {CMS_WIDTH})"
+)
+
+SPARK_SQL = {
+    "sketch_kmv_distinct": SKETCH_KMV_DISTINCT_ORACLE.replace(
+        _H_DUCK, _H_SQL
+    ).replace(" // ", " div "),
+    "sketch_kmv_merge_check": SKETCH_KMV_MERGE_ORACLE.replace(
+        _H_DUCK, _H_SQL
+    ).replace(" // ", " div "),
+    "sketch_cms_freq_report": f"""
+WITH toks AS (
+    SELECT explode(split(text, ' ')) AS term FROM documents
+),
+stream AS (
+    SELECT t.term, j.j
+    FROM toks t CROSS JOIN (SELECT explode(array(0, 1, 2, 3)) AS j) j
+),
+cms AS (
+    SELECT j, {_CMS_BUCKET_SQL} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cell_cnt
+    FROM stream GROUP BY 1, 2
+),
+exact AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+    FROM toks GROUP BY term
+),
+top AS (
+    SELECT * FROM (
+        SELECT term, exact_cnt,
+               row_number() OVER (ORDER BY exact_cnt DESC, term) AS rnk
+        FROM exact
+    ) WHERE rnk <= {CMS_TOP}
+),
+probes AS (
+    SELECT t.term, t.exact_cnt, t.rnk, j.j,
+           {_CMS_BUCKET_SQL} AS bucket
+    FROM top t CROSS JOIN (SELECT explode(array(0, 1, 2, 3)) AS j) j
+)
+SELECT p.term, p.exact_cnt,
+       MIN(c.cell_cnt) AS cms_cnt,
+       MIN(c.cell_cnt) - p.exact_cnt AS overcount,
+       p.rnk
+FROM probes p JOIN cms c ON p.j = c.j AND p.bucket = c.bucket
+GROUP BY p.term, p.exact_cnt, p.rnk
+ORDER BY p.rnk
+""",
+}

@@ -116,6 +116,107 @@ def evt_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: autocorrelation lags probed by evt_daily_acf
+ACF_LAGS = 7
+
+
+def evt_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily purchase-revenue series at lags
+    1..ACF_LAGS, in exact integer ppm — the seasonality probe a
+    metrics team runs before picking a forecasting window.
+
+    Semantics (integer contract, identical in both engines): the
+    series is centered on the FLOOR mean m = S div n; acf_ppm(k) =
+    Σ r_t·r_{t+k} div (Σ r_t² div 10^6), all divisions truncating.
+    The 10^6 pre-division of the denominator (instead of multiplying
+    the numerator by 10^6) keeps every intermediate inside int64 for
+    any series with daily revenue below ~5×10^8 dollars — the same
+    documented-range contract as ml_ols_trend's Σy² (SCALE.md).
+
+    Scale: ONE corpus scan collapses events to the daily series,
+    whose length is the CALENDAR SPAN (30 rows here; 36,500 rows for
+    a century) — a constant w.r.t. data volume, so the subsequent
+    ordered window + lag self-join run on a broadcast-sized frame.
+    Output: (lag, n_pairs, num, acf_ppm) ordered by lag."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), F.expr(_CENTS).alias("cents"))
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    stats = daily.agg(
+        F.sum("x").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    # bounded frame (calendar span): the global window is over the
+    # AGGREGATED series, not the corpus — same policy as top-terms
+    idx = (
+        daily.crossJoin(F.broadcast(stats))
+        .selectExpr("day", "x - (s div n) as r")
+        .withColumn(
+            "t", F.row_number().over(Window.orderBy("day"))
+        )
+    )
+    den = idx.agg(F.sum(F.col("r") * F.col("r")).cast("long").alias("den"))
+    lags = spark.range(1, ACF_LAGS + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = idx.select(F.col("t").alias("ta"), F.col("r").alias("r0"))
+    b = idx.select(F.col("t").alias("tb"), F.col("r").alias("r1"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("tb") == F.col("ta") + F.col("lag"))
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("r0") * F.col("r1")).cast("long").alias("num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .selectExpr(
+            "lag",
+            "n_pairs",
+            "num",
+            "num div nullif(den div 1000000, 0) as acf_ppm",
+        )
+        .orderBy("lag")
+    )
+
+
+ACF_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+st AS (
+    SELECT CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+    FROM daily
+),
+idx AS (
+    SELECT x - (SELECT s // n FROM st) AS r,
+           row_number() OVER (ORDER BY day) AS t
+    FROM daily
+),
+den AS (SELECT CAST(SUM(r * r) AS BIGINT) AS den FROM idx),
+lags AS (SELECT unnest(range(1, {ACF_LAGS + 1})) AS lag),
+pairs AS (
+    SELECT l.lag, a.r AS r0, b.r AS r1
+    FROM lags l
+    JOIN idx a ON TRUE
+    JOIN idx b ON b.t = a.t + l.lag
+)
+SELECT CAST(lag AS INT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(r0 * r1) AS BIGINT) AS num,
+       CAST(SUM(r0 * r1) AS BIGINT)
+         // nullif((SELECT den FROM den) // 1000000, 0) AS acf_ppm
+FROM pairs GROUP BY lag ORDER BY lag
+"""
+
 TWAP_ORACLE = """
 WITH obs AS (
     SELECT CAST(ts AS DATE) AS day,
@@ -171,11 +272,13 @@ ORDER BY hour
 QUERIES = {
     "evt_time_weighted_avg": evt_time_weighted_avg,
     "evt_ohlc_hourly": evt_ohlc_hourly,
+    "evt_daily_acf": evt_daily_acf,
 }
 
 ORACLES = {
     "evt_time_weighted_avg": TWAP_ORACLE,
     "evt_ohlc_hourly": OHLC_ORACLE,
+    "evt_daily_acf": ACF_ORACLE,
 }
 
 # Spark-SQL duals. Dialect seams: ``//`` -> ``div``, ``epoch_us`` ->
@@ -186,4 +289,12 @@ SPARK_SQL = {
     .replace("epoch_us(", "unix_micros(")
     .replace("INTERVAL 1 DAY", "INTERVAL '1' DAY"),
     "evt_ohlc_hourly": OHLC_ORACLE,
+    # ACF seams: ``//`` -> div, unnest(range) -> explode(sequence),
+    # DuckDB's ON TRUE lateral spelling -> CROSS JOIN
+    "evt_daily_acf": ACF_ORACLE.replace(" // ", " div ")
+    .replace(
+        f"unnest(range(1, {ACF_LAGS + 1}))",
+        f"explode(sequence(1, {ACF_LAGS}))",
+    )
+    .replace("JOIN idx a ON TRUE", "CROSS JOIN idx a"),
 }

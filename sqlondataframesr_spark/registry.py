@@ -50,6 +50,7 @@ from .operators import (
     salt,
     scd,
     sessionize,
+    sketches,
     stats,
     survival,
     timeseries,
@@ -110,6 +111,7 @@ _MODULES = [
     forensics,
     timeseries,
     sessionize,
+    sketches,
     udtf,
 ]
 
