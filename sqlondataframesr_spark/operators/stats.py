@@ -460,12 +460,270 @@ ORDER BY p_brand
 """
 
 
+#: weekend = ISO weekday in {Sat, Sun}; spelled per dialect below
+_WKEND_SPARK = "weekday(ts) >= 5"
+_WKEND_DUCK = "isodow(ts) >= 6"
+
+
+def dq_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between weekday
+    ('A') and weekend ('B') purchase-value distributions — "did the
+    purchase-size distribution shift on weekends?".
+
+    Integer contract: D = max_v |cumA(v)·nB − cumB(v)·nA| / (nA·nB);
+    the numerator d_num is exact BIGINT, ks_ppm divides by the
+    10^6-pre-divided denominator (house div-first pattern). Numerator
+    bound: cum·n ≤ nA·nB — fits int64 through ~3×10^9 rows per arm
+    (documented-range family, like OLS's Σy²).
+
+    Scale (100 TB): one partial-aggregating shuffle collapses the
+    corpus to per-CENT-VALUE counts — the value domain is PRICE-LIKE
+    (≤ ~56k distinct cents at any SF), so the cumulative window runs
+    on a bounded frame ("window on the matrix" idiom). For an
+    unbounded domain, swap the window for operators.drank's
+    distributed prefix sum — same formula, no single-task sort.
+
+    Output: 1 row (n_a, n_b, n_points, d_num, ks_ppm)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_v = (
+        ev.selectExpr(
+            "cast(round(value * 100) as bigint) as cents",
+            f"IF({_WKEND_SPARK}, 1L, 0L) as is_b",
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum(F.expr("1 - is_b")).cast("long").alias("na"),
+            F.sum("is_b").cast("long").alias("nb"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = per_v.select(
+        "cents",
+        "na",
+        "nb",
+        F.sum("na").over(w).alias("cum_a"),
+        F.sum("nb").over(w).alias("cum_b"),
+        F.sum("na").over(wt).alias("na_tot"),
+        F.sum("nb").over(wt).alias("nb_tot"),
+    )
+    return cum.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max(
+            F.abs(
+                F.col("cum_a") * F.col("nb_tot")
+                - F.col("cum_b") * F.col("na_tot")
+            )
+        )
+        .cast("long")
+        .alias("d_num"),
+    ).selectExpr(
+        "n_a",
+        "n_b",
+        "n_points",
+        "d_num",
+        "d_num div nullif((n_a * n_b) div 1000000, 0) as ks_ppm",
+    )
+
+
+_KS_BODY = """
+WITH per_v AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(SUM(CASE WHEN {WKEND} THEN 0 ELSE 1 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN {WKEND} THEN 1 ELSE 0 END) AS BIGINT) AS nb
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+),
+cum AS (
+    SELECT cents, na, nb,
+           SUM(na) OVER (ORDER BY cents
+                         ROWS UNBOUNDED PRECEDING) AS cum_a,
+           SUM(nb) OVER (ORDER BY cents
+                         ROWS UNBOUNDED PRECEDING) AS cum_b,
+           SUM(na) OVER () AS n_a,
+           SUM(nb) OVER () AS n_b
+    FROM per_v
+),
+agg AS (
+    SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num
+    FROM cum
+)
+SELECT n_a, n_b, n_points, d_num,
+       d_num {DIV} nullif((n_a * n_b) {DIV} 1000000, 0) AS ks_ppm
+FROM agg
+"""
+
+DQ_KS_ORACLE = _KS_BODY.format(WKEND=_WKEND_DUCK, DIV="//")
+DQ_KS_SPARK_SQL = _KS_BODY.format(WKEND=_WKEND_SPARK, DIV="div")
+
+
+def ab_mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) comparing weekday vs weekend purchase
+    values, with the AUC effect size (P(A > B) + ½P(A = B)).
+
+    Exact-integer trick: midranks are fractional (ties average to
+    x.5), so everything is computed in DOUBLED ranks — the doubled
+    midrank of a tied run spanning ranks [s, e] is s + e = 2·cum_before
+    + cnt + 1, an integer. U2 = (doubled rank sum) − n(n+1) is exactly
+    2U, and u2_a + u2_b = 2·nA·nB is the conservation invariant
+    (property-tested). auc_ppm = U_A/(nA·nB) in ppm via the div-first
+    pattern.
+
+    Scale: identical shape to dq_ks_statistic — one partial-agg
+    shuffle to the bounded per-cent-value frame, then windows on the
+    matrix. Output: 1 row (n_a, n_b, u2_a, u2_b, auc_ppm)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_v = (
+        ev.selectExpr(
+            "cast(round(value * 100) as bigint) as cents",
+            f"IF({_WKEND_SPARK}, 1L, 0L) as is_b",
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum(F.expr("1 - is_b")).cast("long").alias("na"),
+            F.sum("is_b").cast("long").alias("nb"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "na",
+        "nb",
+        F.coalesce(F.sum(F.expr("na + nb")).over(w), F.lit(0)).alias(
+            "cum_before"
+        ),
+    ).selectExpr("na", "nb", "2 * cum_before + (na + nb) + 1 as dmr")
+    return ranked.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.sum(F.col("na") * F.col("dmr")).cast("long").alias("r2_a"),
+        F.sum(F.col("nb") * F.col("dmr")).cast("long").alias("r2_b"),
+    ).selectExpr(
+        "n_a",
+        "n_b",
+        "r2_a - n_a * (n_a + 1) as u2_a",
+        "r2_b - n_b * (n_b + 1) as u2_b",
+        "(r2_a - n_a * (n_a + 1))"
+        " div nullif((2 * n_a * n_b) div 1000000, 0) as auc_ppm",
+    )
+
+
+_MWU_BODY = """
+WITH per_v AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(SUM(CASE WHEN {WKEND} THEN 0 ELSE 1 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN {WKEND} THEN 1 ELSE 0 END) AS BIGINT) AS nb
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+),
+ranked AS (
+    SELECT na, nb,
+           2 * COALESCE(SUM(na + nb) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (na + nb) + 1 AS dmr
+    FROM per_v
+),
+agg AS (
+    SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+           CAST(SUM(nb) AS BIGINT) AS n_b,
+           CAST(SUM(na * dmr) AS BIGINT) AS r2_a,
+           CAST(SUM(nb * dmr) AS BIGINT) AS r2_b
+    FROM ranked
+)
+SELECT n_a, n_b,
+       r2_a - n_a * (n_a + 1) AS u2_a,
+       r2_b - n_b * (n_b + 1) AS u2_b,
+       (r2_a - n_a * (n_a + 1))
+         {DIV} nullif((2 * n_a * n_b) {DIV} 1000000, 0) AS auc_ppm
+FROM agg
+"""
+
+AB_MWU_ORACLE = _MWU_BODY.format(WKEND=_WKEND_DUCK, DIV="//")
+AB_MWU_SPARK_SQL = _MWU_BODY.format(WKEND=_WKEND_SPARK, DIV="div")
+
+
+def evt_chisq_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit: is the event-type mix
+    independent of the ISO weekday? Per contingency cell the observed
+    count, the floor-integer expected count e = (row·col) div total,
+    and the cell's chi-square contribution in MILLI units
+    (d²·1000 div e — milli not micro so |d| < 9.6·10^7 stays in int64;
+    documented-range family).
+
+    Scale: ONE partial-agg shuffle to the |types|×7 matrix; row/col
+    marginals are windows ON the matrix (≤ 35 rows). Output:
+    (event_type, dow, o, e, chi_milli) ordered by (event_type, dow)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.selectExpr("event_type", "cast(weekday(ts) as int) as dow")
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wt = Window.partitionBy()
+    return (
+        cells.select(
+            "event_type",
+            "dow",
+            "o",
+            F.sum("o").over(wr).alias("rt"),
+            F.sum("o").over(wc).alias("ct"),
+            F.sum("o").over(wt).alias("t"),
+        )
+        .selectExpr(
+            "event_type",
+            "dow",
+            "o",
+            "(rt * ct) div t as e",
+            "(o - (rt * ct) div t) * (o - (rt * ct) div t) * 1000"
+            " div nullif((rt * ct) div t, 0) as chi_milli",
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+_CHISQ_BODY = """
+WITH cells AS (
+    SELECT event_type, CAST({DOW} AS INT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS o
+    FROM events GROUP BY 1, 2
+),
+marg AS (
+    SELECT event_type, dow, o,
+           SUM(o) OVER (PARTITION BY event_type) AS rt,
+           SUM(o) OVER (PARTITION BY dow) AS ct,
+           SUM(o) OVER () AS t
+    FROM cells
+)
+SELECT event_type, dow, o,
+       CAST((rt * ct) {DIV} t AS BIGINT) AS e,
+       CAST((o - (rt * ct) {DIV} t) * (o - (rt * ct) {DIV} t) * 1000
+            {DIV} nullif((rt * ct) {DIV} t, 0) AS BIGINT) AS chi_milli
+FROM marg ORDER BY event_type, dow
+"""
+
+EVT_CHISQ_ORACLE = _CHISQ_BODY.format(DOW="isodow(ts) - 1", DIV="//")
+EVT_CHISQ_SPARK_SQL = _CHISQ_BODY.format(DOW="weekday(ts)", DIV="div")
+
+
 QUERIES = {
     "ml_ols_trend": ml_ols_trend,
     "ab_conversion_ztest": ab_conversion_ztest,
     "evt_mad_spikes": evt_mad_spikes,
     "evt_cusum_shifts": evt_cusum_shifts,
     "ml_discount_qty_corr": ml_discount_qty_corr,
+    "dq_ks_statistic": dq_ks_statistic,
+    "ab_mannwhitney_auc": ab_mannwhitney_auc,
+    "evt_chisq_type_weekday": evt_chisq_type_weekday,
 }
 
 ORACLES = {
@@ -474,6 +732,9 @@ ORACLES = {
     "evt_mad_spikes": MAD_SPIKES_ORACLE,
     "evt_cusum_shifts": CUSUM_ORACLE,
     "ml_discount_qty_corr": DISCOUNT_CORR_ORACLE,
+    "dq_ks_statistic": DQ_KS_ORACLE,
+    "ab_mannwhitney_auc": AB_MWU_ORACLE,
+    "evt_chisq_type_weekday": EVT_CHISQ_ORACLE,
 }
 
 # Spark-SQL duals. One dialect seam: DuckDB spells truncating integer
@@ -483,3 +744,13 @@ ORACLES = {
 SPARK_SQL = {
     name: sql.replace(" // ", " div ") for name, sql in ORACLES.items()
 }
+# the weekend/weekday ops also seam on the day-of-week function
+# (DuckDB isodow vs Spark weekday), so their duals are built from the
+# shared body with both seams applied, not by the blanket replace
+SPARK_SQL.update(
+    {
+        "dq_ks_statistic": DQ_KS_SPARK_SQL,
+        "ab_mannwhitney_auc": AB_MWU_SPARK_SQL,
+        "evt_chisq_type_weekday": EVT_CHISQ_SPARK_SQL,
+    }
+)

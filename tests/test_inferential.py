@@ -507,3 +507,114 @@ def test_ohlc_designed(spark, tmp_path):
     assert (r.open_cents, r.high_cents, r.low_cents, r.close_cents, r.n_events) == (
         200, 900, 100, 500, 5
     )
+
+
+# ---------------------------------------------- KS / MWU / chi-square
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime.fromisoformat(ts), uid, et, v, "{}")
+            for i, (ts, uid, et, v) in enumerate(rows)
+        ],
+        EV_SCHEMA,
+    )
+
+
+def test_ks_identical_distributions_is_zero(spark, tmp_path):
+    """Same purchase values on a weekday (Mon 2024-01-01) and a
+    weekend (Sat 2024-01-06): every cum difference cancels -> D = 0."""
+    from sqlondataframesr_spark.operators import stats
+
+    rows = []
+    for v in (10.0, 20.0, 30.0):
+        rows.append(("2024-01-01 10:00:00", 1, "purchase", v))
+        rows.append(("2024-01-06 10:00:00", 2, "purchase", v))
+    keys = [_inject(spark, tmp_path, "events", _mk_events(spark, rows))]
+    try:
+        r = stats.dq_ks_statistic(spark, str(tmp_path)).collect()[0]
+        assert (r.n_a, r.n_b) == (3, 3)
+        assert r.d_num == 0
+        assert r.ks_ppm == 0 or r.ks_ppm is None  # 9 div 1e6 = 0 -> NULL
+    finally:
+        _cleanup(keys)
+
+
+def test_ks_disjoint_distributions_is_full(spark, tmp_path):
+    """All weekday values strictly below all weekend values: at the
+    crossover D = 1, so d_num = nA*nB exactly."""
+    from sqlondataframesr_spark.operators import stats
+
+    rows = [("2024-01-01 10:00:00", 1, "purchase", float(v)) for v in (1, 2, 3)]
+    rows += [("2024-01-06 10:00:00", 2, "purchase", float(v)) for v in (9, 10)]
+    keys = [_inject(spark, tmp_path, "events", _mk_events(spark, rows))]
+    try:
+        r = stats.dq_ks_statistic(spark, str(tmp_path)).collect()[0]
+        assert (r.n_a, r.n_b, r.n_points) == (3, 2, 5)
+        assert r.d_num == 3 * 2
+    finally:
+        _cleanup(keys)
+
+
+def test_mwu_conservation_and_designed_auc(spark, tmp_path):
+    """u2_a + u2_b == 2*nA*nB always; with every weekday value below
+    every weekend value, U_A = 0 (A never wins)."""
+    from sqlondataframesr_spark.operators import stats
+
+    rows = [("2024-01-01 10:00:00", 1, "purchase", float(v)) for v in (1, 2)]
+    rows += [("2024-01-06 10:00:00", 2, "purchase", float(v)) for v in (8, 9)]
+    keys = [_inject(spark, tmp_path, "events", _mk_events(spark, rows))]
+    try:
+        r = stats.ab_mannwhitney_auc(spark, str(tmp_path)).collect()[0]
+        assert r.u2_a + r.u2_b == 2 * r.n_a * r.n_b
+        assert r.u2_a == 0  # A strictly smaller everywhere
+        assert r.u2_b == 2 * r.n_a * r.n_b
+    finally:
+        _cleanup(keys)
+
+
+def test_mwu_real_data_invariants(spark, sf_dir):
+    from sqlondataframesr_spark.operators import stats
+
+    r = stats.ab_mannwhitney_auc(spark, sf_dir).collect()[0]
+    assert r.u2_a + r.u2_b == 2 * r.n_a * r.n_b
+    assert 0 <= r.u2_a <= 2 * r.n_a * r.n_b
+    if r.auc_ppm is not None:
+        assert 0 <= r.auc_ppm <= 1_100_000
+
+
+def test_chisq_perfect_independence_is_zero(spark, tmp_path):
+    """A contingency table with identical type mix on every day:
+    every observed == expected -> all chi_milli = 0."""
+    from sqlondataframesr_spark.operators import stats
+
+    rows = []
+    # Mon + Tue, same 2:1 click/purchase mix each day
+    for day in ("2024-01-01", "2024-01-02"):
+        rows.append((f"{day} 09:00:00", 1, "click", 1.0))
+        rows.append((f"{day} 10:00:00", 1, "click", 1.0))
+        rows.append((f"{day} 11:00:00", 2, "purchase", 5.0))
+    keys = [_inject(spark, tmp_path, "events", _mk_events(spark, rows))]
+    try:
+        out = stats.evt_chisq_type_weekday(spark, str(tmp_path)).collect()
+        assert len(out) == 4  # 2 types x 2 days
+        for r in out:
+            assert r.o == r.e
+            assert r.chi_milli == 0
+    finally:
+        _cleanup(keys)
+
+
+def test_chisq_real_data_marginals(spark, sf_dir):
+    """Cells partition the corpus: sum(o) == |events|; every expected
+    e is the floor product of its marginals; chi_milli >= 0."""
+    from pyspark.sql import functions as F
+
+    from sqlondataframesr_spark.operators import stats
+
+    out = stats.evt_chisq_type_weekday(spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r.o for r in out) == total
+    for r in out:
+        assert r.chi_milli is None or r.chi_milli >= 0
