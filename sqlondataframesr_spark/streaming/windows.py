@@ -488,6 +488,151 @@ def evt_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_candles(load_table(spark, sf_dir, "events")).orderBy("hour")
 
 
+#: count-min geometry for the streaming heavy-hitter sketch — shared
+#: with operators/sketches.py's corpus CMS (same md5 hash family)
+CMS_STREAM_DEPTH = 4
+CMS_STREAM_WIDTH = 1024
+
+_CMS_USER_BUCKET = (
+    "pmod(cast(conv(substring(md5(concat(cast(j as string), ':',"
+    " cast(user_id as string))), 1, 13), 16, 10) as bigint),"
+    f" {CMS_STREAM_WIDTH})"
+)
+
+
+def cms_user_cells(events: DataFrame) -> DataFrame:
+    """Per-day count-min sketch cells over the USER stream — the
+    top-talker / heavy-hitter sketch a stream processor keeps instead
+    of a per-user counter. Window-function-free, so the SAME
+    transformation runs under Structured Streaming: explode the depth
+    axis map-side, then a windowed (day × j × bucket) count — ordinary
+    streaming aggregation state, ≤ 4096 cells per open day.
+
+    Deterministic: md5 buckets (the sketches.py contract), so batch,
+    stream, and the DuckDB oracle agree bit-for-bit."""
+    js = F.array(*[F.lit(i) for i in range(CMS_STREAM_DEPTH)])
+    return (
+        events.select(F.col("ts"), F.col("user_id"))
+        .withColumn("j", F.explode(js))
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "j",
+            F.expr(_CMS_USER_BUCKET).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cell_cnt"))
+        .select(F.col("w.start").cast("date").alias("day"), "j", "bucket", "cell_cnt")
+    )
+
+
+def evt_cms_daily_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of :func:`cms_user_cells` (the stream≡batch
+    differential lives in tests/test_streaming.py). Output:
+    (day, j, bucket, cell_cnt) ordered."""
+    return cms_user_cells(load_table(spark, sf_dir, "events")).orderBy(
+        "day", "j", "bucket"
+    )
+
+
+#: top users probed by the merge report
+CMS_USER_TOP = 10
+
+
+def evt_cms_user_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge the per-day CMS cells across ALL days (cell-wise sum —
+    count-min's merge operation) and probe the merged sketch at the
+    exact top-{CMS_USER_TOP} users: sketch estimate >= exact count,
+    always. This is the rollup a stream processor serves all-time
+    top-talker queries from without keeping per-user state.
+
+    Scale: the merge aggregates |days| × 4096 cells down to 4096 —
+    broadcast-sized — and the probe joins against it broadcast. One
+    corpus-sized shuffle total (the windowed cells), reused from the
+    sketch a stream job would already be maintaining.
+
+    Output: (user_id, exact_cnt, cms_cnt, overcount, rnk) by rank."""
+    ev = load_table(spark, sf_dir, "events")
+    merged = (
+        cms_user_cells(ev)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cell_cnt").cast("long").alias("cell_cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    from pyspark.sql import Window
+
+    top = exact.orderBy(F.desc("exact_cnt"), "user_id").limit(CMS_USER_TOP)
+    w = Window.orderBy(F.desc("exact_cnt"), "user_id")
+    top = top.withColumn("rnk", F.row_number().over(w))
+    js = F.array(*[F.lit(i) for i in range(CMS_STREAM_DEPTH)])
+    probes = top.withColumn("j", F.explode(js)).withColumn(
+        "bucket", F.expr(_CMS_USER_BUCKET)
+    )
+    return (
+        probes.join(F.broadcast(merged), ["j", "bucket"])
+        .groupBy("user_id", "exact_cnt", "rnk")
+        .agg(F.min("cell_cnt").alias("cms_cnt"))
+        .selectExpr(
+            "user_id",
+            "exact_cnt",
+            "cms_cnt",
+            "cms_cnt - exact_cnt as overcount",
+            "rnk",
+        )
+        .orderBy("rnk")
+    )
+
+
+_CMS_USER_BUCKET_DUCK = (
+    "(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||"
+    " CAST(user_id AS VARCHAR)), 1, 13))::BIGINT"
+    f" % {CMS_STREAM_WIDTH})"
+)
+
+EVT_CMS_DAILY_CELLS_ORACLE = f"""
+WITH stream AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id, j.j
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) j
+)
+SELECT day, j, {_CMS_USER_BUCKET_DUCK} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cell_cnt
+FROM stream GROUP BY 1, 2, 3 ORDER BY day, j, bucket
+"""
+
+EVT_CMS_USER_MERGE_ORACLE = f"""
+WITH stream AS (
+    SELECT user_id, j.j
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) j
+),
+merged AS (
+    SELECT j, {_CMS_USER_BUCKET_DUCK} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cell_cnt
+    FROM stream GROUP BY 1, 2
+),
+exact AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+    FROM events GROUP BY user_id
+),
+top AS (
+    SELECT user_id, exact_cnt,
+           row_number() OVER (ORDER BY exact_cnt DESC, user_id) AS rnk
+    FROM exact QUALIFY rnk <= {CMS_USER_TOP}
+),
+probes AS (
+    SELECT t.user_id, t.exact_cnt, t.rnk, j.j,
+           {_CMS_USER_BUCKET_DUCK} AS bucket
+    FROM top t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) j
+)
+SELECT p.user_id, p.exact_cnt,
+       MIN(c.cell_cnt) AS cms_cnt,
+       MIN(c.cell_cnt) - p.exact_cnt AS overcount,
+       p.rnk
+FROM probes p JOIN merged c ON p.j = c.j AND p.bucket = c.bucket
+GROUP BY p.user_id, p.exact_cnt, p.rnk
+ORDER BY p.rnk
+"""
+
+
 # same result contract as operators/timeseries.evt_ohlc_hourly — the
 # differential proves the min_by strategy ≡ the row_number strategy
 EVT_OHLC_CANDLES_ORACLE = """
@@ -524,6 +669,8 @@ QUERIES = {
     "evt_sliding_12h": evt_sliding_12h,
     "evt_sessions_1h": evt_sessions_1h,
     "evt_segment_daily": evt_segment_daily,
+    "evt_cms_daily_cells": evt_cms_daily_cells,
+    "evt_cms_user_merge_report": evt_cms_user_merge_report,
 }
 
 ORACLES = {
@@ -534,6 +681,8 @@ ORACLES = {
     "evt_tumbling_daily": EVT_TUMBLING_DAILY_ORACLE,
     "evt_sliding_12h": EVT_SLIDING_12H_ORACLE,
     "evt_sessions_1h": EVT_SESSIONS_1H_ORACLE,
+    "evt_cms_daily_cells": EVT_CMS_DAILY_CELLS_ORACLE,
+    "evt_cms_user_merge_report": EVT_CMS_USER_MERGE_ORACLE,
 }
 
 # Spark-SQL N-version forms — the SQL spelling of event-time windows

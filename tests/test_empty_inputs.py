@@ -71,6 +71,17 @@ BATTERY = [
     "evt_cusum_shifts",
     "km_survival_curve",
     "dq_benford_digits",
+    # r10 sketch/attribution family
+    "dq_ks_statistic",
+    "ab_mannwhitney_auc",
+    "evt_chisq_type_weekday",
+    "sketch_kmv_distinct",
+    "sketch_kmv_merge_check",
+    "sketch_cms_freq_report",
+    "evt_daily_acf",
+    "evt_linear_attribution",
+    "evt_cms_daily_cells",
+    "evt_cms_user_merge_report",
 ]
 
 

@@ -357,3 +357,23 @@ def test_ohlc_stream_matches_batch(spark, sf_dir):
     stream = W.ohlc_candles(W.with_watermark(W.stream_events(spark, sf_dir)))
     got = _run_stream(spark, stream)
     assert not compare_frames(got, batch)
+
+
+def test_cms_cells_stream_matches_batch(spark, sf_dir):
+    """The per-day count-min cells are ordinary windowed streaming
+    aggregation: the availableNow stream's final cells equal the batch
+    sketch bit-for-bit (the sketch a stream job maintains IS the batch
+    sketch — mergeability's streaming face)."""
+    batch = W.cms_user_cells(load_table(spark, sf_dir, "events"))
+    stream = W.cms_user_cells(W.with_watermark(W.stream_events(spark, sf_dir)))
+    got = _run_stream(spark, stream)
+    assert not compare_frames(got, batch)
+
+
+def test_cms_user_merge_report_overcount(spark, sf_dir):
+    """Merged-across-days sketch never underestimates any probed user."""
+    rows = W.evt_cms_user_merge_report(spark, sf_dir).collect()
+    assert len(rows) == W.CMS_USER_TOP
+    for r in rows:
+        assert r.overcount >= 0
+        assert r.cms_cnt == r.exact_cnt + r.overcount
