@@ -460,6 +460,127 @@ ORDER BY p_brand
 """
 
 
+def ml_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per nation: the MEDIAN of all pairwise
+    monthly-revenue slopes — the estimator that shrugs off the outlier
+    months OLS chases (complement to ml_ols_trend; same monthly grid).
+
+    Integer contract: slope in MICRO-dollars/month =
+    (y2-y1)·10^6 div (x2-x1); the median is the LOWER median (rank
+    (n+1) div 2 of the sorted slopes) so it is a value from the data,
+    identical in both engines with no even-count averaging. Ties in
+    slope need no tie-break — the value at the median rank is
+    well-defined whatever order equal slopes take. Range: |Δy|·10^6
+    must fit int64, true through ~sf1000 monthly revenue (documented-
+    range family, like OLS's Σy²).
+
+    Scale (100 TB): the corpus collapses to the (nation × month) grid
+    FIRST — bounded by calendar × |nations|, constant w.r.t. data
+    volume — so the O(months²) pair join and the per-nation median
+    window run on a broadcast-sized frame (≤ 84²/2 pairs per nation).
+
+    Output: (n_name, n_months, n_pairs, theil_slope_micro) ordered by
+    n_name."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 12
+                + F.month("o_orderdate")
+                - F.lit(1)
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.sum(F.expr("cast(round(o_totalprice) as bigint)")).alias("y"))
+    )
+    a = monthly.select(
+        "n_name", F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = monthly.select(
+        F.col("n_name").alias("n2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = a.join(
+        b, (F.col("n_name") == F.col("n2")) & (F.col("x1") < F.col("x2"))
+    ).selectExpr(
+        "n_name", "(y2 - y1) * 1000000 div (x2 - x1) as slope_micro"
+    )
+    w = Window.partitionBy("n_name").orderBy("slope_micro")
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("n_name"))
+    )
+    med = ranked.filter(
+        F.expr("rn = (cnt + 1) div 2")
+    ).select(
+        "n_name",
+        F.col("cnt").cast("long").alias("n_pairs"),
+        F.col("slope_micro").alias("theil_slope_micro"),
+    )
+    months = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months")
+    )
+    return (
+        months.join(med, "n_name")
+        .select("n_name", "n_months", "n_pairs", "theil_slope_micro")
+        .orderBy("n_name")
+    )
+
+
+_THEILSEN_BODY = """
+WITH monthly AS (
+    SELECT n.n_name,
+           CAST((year(o.o_orderdate) - 1995) * 12
+                + month(o.o_orderdate) - 1 AS BIGINT) AS x,
+           CAST(SUM(CAST(round(o.o_totalprice) AS BIGINT)) AS BIGINT) AS y
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.n_name,
+           (b.y - a.y) * 1000000 {DIV} (b.x - a.x) AS slope_micro
+    FROM monthly a JOIN monthly b
+      ON a.n_name = b.n_name AND a.x < b.x
+),
+ranked AS (
+    SELECT n_name, slope_micro,
+           row_number() OVER (PARTITION BY n_name
+                              ORDER BY slope_micro) AS rn,
+           COUNT(*) OVER (PARTITION BY n_name) AS cnt
+    FROM pairs
+),
+med AS (
+    SELECT n_name, CAST(cnt AS BIGINT) AS n_pairs,
+           CAST(slope_micro AS BIGINT) AS theil_slope_micro
+    FROM ranked WHERE rn = (cnt + 1) {DIV} 2
+),
+months AS (
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_months
+    FROM monthly GROUP BY n_name
+)
+SELECT m.n_name, m.n_months, d.n_pairs, d.theil_slope_micro
+FROM months m JOIN med d ON m.n_name = d.n_name
+ORDER BY m.n_name
+"""
+
+ML_THEILSEN_ORACLE = _THEILSEN_BODY.format(DIV="//")
+ML_THEILSEN_SPARK_SQL = _THEILSEN_BODY.format(DIV="div")
+
+
 #: weekend = ISO weekday in {Sat, Sun}; spelled per dialect below
 _WKEND_SPARK = "weekday(ts) >= 5"
 _WKEND_DUCK = "isodow(ts) >= 6"
@@ -721,6 +842,7 @@ QUERIES = {
     "evt_mad_spikes": evt_mad_spikes,
     "evt_cusum_shifts": evt_cusum_shifts,
     "ml_discount_qty_corr": ml_discount_qty_corr,
+    "ml_theilsen_trend": ml_theilsen_trend,
     "dq_ks_statistic": dq_ks_statistic,
     "ab_mannwhitney_auc": ab_mannwhitney_auc,
     "evt_chisq_type_weekday": evt_chisq_type_weekday,
@@ -732,6 +854,7 @@ ORACLES = {
     "evt_mad_spikes": MAD_SPIKES_ORACLE,
     "evt_cusum_shifts": CUSUM_ORACLE,
     "ml_discount_qty_corr": DISCOUNT_CORR_ORACLE,
+    "ml_theilsen_trend": ML_THEILSEN_ORACLE,
     "dq_ks_statistic": DQ_KS_ORACLE,
     "ab_mannwhitney_auc": AB_MWU_ORACLE,
     "evt_chisq_type_weekday": EVT_CHISQ_ORACLE,
@@ -749,6 +872,7 @@ SPARK_SQL = {
 # shared body with both seams applied, not by the blanket replace
 SPARK_SQL.update(
     {
+        "ml_theilsen_trend": ML_THEILSEN_SPARK_SQL,
         "dq_ks_statistic": DQ_KS_SPARK_SQL,
         "ab_mannwhitney_auc": AB_MWU_SPARK_SQL,
         "evt_chisq_type_weekday": EVT_CHISQ_SPARK_SQL,

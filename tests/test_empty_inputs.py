@@ -72,6 +72,7 @@ BATTERY = [
     "km_survival_curve",
     "dq_benford_digits",
     # r10 sketch/attribution family
+    "ml_theilsen_trend",
     "dq_ks_statistic",
     "ab_mannwhitney_auc",
     "evt_chisq_type_weekday",

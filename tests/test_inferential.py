@@ -618,3 +618,41 @@ def test_chisq_real_data_marginals(spark, sf_dir):
     assert sum(r.o for r in out) == total
     for r in out:
         assert r.chi_milli is None or r.chi_milli >= 0
+
+
+def test_theilsen_designed_robustness(spark, tmp_path):
+    """A perfectly linear monthly series gives exactly the line's
+    slope in micro-dollars; corrupting ONE month leaves the Theil-Sen
+    median unchanged (the robustness OLS lacks)."""
+    from sqlondataframesr_spark.operators import stats
+
+    def mk(outlier):
+        orders, oid = [], 0
+        for m in range(8):  # months Jan..Aug 1995 -> x = 0..7
+            y = 1000 + 50 * m
+            if outlier and m == 3:
+                y = 90000  # one corrupted month
+            orders.append(
+                (oid, 1, "F", float(y), dt.datetime(1995, m + 1, 15), "1-URGENT")
+            )
+            oid += 1
+        o = spark.createDataFrame(orders, ORD_SCHEMA)
+        c = spark.createDataFrame([(1, "c1", 7, 0.0, "BUILDING")], CUST_SCHEMA)
+        n = spark.createDataFrame([(7, "GERMANY", 3)], NAT_SCHEMA)
+        return o, c, n
+
+    for outlier in (False, True):
+        o, c, n = mk(outlier)
+        keys = [
+            _inject(spark, tmp_path, "orders", o),
+            _inject(spark, tmp_path, "customer", c),
+            _inject(spark, tmp_path, "nation", n),
+        ]
+        try:
+            r = stats.ml_theilsen_trend(spark, str(tmp_path)).collect()
+            assert len(r) == 1
+            assert r[0].n_months == 8
+            assert r[0].n_pairs == 8 * 7 // 2
+            assert r[0].theil_slope_micro == 50_000_000, (outlier, r)
+        finally:
+            _cleanup(keys)
