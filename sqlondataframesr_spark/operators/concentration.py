@@ -239,17 +239,93 @@ CUST_ABC_CLASSES_ORACLE = _ABC_BODY.format(DIV="//")
 CUST_ABC_CLASSES_SPARK_SQL = _ABC_BODY.format(DIV="div")
 
 
+def evt_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact P50/P90/P99 of the event value per event type WITHOUT
+    sorting raw data: the value domain is price-like (≤ ~56k distinct
+    cents at any SF), so one partial-agg shuffle collapses the corpus
+    to a per-(type, cents) histogram and the percentile is read off
+    the cumulative counts — the 100 TB strategy where q11's
+    sort-based ``percentile()`` would shuffle every raw row.
+
+    Definition (integer, engine-portable): P_q = the smallest cents
+    with 100·cum ≥ q·n (the discrete lower quantile — ceil(q·n/100)
+    rank — no interpolation, so no dialect rounding seam).
+
+    Output: (event_type, n, p50_cents, p90_cents, p99_cents)."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.selectExpr(
+            "event_type", "cast(round(value * 100) as bigint) as cents"
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.min(F.when(F.expr("100 * cum >= 50 * n"), F.col("cents"))).alias(
+                "p50_cents"
+            ),
+            F.min(F.when(F.expr("100 * cum >= 90 * n"), F.col("cents"))).alias(
+                "p90_cents"
+            ),
+            F.min(F.when(F.expr("100 * cum >= 99 * n"), F.col("cents"))).alias(
+                "p99_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVT_VALUE_PCT_ORACLE = """
+WITH hist AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, cents,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS n
+    FROM hist
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       MIN(CASE WHEN 100 * cum >= 50 * n THEN cents END) AS p50_cents,
+       MIN(CASE WHEN 100 * cum >= 90 * n THEN cents END) AS p90_cents,
+       MIN(CASE WHEN 100 * cum >= 99 * n THEN cents END) AS p99_cents
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "evt_value_percentiles_exact": evt_value_percentiles_exact,
     "evt_activity_deciles": evt_activity_deciles,
     "evt_activity_gini": evt_activity_gini,
     "cust_abc_classes": cust_abc_classes,
 }
 ORACLES = {
+    "evt_value_percentiles_exact": EVT_VALUE_PCT_ORACLE,
     "evt_activity_deciles": EVT_ACTIVITY_DECILES_ORACLE,
     "evt_activity_gini": EVT_ACTIVITY_GINI_ORACLE,
     "cust_abc_classes": CUST_ABC_CLASSES_ORACLE,
 }
 SPARK_SQL = {
+    # the percentile body is dialect-portable (no // or date seams)
+    "evt_value_percentiles_exact": EVT_VALUE_PCT_ORACLE,
     "evt_activity_deciles": EVT_ACTIVITY_DECILES_SPARK_SQL,
     "evt_activity_gini": EVT_ACTIVITY_GINI_SPARK_SQL,
     "cust_abc_classes": CUST_ABC_CLASSES_SPARK_SQL,

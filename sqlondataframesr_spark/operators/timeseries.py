@@ -217,6 +217,87 @@ SELECT CAST(lag AS INT) AS lag,
 FROM pairs GROUP BY lag ORDER BY lag
 """
 
+def orders_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE evaluation of the seasonal-naive forecast on monthly order
+    revenue: forecast(m) = revenue(m-12), scaled by the one-step naive
+    |revenue(m) - revenue(m-1)| — the standard "is seasonality worth
+    modeling?" baseline check before anyone ships a forecaster.
+
+    Integer contract: revenues in exact cents; mase_ppm = SAE div
+    (SANE div 10^6) (house div-first — both error sums stay int64
+    through ~sf30's monthly revenue, documented-range family). Both
+    sums run over the SAME eval months (m >= 12, both lags present on
+    the contiguous 1995-2001 grid). mase_ppm < 10^6 means the seasonal
+    forecast beats the naive.
+
+    Scale: one corpus scan to the calendar-bounded monthly grid; the
+    two lags are windows ON that grid. Output: 1 row
+    (n_eval, sae_c, sane_c, mase_ppm)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 12
+                + F.month("o_orderdate")
+                - F.lit(1)
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .agg(
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    w = Window.orderBy("x")
+    lagged = monthly.select(
+        "x",
+        "y",
+        F.lag("y", 12).over(w).alias("y_season"),
+        F.lag("y", 1).over(w).alias("y_naive"),
+    ).filter(F.col("x") >= 12)
+    return lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.abs(F.col("y") - F.col("y_season"))).cast("long").alias("sae_c"),
+        F.sum(F.abs(F.col("y") - F.col("y_naive"))).cast("long").alias("sane_c"),
+    ).selectExpr(
+        "n_eval",
+        "sae_c",
+        "sane_c",
+        "sae_c div nullif(sane_c div 1000000, 0) as mase_ppm",
+    )
+
+
+_MASE_BODY = """
+WITH monthly AS (
+    SELECT CAST((year(o_orderdate) - 1995) * 12
+                + month(o_orderdate) - 1 AS BIGINT) AS x,
+           CAST(SUM({CENTS}) AS BIGINT) AS y
+    FROM orders GROUP BY 1
+),
+lagged AS (
+    SELECT x, y,
+           lag(y, 12) OVER (ORDER BY x) AS y_season,
+           lag(y, 1) OVER (ORDER BY x) AS y_naive
+    FROM monthly
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(abs(y - y_season)) AS BIGINT) AS sae_c,
+           CAST(SUM(abs(y - y_naive)) AS BIGINT) AS sane_c
+    FROM lagged WHERE x >= 12
+)
+SELECT n_eval, sae_c, sane_c,
+       sae_c {DIV} nullif(sane_c {DIV} 1000000, 0) AS mase_ppm
+FROM agg
+"""
+
+_O_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+MASE_ORACLE = _MASE_BODY.format(CENTS=_O_CENTS, DIV="//")
+MASE_SPARK_SQL = _MASE_BODY.format(CENTS=_O_CENTS, DIV="div")
+
+
 TWAP_ORACLE = """
 WITH obs AS (
     SELECT CAST(ts AS DATE) AS day,
@@ -273,12 +354,14 @@ QUERIES = {
     "evt_time_weighted_avg": evt_time_weighted_avg,
     "evt_ohlc_hourly": evt_ohlc_hourly,
     "evt_daily_acf": evt_daily_acf,
+    "orders_seasonal_naive_mase": orders_seasonal_naive_mase,
 }
 
 ORACLES = {
     "evt_time_weighted_avg": TWAP_ORACLE,
     "evt_ohlc_hourly": OHLC_ORACLE,
     "evt_daily_acf": ACF_ORACLE,
+    "orders_seasonal_naive_mase": MASE_ORACLE,
 }
 
 # Spark-SQL duals. Dialect seams: ``//`` -> ``div``, ``epoch_us`` ->
@@ -297,4 +380,5 @@ SPARK_SQL = {
         f"explode(sequence(1, {ACF_LAGS}))",
     )
     .replace("JOIN idx a ON TRUE", "CROSS JOIN idx a"),
+    "orders_seasonal_naive_mase": MASE_SPARK_SQL,
 }

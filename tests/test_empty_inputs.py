@@ -73,6 +73,8 @@ BATTERY = [
     "dq_benford_digits",
     # r10 sketch/attribution family
     "ml_theilsen_trend",
+    "evt_value_percentiles_exact",
+    "orders_seasonal_naive_mase",
     "dq_ks_statistic",
     "ab_mannwhitney_auc",
     "evt_chisq_type_weekday",

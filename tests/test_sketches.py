@@ -217,3 +217,63 @@ def test_linear_attribution_designed(spark):
         ("2024-01-02", "click"): (100, 3),
         ("2024-01-05", "direct"): (200, 1),
     }
+
+
+# -------------------------------------- exact percentiles & MASE
+
+
+def test_percentiles_designed(spark):
+    """100 purchase cents values 1..100: lower-quantile definition
+    gives exactly P50=50, P90=90, P99=99."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 10, 0, 0), 1, "purchase", i / 100.0, "{}")
+        for i in range(1, 101)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    seed_table_cache(spark, "_pct_tiny", {"events": df})
+    from sqlondataframesr_spark.operators import concentration
+
+    out = concentration.evt_value_percentiles_exact(spark, "_pct_tiny").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.p50_cents, r.p90_cents, r.p99_cents) == (100, 50, 90, 99)
+
+
+def test_percentiles_match_sorted_definition(spark, sf_dir):
+    """The histogram read-off equals the brute sorted-list lower
+    quantile for every event type on real data."""
+    from sqlondataframesr_spark.operators import concentration
+
+    out = {
+        r.event_type: r
+        for r in concentration.evt_value_percentiles_exact(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type", "cast(round(value * 100) as bigint) as cents"
+    )
+    by_type: dict[str, list[int]] = {}
+    for r in ev.collect():
+        by_type.setdefault(r.event_type, []).append(r.cents)
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        for q, field in ((50, "p50_cents"), (90, "p90_cents"), (99, "p99_cents")):
+            # smallest value at rank ceil(q*n/100)
+            want = vals[(q * n + 99) // 100 - 1]
+            assert getattr(out[et], field) == want, (et, q)
+
+
+def test_mase_real_data_consistency(spark, sf_dir):
+    """n_eval = months - 12 on the contiguous grid; mase_ppm is the
+    truncating ratio of the two error sums."""
+    from sqlondataframesr_spark.operators import timeseries
+
+    r = timeseries.orders_seasonal_naive_mase(spark, sf_dir).collect()[0]
+    assert r.n_eval > 0
+    assert r.sae_c >= 0 and r.sane_c > 0
+    assert r.mase_ppm == r.sae_c // (r.sane_c // 1_000_000)
