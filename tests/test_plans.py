@@ -641,3 +641,43 @@ def test_trigrams_topk_fused(spark, sf_dir):
     assert not a.has_cartesian
     # both lags share one user_id sort: a single event-sized exchange
     assert a.text.count("hashpartitioning(user_id") <= 1
+
+
+# ------------------------- r10 sketch / bounded-frame inferential pins
+
+
+def test_percentiles_window_partitions_by_type(spark, sf_dir):
+    """evt_value_percentiles_exact must histogram FIRST (partial+final
+    aggregate on (event_type, cents)) and run its cumulative window
+    hash-partitioned by event_type — never a single-partition sort of
+    raw rows."""
+    plan = _plan(spark, sf_dir, "evt_value_percentiles_exact")
+    assert "partial_count" in plan  # map-side histogram combine
+    assert "Exchange hashpartitioning(event_type" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+@pytest.mark.parametrize("name", ["dq_ks_statistic", "ab_mannwhitney_auc"])
+def test_bounded_frame_single_partition_sees_only_histogram(
+    spark, sf_dir, name
+):
+    """The KS/MWU global window DOES run single-partition — by design,
+    on the bounded per-cent-value histogram. Pin that the
+    SinglePartition exchange is fed by the per-cents aggregate, not by
+    raw event rows."""
+    plan = _plan(spark, sf_dir, name)
+    lines = plan.splitlines()
+    idx = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert idx, "expected the bounded-frame single-partition window"
+    # the exchange's child (next plan line) must be the histogram agg
+    child = "\n".join(lines[idx[0] + 1 : idx[0] + 3])
+    assert "HashAggregate(keys=[cents" in child, child
+
+
+def test_kmv_minset_never_single_partition(spark, sf_dir):
+    """sketch_kmv_distinct's two-phase min-K: every window exchange is
+    hash-partitioned (source+cell, then source) — no single-task sort
+    even for the global sketch of a hot source."""
+    plan = _plan(spark, sf_dir, "sketch_kmv_distinct")
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
