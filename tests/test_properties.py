@@ -643,3 +643,106 @@ def test_scd2_incremental_equals_full_recompute(
     finally:
         C._table_cache.pop(key, None)
     assert inc == full
+
+
+# ------------------------------------------- r10 sketch-family laws
+
+KMV_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),        # lang bucket
+        st.integers(min_value=0, max_value=10_000),   # doc payload id
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(rows=KMV_ROWS)
+@_SETTINGS
+def test_kmv_merge_law_for_any_corpus(spark, rows):
+    """Merged per-lang K-min sets re-minned == the direct global K-min
+    set, for ANY document multiset — the algebra behind
+    sketch_kmv_merge_check, checked against a pure-python model."""
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import sketches
+
+    docs = [
+        (i, f"doc-{payload}", f"l{lang}", "s", 1)
+        for i, (lang, payload) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    key = (spark.sparkContext.applicationId, "_kmv_prop", "documents")
+    C._table_cache[key] = df
+    try:
+        got = sketches.sketch_kmv_merge_check(spark, "_kmv_prop").collect()
+        assert [r.method for r in got] == ["direct", "merged"]
+        d, m = got
+        assert (d.n_sk, d.h_k, d.kmv_estimate) == (m.n_sk, m.h_k, m.kmv_estimate)
+        # python model of the direct sketch
+        import hashlib
+
+        hs = sorted(
+            {
+                int(hashlib.md5(f"doc-{p}".encode()).hexdigest()[:13], 16)
+                for _, p in rows
+            }
+        )[: sketches.KMV_K]
+        assert d.n_sk == len(hs)
+        assert d.h_k == hs[-1]
+    finally:
+        C._table_cache.pop(key, None)
+
+
+MWU_ROWS = st.lists(
+    st.tuples(
+        st.booleans(),                                # weekend?
+        st.integers(min_value=0, max_value=40),       # cents/100
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=MWU_ROWS)
+@_SETTINGS
+def test_mwu_conservation_for_any_sample(spark, rows):
+    """u2_a + u2_b == 2*nA*nB for ANY weekday/weekend value multiset,
+    and u2_a matches the brute-force pairwise count (2*wins + ties)."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import stats
+
+    events = [
+        (
+            i,
+            dt.datetime(2024, 1, 6 if wk else 1, 10, 0, 0),
+            1,
+            "purchase",
+            float(v),
+            "{}",
+        )
+        for i, (wk, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    key = (spark.sparkContext.applicationId, "_mwu_prop", "events")
+    C._table_cache[key] = df
+    try:
+        r = stats.ab_mannwhitney_auc(spark, "_mwu_prop").collect()[0]
+        a = [v for wk, v in rows if not wk]
+        b = [v for wk, v in rows if wk]
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert r.u2_a + r.u2_b == 2 * r.n_a * r.n_b
+        brute_u2a = sum(
+            2 if x > y else 1 if x == y else 0 for x in a for y in b
+        )
+        assert r.u2_a == brute_u2a
+    finally:
+        C._table_cache.pop(key, None)
