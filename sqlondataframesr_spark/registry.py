@@ -46,6 +46,7 @@ from .operators import (
     growth,
     hypertable,
     journeys,
+    privacy,
     rangejoin,
     salt,
     scd,
@@ -106,6 +107,7 @@ _MODULES = [
     salt,
     scd,
     er,
+    privacy,
     stats,
     survival,
     forensics,
