@@ -523,20 +523,163 @@ ORDER BY true_lang, pred_lang
 """
 
 
+#: Kneser-Ney absolute discount (the classic 0.75 = 3/4 default)
+KN_DISCOUNT = 0.75
+
+#: the KN probability as ONE float expression over exact BIGINT counts
+#: (identical token order both engines -> bit-identical doubles):
+#: max(c12-D,0)/c1  +  D*N1+(w1.)/c1 * [ N1+(.w2)/B ]
+_KN_P = (
+    f"(greatest(CAST(c12 AS DOUBLE) - {KN_DISCOUNT}, 0.0)"
+    f" + {KN_DISCOUNT} * CAST(n1f AS DOUBLE)"
+    f"   * (CAST(n1b AS DOUBLE) / CAST(b_types AS DOUBLE)))"
+    f" / CAST(c1 AS DOUBLE)"
+)
+
+
+def lm_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under a corpus-self-trained
+    INTERPOLATED KNESER-NEY bigram LM — the smoothing KenLM ships and
+    CCNet actually scores with (Kneser & Ney 1995; Chen & Goodman
+    1999; Heafield, "KenLM: Faster and Smaller Language Model
+    Queries", WMT 2011 — all public):
+
+        P(w2|w1) = max(c(w1w2) - D, 0)/c(w1·)
+                   + D·N1+(w1·)/c(w1·) · N1+(·w2)/B
+
+    with discount D = 0.75, N1+(w1·)/N1+(·w2) the distinct-successor/
+    -predecessor TYPE counts and B the total bigram-type count — the
+    continuation model that fixes the "San Francisco" problem
+    (frequent in one context ≠ frequent everywhere), which the
+    Jelinek-Mercer unigram interpolation of lm_bigram_logprob cannot.
+
+    Scale: identical shuffle profile to lm_bigram_logprob — the
+    billion-key count tables join back by (t1, t2) as REGULAR shuffle
+    joins (never broadcast); N1f rides c1's aggregate (same groupBy),
+    N1b rides c2's; the 1-row type total B is the only broadcast.
+    Self-training keeps every scored bigram seen, so the discounted
+    ML term plus a strictly positive continuation term make P > 0.
+
+    Output: (doc_id, n_bigrams, avg_logprob) ordered by doc_id; docs
+    with < 2 tokens surface as (0, NULL) — kept, not dropped.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    big = spread_scan(docs, "doc_id").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"IF(size({_clean_tokens_expr()}) >= 2,"
+                f" transform(sequence(1, size({_clean_tokens_expr()}) - 1),"
+                f"  i -> struct(element_at({_clean_tokens_expr()}, i) AS t1,"
+                f"              element_at({_clean_tokens_expr()}, i + 1) AS t2)),"
+                f" CAST(array() AS array<struct<t1:string,t2:string>>))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.t1", "b.t2")
+    tf = (
+        big.groupBy("doc_id", "t1", "t2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(materialize)
+    )
+    c12 = (
+        tf.groupBy("t1", "t2")
+        .agg(F.sum("tf").alias("c12"))
+        .transform(materialize)
+    )
+    # N1+(w1.) rides c1's aggregate; N1+(.w2) is its own — one shuffle
+    # each over the TYPE table, never the corpus
+    c1 = c12.groupBy("t1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    n1b = c12.groupBy("t2").agg(F.count(F.lit(1)).alias("n1b"))
+    btypes = c12.agg(F.count(F.lit(1)).alias("b_types"))
+    prob = (
+        c12.join(c1, "t1")
+        .join(n1b, "t2")
+        .join(F.broadcast(btypes))
+        .withColumn("micronats", F.expr(_MICRONATS.format(p=_KN_P)))
+        .select("t1", "t2", "micronats")
+    )
+    per_doc = (
+        tf.join(prob, ["t1", "t2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("micronats")).alias("sum_micronats"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.col("sum_micronats").cast("double")
+                / (F.col("n_bigrams") * F.lit(1000000.0)),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _kn_stages(bi_stages: str) -> str:
+    """The KN count/prob CTE chain, shared by both dialects: reuses
+    the dialect's tokenize/bigram/tf/c12 stages, then swaps the
+    Jelinek-Mercer prob for the Kneser-Ney one."""
+    head = bi_stages.split("c1 AS (", 1)[0]
+    return (
+        head
+        + f"""c1 AS (SELECT t1, SUM(c12) AS c1, COUNT(*) AS n1f
+       FROM c12 GROUP BY t1),
+n1b AS (SELECT t2, COUNT(*) AS n1b FROM c12 GROUP BY t2),
+bt AS (SELECT COUNT(*) AS b_types FROM c12),
+prob AS (
+  SELECT c12.t1, c12.t2,
+         CAST(round(round(ln({_KN_P}), 6) * 1000000.0) AS BIGINT)
+           AS micronats
+  FROM c12 JOIN c1 USING (t1) JOIN n1b USING (t2) CROSS JOIN bt
+),
+per_doc AS (
+  SELECT tf.doc_id, SUM(tf.tf) AS n_bigrams,
+         SUM(tf.tf * prob.micronats) AS sum_micronats
+  FROM tf JOIN prob USING (t1, t2) GROUP BY tf.doc_id
+)"""
+    )
+
+
+_KN_FINAL = """
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(p.sum_micronats AS DOUBLE) / (p.n_bigrams * 1000000.0), 6)
+         AS avg_logprob
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+LM_KNESER_NEY_ORACLE = f"WITH {_kn_stages(_BI_STAGES_DUCK)}{_KN_FINAL}"
+
+LM_KNESER_NEY_SPARK_SQL = f"WITH {_kn_stages(_BI_STAGES_SPARK)}{_KN_FINAL}"
+
+
 QUERIES = {
     "lm_bigram_logprob": lm_bigram_logprob,
+    "lm_kneser_ney_logprob": lm_kneser_ney_logprob,
     "lm_perplexity_tercile_gate": lm_perplexity_tercile_gate,
     "nb_lang_confusion": nb_lang_confusion,
 }
 
 ORACLES = {
     "lm_bigram_logprob": LM_BIGRAM_LOGPROB_ORACLE,
+    "lm_kneser_ney_logprob": LM_KNESER_NEY_ORACLE,
     "lm_perplexity_tercile_gate": LM_PERPLEXITY_TERCILE_GATE_ORACLE,
     "nb_lang_confusion": NB_LANG_CONFUSION_ORACLE,
 }
 
 SPARK_SQL = {
     "lm_bigram_logprob": LM_BIGRAM_LOGPROB_SPARK_SQL,
+    "lm_kneser_ney_logprob": LM_KNESER_NEY_SPARK_SQL,
     "lm_perplexity_tercile_gate": LM_PERPLEXITY_TERCILE_GATE_SPARK_SQL,
     "nb_lang_confusion": NB_LANG_CONFUSION_SPARK_SQL,
 }

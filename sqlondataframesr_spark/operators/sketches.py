@@ -337,14 +337,204 @@ GROUP BY p.term, p.exact_cnt, p.rnk
 ORDER BY p.rnk
 """
 
+#: term-level hash (the vocab-sketch variants key on words, not docs)
+_HT_SPARK = "cast(conv(substring(md5(term), 1, 13), 16, 10) as bigint)"
+_HT_DUCK = "('0x' || substr(md5(term), 1, 13))::BIGINT"
+
+
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set operations: pairwise source VOCABULARY Jaccard estimated
+    from merged per-source sketches, with the exact answer beside it —
+    the sketch-union/intersection read a curation team uses to compare
+    1000 tenants without a quadratic corpus scan (Beyer et al.,
+    "On Synopses for Distinct-Value Estimation Under Multiset
+    Operations", SIGMOD'07).
+
+    Estimator: merge A's and B's K-min sets, re-take the K minimum
+    (that IS the KMV sketch of A∪B — the merge law
+    sketch_kmv_merge_check proves); within that union sketch the
+    fraction of hashes present in BOTH input sketches estimates
+    J(A,B), and the union sketch's own (n_sk, h_k) estimates |A∪B|.
+
+    Scale (100 TB): the corpus is touched ONCE (distinct (source,
+    term-hash), map-side combine); per-source sketches are ≤ K rows ×
+    |sources| — broadcast-sized, so every pair step below runs on a
+    bounded frame no matter the corpus size. The exact columns are one
+    hash-partitioned self-equi-join on the 52-bit hash (posting lists
+    bounded by |sources| per hash, same argument as
+    corpus_source_overlap).
+
+    Output: (src_a, src_b, n_union_sk, union_estimate, inter_in_sketch,
+    jaccard_est_ppm, exact_inter, exact_union, exact_jaccard_ppm,
+    err_ppm) ordered by (src_a, src_b). err_ppm = est − exact.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    terms = docs.select(
+        "source",
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "term"
+        ),
+    )
+    dh = (
+        terms.select("source", F.expr(_HT_SPARK).alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("_"))
+        .drop("_")
+    )
+    minset = _kmv_minset(dh, ["source"])
+
+    srcs = minset.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .crossJoin(F.broadcast(srcs.select(F.col("source").alias("sb"))))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    side_a = pairs.join(
+        F.broadcast(minset), pairs.sa == minset.source
+    ).select("sa", "sb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    side_b = pairs.join(
+        F.broadcast(minset), pairs.sb == minset.source
+    ).select("sa", "sb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    pool = (
+        side_a.unionByName(side_b)
+        .groupBy("sa", "sb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    # per-pair window over <= 2K rows — bounded by the SKETCH, not the
+    # corpus (contrast: the unpartitioned-window trap drank.py replaced)
+    w = Window.partitionBy("sa", "sb").orderBy("h")
+    usk = (
+        pool.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sk"),
+            F.max("h").alias("h_k"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias(
+                "inter_sk"
+            ),
+        )
+    )
+
+    sizes = dh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ex_inter = (
+        dh.select(F.col("source").alias("ia"), "h")
+        .join(dh.select(F.col("source").alias("ib"), "h"), "h")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        usk.join(
+            F.broadcast(sizes.select(F.col("source").alias("sa"),
+                                     F.col("n").alias("na"))), "sa")
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("sb"),
+                                     F.col("n").alias("nb"))), "sb")
+        .join(
+            F.broadcast(ex_inter),
+            (F.col("sa") == F.col("ia")) & (F.col("sb") == F.col("ib")),
+            "left",
+        )
+        .selectExpr(
+            "sa as src_a",
+            "sb as src_b",
+            "n_sk as n_union_sk",
+            f"cast(IF(n_sk < {KMV_K}, n_sk,"
+            f" cast({_KMV_FULL_EST} as bigint) div h_k) as bigint)"
+            " as union_estimate",
+            "inter_sk as inter_in_sketch",
+            "inter_sk * 1000000 div n_sk as jaccard_est_ppm",
+            "coalesce(n_inter, 0) as exact_inter",
+            "na + nb - coalesce(n_inter, 0) as exact_union",
+            "coalesce(n_inter, 0) * 1000000"
+            " div (na + nb - coalesce(n_inter, 0)) as exact_jaccard_ppm",
+            "inter_sk * 1000000 div n_sk"
+            " - coalesce(n_inter, 0) * 1000000"
+            "   div (na + nb - coalesce(n_inter, 0)) as err_ppm",
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SKETCH_KMV_JACCARD_ORACLE = f"""
+WITH terms AS (
+    SELECT source,
+           unnest(list_filter(string_split(text, ' '), x -> x != ''))
+             AS term
+    FROM documents
+),
+dh AS (SELECT DISTINCT source, {_HT_DUCK} AS h FROM terms),
+ranked AS (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM dh
+),
+sk AS (SELECT source, h FROM ranked WHERE rn <= {KMV_K}),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+    SELECT a.source AS sa, b.source AS sb
+    FROM srcs a JOIN srcs b ON a.source < b.source
+),
+pool AS (
+    SELECT p.sa, p.sb, s.h,
+           MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+    FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+    GROUP BY 1, 2, 3
+),
+ranked2 AS (
+    SELECT sa, sb, h, in_a, in_b,
+           row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+    FROM pool
+),
+usk AS (
+    SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n_sk, MAX(h) AS h_k,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS inter_sk
+    FROM ranked2 WHERE rn <= {KMV_K} GROUP BY 1, 2
+),
+sizes AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM dh GROUP BY 1
+),
+ex_inter AS (
+    SELECT a.source AS ia, b.source AS ib,
+           CAST(COUNT(*) AS BIGINT) AS n_inter
+    FROM dh a JOIN dh b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT u.sa AS src_a, u.sb AS src_b, u.n_sk AS n_union_sk,
+       CAST(CASE WHEN u.n_sk < {KMV_K} THEN u.n_sk
+            ELSE {_KMV_FULL_EST} // u.h_k END AS BIGINT)
+         AS union_estimate,
+       u.inter_sk AS inter_in_sketch,
+       u.inter_sk * 1000000 // u.n_sk AS jaccard_est_ppm,
+       COALESCE(i.n_inter, 0) AS exact_inter,
+       a.n + b.n - COALESCE(i.n_inter, 0) AS exact_union,
+       COALESCE(i.n_inter, 0) * 1000000
+         // (a.n + b.n - COALESCE(i.n_inter, 0)) AS exact_jaccard_ppm,
+       u.inter_sk * 1000000 // u.n_sk
+         - COALESCE(i.n_inter, 0) * 1000000
+           // (a.n + b.n - COALESCE(i.n_inter, 0)) AS err_ppm
+FROM usk u
+JOIN sizes a ON a.source = u.sa
+JOIN sizes b ON b.source = u.sb
+LEFT JOIN ex_inter i ON i.ia = u.sa AND i.ib = u.sb
+ORDER BY src_a, src_b
+"""
+
+
 QUERIES = {
     "sketch_kmv_distinct": sketch_kmv_distinct,
+    "sketch_kmv_jaccard": sketch_kmv_jaccard,
     "sketch_kmv_merge_check": sketch_kmv_merge_check,
     "sketch_cms_freq_report": sketch_cms_freq_report,
 }
 
 ORACLES = {
     "sketch_kmv_distinct": SKETCH_KMV_DISTINCT_ORACLE,
+    "sketch_kmv_jaccard": SKETCH_KMV_JACCARD_ORACLE,
     "sketch_kmv_merge_check": SKETCH_KMV_MERGE_ORACLE,
     "sketch_cms_freq_report": SKETCH_CMS_ORACLE,
 }
@@ -362,6 +552,15 @@ SPARK_SQL = {
     "sketch_kmv_distinct": SKETCH_KMV_DISTINCT_ORACLE.replace(
         _H_DUCK, _H_SQL
     ).replace(" // ", " div "),
+    # extra seams for the vocab sketch: list tokenization + unnest
+    "sketch_kmv_jaccard": SKETCH_KMV_JACCARD_ORACLE.replace(
+        _HT_DUCK, _HT_SPARK
+    )
+    .replace(
+        "unnest(list_filter(string_split(text, ' '), x -> x != ''))",
+        "explode(filter(split(text, ' '), x -> x != ''))",
+    )
+    .replace(" // ", " div "),
     "sketch_kmv_merge_check": SKETCH_KMV_MERGE_ORACLE.replace(
         _H_DUCK, _H_SQL
     ).replace(" // ", " div "),

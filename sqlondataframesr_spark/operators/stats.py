@@ -836,7 +836,235 @@ EVT_CHISQ_ORACLE = _CHISQ_BODY.format(DOW="isodow(ts) - 1", DIV="//")
 EVT_CHISQ_SPARK_SQL = _CHISQ_BODY.format(DOW="weekday(ts)", DIV="div")
 
 
+#: conformal split buckets out of 10: [0,6) train, [6,8) cal, [8,10) test
+_CONF_TRAIN_HI = 6
+_CONF_CAL_HI = 8
+#: conformal miscoverage alpha = 0.1 -> the ceil(0.9(m+1)) calibration rank
+
+_CONF_BUCKET_DUCK = (
+    "(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'"
+    " || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 10)"
+)
+_CONF_BUCKET_SPARK = (
+    "pmod(cast(conv(substring(md5(concat(cast(l_orderkey as string), ':',"
+    " cast(l_linenumber as string))), 1, 8), 16, 10) as bigint), 10)"
+)
+
+
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval around an OLS fit of
+    line-item price on quantity (Vovk et al., "Algorithmic Learning in
+    a Random World", 2005; Lei et al., JASA 2018 — public): fit on a
+    60% hash split, take the ceil(0.9·(m+1))-th smallest absolute
+    calibration residual as the interval radius, and report the
+    empirical coverage of ±radius on the held-out 20% test split —
+    the finite-sample-valid uncertainty a training pipeline attaches
+    to any point predictor before acting on it.
+
+    Determinism: the split is md5-uniform (a pure function of the
+    row key); slope/intercept are ONE float expression over exact
+    BIGINT sums computed once in a 1-row frame (token-identical in
+    both engines); residuals are quantized to whole DOLLARS before
+    the quantile, so rank selection and coverage counting are exact
+    integer arithmetic.
+
+    Scale (100 TB): two corpus scans — one for the train sums, one
+    that histograms cal AND test residuals together — with the 1-row
+    fit broadcast into the second (the perceptron's
+    one-scan-per-round shape). The calibration quantile reads off a
+    cumulative window over the DOLLAR histogram, whose size is
+    bounded by the price domain (~10^5 buckets), not by row count —
+    the evt_value_percentiles_exact policy, not a raw sort.
+
+    Output: one row (n_train, slope, intercept, n_cal,
+    q90_resid_usd, n_test, covered, coverage_ppm).
+    """
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        f"{_CONF_BUCKET_SPARK} as b",
+        "cast(round(l_quantity) as bigint) as x",
+        "cast(round(l_extendedprice * 100) as bigint) as y",
+    )
+    tr = li.filter(F.col("b") < _CONF_TRAIN_HI).agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    # n*sxy overflows int64 at row scale: go through double (exact
+    # bigint inputs, one correctly-rounded expression, both engines)
+    fit = tr.selectExpr(
+        "n_train",
+        "sx",
+        "sy",
+        "(cast(n_train as double) * cast(sxy as double)"
+        " - cast(sx as double) * cast(sy as double))"
+        " / (cast(n_train as double) * cast(sxx as double)"
+        "    - cast(sx as double) * cast(sx as double)) as slope",
+    ).selectExpr(
+        "n_train",
+        "slope",
+        "(cast(sy as double) - slope * cast(sx as double))"
+        " / cast(n_train as double) as intercept",
+    )
+    hist = (
+        li.filter(F.col("b") >= _CONF_TRAIN_HI)
+        .crossJoin(F.broadcast(fit))
+        .selectExpr(
+            f"IF(b < {_CONF_CAL_HI}, 'cal', 'test') as split",
+            "cast(round(abs(cast(y as double)"
+            " - (slope * cast(x as double) + intercept)) / 100.0)"
+            " as bigint) as r_usd",
+            "n_train",
+            "slope",
+            "intercept",
+        )
+        .groupBy("split", "r_usd", "n_train", "slope", "intercept")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cal = hist.filter(F.col("split") == "cal")
+    # cumulative window over the bounded dollar histogram (price
+    # domain, not row count) — the percentile policy, no raw sort
+    wcum = Window.orderBy("r_usd").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cal_cum = cal.select(
+        "r_usd",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("m"),
+    )
+    q = cal_cum.selectExpr(
+        "m",
+        "cum",
+        "r_usd",
+        "(9 * (m + 1) + 9) div 10 as k",
+    ).groupBy("m").agg(
+        F.min(F.when(F.expr("cum >= k"), F.col("r_usd"))).alias(
+            "q90_resid_usd"
+        )
+    )
+    test = hist.filter(F.col("split") == "test").groupBy(
+        "n_train", "slope", "intercept"
+    ).agg(F.sum("cnt").cast("long").alias("n_test"))
+    test_cov = (
+        hist.filter(F.col("split") == "test")
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.sum(
+                F.when(F.col("r_usd") <= F.col("q90_resid_usd"), F.col("cnt"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("covered")
+        )
+    )
+    return (
+        test.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(test_cov))
+        .selectExpr(
+            "n_train",
+            "round(slope, 6) as slope",
+            "round(intercept, 6) as intercept",
+            "m as n_cal",
+            "q90_resid_usd",
+            "n_test",
+            "covered",
+            "covered * 1000000 div n_test as coverage_ppm",
+        )
+    )
+
+
+_CONF_BODY = """
+WITH li AS (
+    SELECT {BUCKET} AS b,
+           CAST(round(l_quantity) AS BIGINT) AS x,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+    FROM lineitem
+),
+tr AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM li WHERE b < {TRAIN_HI}
+),
+fit1 AS (
+    SELECT n_train, sx, sy,
+           (CAST(n_train AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n_train AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+    FROM tr
+),
+fit AS (
+    SELECT n_train, slope,
+           (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+           / CAST(n_train AS DOUBLE) AS intercept
+    FROM fit1
+),
+hist AS (
+    SELECT CASE WHEN li.b < {CAL_HI} THEN 'cal' ELSE 'test' END AS split,
+           CAST(round(abs(CAST(li.y AS DOUBLE)
+                - (f.slope * CAST(li.x AS DOUBLE) + f.intercept)) / 100.0)
+                AS BIGINT) AS r_usd,
+           f.n_train, f.slope, f.intercept,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM li CROSS JOIN fit f WHERE li.b >= {TRAIN_HI}
+    GROUP BY 1, 2, 3, 4, 5
+),
+cal_cum AS (
+    SELECT r_usd,
+           SUM(cnt) OVER (ORDER BY r_usd ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(cnt) OVER () AS m
+    FROM hist WHERE split = 'cal'
+),
+q AS (
+    SELECT m,
+           MIN(CASE WHEN cum >= (9 * (m + 1) + 9) {DIV} 10
+               THEN r_usd END) AS q90_resid_usd
+    FROM cal_cum GROUP BY m
+),
+test AS (
+    SELECT n_train, slope, intercept,
+           CAST(SUM(cnt) AS BIGINT) AS n_test
+    FROM hist WHERE split = 'test' GROUP BY 1, 2, 3
+),
+cov AS (
+    SELECT CAST(SUM(CASE WHEN h.r_usd <= q.q90_resid_usd
+                    THEN h.cnt ELSE 0 END) AS BIGINT) AS covered
+    FROM hist h CROSS JOIN q WHERE h.split = 'test'
+)
+SELECT t.n_train,
+       round(t.slope, 6) AS slope,
+       round(t.intercept, 6) AS intercept,
+       CAST(q.m AS BIGINT) AS n_cal,
+       q.q90_resid_usd,
+       t.n_test,
+       c.covered,
+       c.covered * 1000000 {DIV} t.n_test AS coverage_ppm
+FROM test t CROSS JOIN q CROSS JOIN cov c
+"""
+
+ML_CONFORMAL_ORACLE = _CONF_BODY.format(
+    BUCKET=_CONF_BUCKET_DUCK,
+    TRAIN_HI=_CONF_TRAIN_HI,
+    CAL_HI=_CONF_CAL_HI,
+    DIV="//",
+)
+ML_CONFORMAL_SPARK_SQL = _CONF_BODY.format(
+    BUCKET=_CONF_BUCKET_SPARK,
+    TRAIN_HI=_CONF_TRAIN_HI,
+    CAL_HI=_CONF_CAL_HI,
+    DIV="div",
+)
+
+
 QUERIES = {
+    "ml_conformal_interval": ml_conformal_interval,
     "ml_ols_trend": ml_ols_trend,
     "ab_conversion_ztest": ab_conversion_ztest,
     "evt_mad_spikes": evt_mad_spikes,
@@ -849,6 +1077,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ml_conformal_interval": ML_CONFORMAL_ORACLE,
     "ml_ols_trend": OLS_TREND_ORACLE,
     "ab_conversion_ztest": AB_ZTEST_ORACLE,
     "evt_mad_spikes": MAD_SPIKES_ORACLE,
@@ -872,6 +1101,7 @@ SPARK_SQL = {
 # shared body with both seams applied, not by the blanket replace
 SPARK_SQL.update(
     {
+        "ml_conformal_interval": ML_CONFORMAL_SPARK_SQL,
         "ml_theilsen_trend": ML_THEILSEN_SPARK_SQL,
         "dq_ks_statistic": DQ_KS_SPARK_SQL,
         "ab_mannwhitney_auc": AB_MWU_SPARK_SQL,

@@ -186,6 +186,91 @@ def evt_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: EWMA trailing depth (observations) and dyadic decay alpha = 1/2:
+#: weight of the k-th most recent observation is 2^(EWMA_W-1-k) —
+#: exact integers, no float pow anywhere
+EWMA_W = 20
+
+
+def evt_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily purchase revenue
+    with dyadic decay (alpha = 1/2), exact in integer cents: the k-th
+    most recent of the trailing {EWMA_W} observations carries weight
+    2^({EWMA_W}-1-k), so every numerator term, the denominator, and
+    the truncating-div mean are BIGINT — no recursive float state, no
+    engine-dependent summation order.
+
+    Semantics: ewma_cents(t) = Σ_k x_{{t-k}}·2^(W-1-k) div Σ_k 2^(W-1-k)
+    over k = 0..min(W-1, t-1) — a warm-up-aware weighted mean, the
+    batch twin of the streaming EWMA a metrics store materializes.
+
+    Scale: ONE corpus scan collapses events to the calendar-bounded
+    daily series (same policy as evt_daily_acf); the lag unroll is a
+    broadcast fan over that AGGREGATED series ({EWMA_W}× a ~30-row
+    frame), never over raw events. Int64 bound: daily cents ≤ 1.7e13
+    keeps Σ x·2^19 under 2^63 — documented-range contract like
+    ml_ols_trend's Σy².
+
+    Output: (day, x_cents, n_terms, ewma_cents) ordered by day."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), F.expr(_CENTS).alias("cents"))
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    idx = daily.withColumn("t", F.row_number().over(Window.orderBy("day")))
+    lags = spark.range(0, EWMA_W).select(F.col("id").cast("int").alias("k"))
+    a = idx.select("day", F.col("x"), F.col("t").alias("ta"))
+    b = idx.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    terms = (
+        a.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("tb") == F.col("ta") - F.col("k"))
+    )
+    pow2 = F.expr(f"cast(shiftleft(1L, {EWMA_W} - 1 - k) as bigint)")
+    return (
+        terms.groupBy("day", "x")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.col("xb") * pow2).cast("long").alias("num"),
+            F.sum(pow2).cast("long").alias("den"),
+        )
+        .selectExpr(
+            "day",
+            "x as x_cents",
+            "n_terms",
+            "num div den as ewma_cents",
+        )
+        .orderBy("day")
+    )
+
+
+EWMA_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+idx AS (
+    SELECT day, x, row_number() OVER (ORDER BY day) AS t FROM daily
+),
+lags AS (SELECT unnest(range(0, {EWMA_W})) AS k),
+terms AS (
+    SELECT a.day, a.x, l.k, b.x AS xb,
+           CAST(1 AS BIGINT) << ({EWMA_W} - 1 - l.k) AS w
+    FROM idx a
+    JOIN lags l ON TRUE
+    JOIN idx b ON b.t = a.t - l.k
+)
+SELECT day, x AS x_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(xb * w) AS BIGINT) // CAST(SUM(w) AS BIGINT)
+         AS ewma_cents
+FROM terms GROUP BY day, x ORDER BY day
+"""
+
+
 ACF_ORACLE = f"""
 WITH daily AS (
     SELECT CAST(ts AS DATE) AS day,
@@ -354,6 +439,7 @@ QUERIES = {
     "evt_time_weighted_avg": evt_time_weighted_avg,
     "evt_ohlc_hourly": evt_ohlc_hourly,
     "evt_daily_acf": evt_daily_acf,
+    "evt_ewma_daily": evt_ewma_daily,
     "orders_seasonal_naive_mase": orders_seasonal_naive_mase,
 }
 
@@ -361,6 +447,7 @@ ORACLES = {
     "evt_time_weighted_avg": TWAP_ORACLE,
     "evt_ohlc_hourly": OHLC_ORACLE,
     "evt_daily_acf": ACF_ORACLE,
+    "evt_ewma_daily": EWMA_ORACLE,
     "orders_seasonal_naive_mase": MASE_ORACLE,
 }
 
@@ -380,5 +467,16 @@ SPARK_SQL = {
         f"explode(sequence(1, {ACF_LAGS}))",
     )
     .replace("JOIN idx a ON TRUE", "CROSS JOIN idx a"),
+    # EWMA seams: same range/ON TRUE seams + ``<<`` -> shiftleft
+    "evt_ewma_daily": EWMA_ORACLE.replace(" // ", " div ")
+    .replace(
+        f"unnest(range(0, {EWMA_W}))",
+        f"explode(sequence(0, {EWMA_W - 1}))",
+    )
+    .replace("JOIN lags l ON TRUE", "CROSS JOIN lags l")
+    .replace(
+        f"CAST(1 AS BIGINT) << ({EWMA_W} - 1 - l.k)",
+        f"shiftleft(CAST(1 AS BIGINT), {EWMA_W} - 1 - l.k)",
+    ),
     "orders_seasonal_naive_mase": MASE_SPARK_SQL,
 }
