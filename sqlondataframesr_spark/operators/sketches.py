@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
+from ..materialize import materialize
 
 #: KMV sketch size (number of minimum hash values retained)
 KMV_K = 64
@@ -375,13 +376,17 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term"
         ),
     )
+    # dh feeds the sketch AND both exact branches (sizes, intersection)
+    # and minset feeds srcs/side_a/side_b: pin both, or the corpus
+    # tokenize+hash pass re-runs per consumer (~8 scans unpinned)
     dh = (
         terms.select("source", F.expr(_HT_SPARK).alias("h"))
         .groupBy("source", "h")
         .agg(F.count(F.lit(1)).alias("_"))
         .drop("_")
+        .transform(materialize)
     )
-    minset = _kmv_minset(dh, ["source"])
+    minset = _kmv_minset(dh, ["source"]).transform(materialize)
 
     srcs = minset.select("source").distinct()
     pairs = (

@@ -51,6 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
+from ..materialize import materialize
 
 #: MAD multiplier for spike flagging (|x - med| > K * MAD); 2 rather
 #: than the classic 3 because the events corpus spans only ~30 days —
@@ -899,13 +900,13 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sy",
         "(cast(n_train as double) * cast(sxy as double)"
         " - cast(sx as double) * cast(sy as double))"
-        " / (cast(n_train as double) * cast(sxx as double)"
-        "    - cast(sx as double) * cast(sx as double)) as slope",
+        " / nullif(cast(n_train as double) * cast(sxx as double)"
+        "    - cast(sx as double) * cast(sx as double), 0.0d) as slope",
     ).selectExpr(
         "n_train",
         "slope",
         "(cast(sy as double) - slope * cast(sx as double))"
-        " / cast(n_train as double) as intercept",
+        " / cast(nullif(n_train, 0) as double) as intercept",
     )
     hist = (
         li.filter(F.col("b") >= _CONF_TRAIN_HI)
@@ -921,6 +922,10 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("split", "r_usd", "n_train", "slope", "intercept")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # hist feeds THREE consumers (cal quantile, test total, test
+        # coverage): pin the bounded dollar histogram or each branch
+        # re-scans the corpus (the lm_bigram tf lesson)
+        .transform(materialize)
     )
     cal = hist.filter(F.col("split") == "cal")
     # cumulative window over the bounded dollar histogram (price
@@ -941,7 +946,10 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         "cum",
         "r_usd",
-        "(9 * (m + 1) + 9) div 10 as k",
+        # clamp to m: with a tiny calibration split ceil(.9(m+1)) can
+        # exceed m — the radius degrades to the max calibration
+        # residual (the standard finite-sample fallback), never NULL
+        "least((9 * (m + 1) + 9) div 10, m) as k",
     ).groupBy("m").agg(
         F.min(F.when(F.expr("cum >= k"), F.col("r_usd"))).alias(
             "q90_resid_usd"
@@ -973,7 +981,7 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q90_resid_usd",
             "n_test",
             "covered",
-            "covered * 1000000 div n_test as coverage_ppm",
+            "covered * 1000000 div nullif(n_test, 0) as coverage_ppm",
         )
     )
 
@@ -996,14 +1004,14 @@ fit1 AS (
     SELECT n_train, sx, sy,
            (CAST(n_train AS DOUBLE) * CAST(sxy AS DOUBLE)
             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (CAST(n_train AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+           / nullif(CAST(n_train AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS slope
     FROM tr
 ),
 fit AS (
     SELECT n_train, slope,
            (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
-           / CAST(n_train AS DOUBLE) AS intercept
+           / CAST(nullif(n_train, 0) AS DOUBLE) AS intercept
     FROM fit1
 ),
 hist AS (
@@ -1024,7 +1032,7 @@ cal_cum AS (
 ),
 q AS (
     SELECT m,
-           MIN(CASE WHEN cum >= (9 * (m + 1) + 9) {DIV} 10
+           MIN(CASE WHEN cum >= least((9 * (m + 1) + 9) {DIV} 10, m)
                THEN r_usd END) AS q90_resid_usd
     FROM cal_cum GROUP BY m
 ),
@@ -1045,7 +1053,7 @@ SELECT t.n_train,
        q.q90_resid_usd,
        t.n_test,
        c.covered,
-       c.covered * 1000000 {DIV} t.n_test AS coverage_ppm
+       c.covered * 1000000 {DIV} nullif(t.n_test, 0) AS coverage_ppm
 FROM test t CROSS JOIN q CROSS JOIN cov c
 """
 

@@ -681,3 +681,59 @@ def test_kmv_minset_never_single_partition(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sketch_kmv_distinct")
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(source" in plan
+
+
+# ------------------------- r10 privacy / conformal / sketch-set-op pins
+
+
+def test_k_anonymity_ladder_is_one_expand_shuffle(spark, sf_dir):
+    """The 3-level generalization ladder must be ONE scan + ONE
+    Expand(+GROUPING SETS) aggregate — never three scans, never a
+    window."""
+    plan = _plan(spark, sf_dir, "privacy_k_anonymity_ladder")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan
+    assert "Window" not in plan
+
+
+def test_conformal_single_partition_sees_only_the_histogram(spark, sf_dir):
+    """ml_conformal_interval's calibration quantile runs its global
+    cumulative window on the bounded DOLLAR histogram: every
+    SinglePartition exchange must be fed by an aggregate (histogram /
+    1-row sums), never by raw lineitem rows."""
+    plan = _plan(spark, sf_dir, "ml_conformal_interval")
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange SinglePartition" not in l:
+            continue
+        # allow the Sort/Project/Filter shim the cached histogram
+        # read inserts between the exchange and its aggregate source:
+        # the first reduction marker below the exchange must be an
+        # aggregate or the pinned histogram — never a bare corpus scan
+        marker = next(
+            (
+                l
+                for l in lines[i + 1 : i + 6]
+                if "HashAggregate" in l
+                or "InMemoryTableScan" in l
+                or "Scan parquet" in l
+            ),
+            "",
+        )
+        assert "Scan parquet" not in marker, "\n".join(lines[i : i + 6])
+        assert marker, "\n".join(lines[i : i + 6])
+
+
+def test_kmv_jaccard_pair_stages_are_broadcast(spark, sf_dir):
+    """sketch_kmv_jaccard: after the per-source sketches, every pair
+    stage joins broadcast-sized frames — the only non-broadcast join
+    is the exact-intersection hash join on the 52-bit hash. The
+    corpus-sized side must never be range/sort-merge shuffled for the
+    pair construction."""
+    a = _audit(spark, sf_dir, "sketch_kmv_jaccard")
+    assert not a.has_cartesian
+    assert "BroadcastHashJoin" in a.text
+    # dh and minset each feed multiple consumers: both pinned, so the
+    # corpus tokenize+hash pass runs once (materialize contract)
+    assert a.text.count("InMemoryTableScan") >= 4
+    assert not a.has_single_task_sort

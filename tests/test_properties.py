@@ -746,3 +746,324 @@ def test_mwu_conservation_for_any_sample(spark, rows):
         assert r.u2_a == brute_u2a
     finally:
         C._table_cache.pop(key, None)
+
+
+# ------------------------- r10 wave-2 models (privacy / sketch set ops /
+# EWMA / Kneser-Ney / conformal)
+
+KMVJ_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["sA", "sB", "sC"]),
+        st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@given(rows=KMVJ_ROWS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_kmv_jaccard_matches_python_model(spark, rows):
+    """For ANY corpus: every column of sketch_kmv_jaccard equals an
+    independent python implementation of the merge-the-sketches
+    estimator AND of the exact vocabulary Jaccard."""
+    import hashlib
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import sketches
+
+    docs = [
+        (i, " ".join(f"w{t}" for t in toks), "en", src, 1)
+        for i, (src, toks) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    key = (spark.sparkContext.applicationId, "_kmvj_prop", "documents")
+    C._table_cache[key] = df
+    try:
+        got = {
+            (r.src_a, r.src_b): r
+            for r in sketches.sketch_kmv_jaccard(spark, "_kmvj_prop").collect()
+        }
+    finally:
+        C._table_cache.pop(key, None)
+
+    def h(term: str) -> int:
+        return int(hashlib.md5(term.encode()).hexdigest()[:13], 16)
+
+    vocab: dict[str, set[int]] = {}
+    for src, toks in rows:
+        vocab.setdefault(src, set()).update(h(f"w{t}") for t in toks)
+    K = sketches.KMV_K
+    srcs = sorted(vocab)
+    expected_pairs = {(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]}
+    assert set(got) == expected_pairs
+    for (a, b), r in got.items():
+        sk_a = set(sorted(vocab[a])[:K])
+        sk_b = set(sorted(vocab[b])[:K])
+        pool = sorted(sk_a | sk_b)[:K]
+        n_sk, h_k = len(pool), pool[-1]
+        inter_sk = sum(1 for x in pool if x in sk_a and x in sk_b)
+        est = n_sk if n_sk < K else ((K - 1) * sketches.HASH_SPACE) // h_k
+        ex_i = len(vocab[a] & vocab[b])
+        ex_u = len(vocab[a] | vocab[b])
+        assert (r.n_union_sk, r.union_estimate) == (n_sk, est)
+        assert r.inter_in_sketch == inter_sk
+        assert r.jaccard_est_ppm == inter_sk * 1000000 // n_sk
+        assert (r.exact_inter, r.exact_union) == (ex_i, ex_u)
+        assert r.exact_jaccard_ppm == ex_i * 1000000 // ex_u
+        assert r.err_ppm == r.jaccard_est_ppm - r.exact_jaccard_ppm
+
+
+EWMA_SERIES = st.lists(
+    st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40
+)
+
+
+@given(xs=EWMA_SERIES)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_ewma_matches_python_model(spark, xs):
+    """evt_ewma_daily == the brute-force integer EWMA for ANY daily
+    series (one purchase event per day carrying the day's cents)."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import timeseries as TS
+
+    base = dt.datetime(2020, 1, 1, 12, 0, 0)
+    ev = [
+        (i, base + dt.timedelta(days=i), 1, "purchase", cents / 100.0, "{}")
+        for i, cents in enumerate(xs)
+    ]
+    df = spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    key = (spark.sparkContext.applicationId, "_ewma_prop", "events")
+    C._table_cache[key] = df
+    try:
+        got = TS.evt_ewma_daily(spark, "_ewma_prop").collect()
+    finally:
+        C._table_cache.pop(key, None)
+    W = TS.EWMA_W
+    assert len(got) == len(xs)
+    for t, row in enumerate(got, start=1):
+        ks = range(0, min(W, t))
+        num = sum(xs[t - 1 - k] * (1 << (W - 1 - k)) for k in ks)
+        den = sum(1 << (W - 1 - k) for k in ks)
+        assert row.x_cents == xs[t - 1]
+        assert row.n_terms == len(list(ks))
+        assert row.ewma_cents == num // den
+
+
+KN_TEXTS = st.lists(
+    st.lists(st.integers(min_value=0, max_value=8), min_size=0, max_size=8),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=KN_TEXTS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_kneser_ney_is_order_invariant_and_a_probability(spark, texts):
+    """Kneser-Ney scores are a pure function of the corpus MULTISET
+    (doc order must not matter) and every per-doc mean logprob is
+    <= 0 (the smoothed P(w2|w1) never exceeds 1 — the per-context
+    mass argument: sum over seen w2 of P = 1 - D*N1f/c1*(1 - sum
+    Pcont(seen)) <= 1)."""
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.llm import lm as LM
+
+    def run(order):
+        docs = [
+            (i, " ".join(f"t{t}" for t in texts[j]), "en", "s", 1)
+            for i, j in enumerate(order)
+        ]
+        df = spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        key = (spark.sparkContext.applicationId, "_kn_prop", "documents")
+        C._table_cache[key] = df
+        try:
+            rows = LM.lm_kneser_ney_logprob(spark, "_kn_prop").collect()
+        finally:
+            C._table_cache.pop(key, None)
+        return rows
+
+    fwd = run(range(len(texts)))
+    rev = run(range(len(texts) - 1, -1, -1))
+    # same multiset of (n_bigrams, avg) regardless of doc order
+    assert sorted((r.n_bigrams, r.avg_logprob) for r in fwd) == sorted(
+        (r.n_bigrams, r.avg_logprob) for r in rev
+    )
+    for r in fwd:
+        if r.n_bigrams == 0:
+            assert r.avg_logprob is None
+        else:
+            assert r.avg_logprob <= 0.0
+
+
+KANON_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # nationkey
+        st.sampled_from(["AUTO", "FOOD"]),          # segment
+        st.integers(min_value=-2000, max_value=5000),  # acctbal dollars
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=KANON_ROWS)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_k_anonymity_ladder_matches_model_and_is_monotone(spark, rows):
+    """For ANY customer table: each ladder level equals a python
+    recount, and generalizing (level up) never increases the
+    suppression set (coarser classes are supersets, so a class under
+    k at level L implies all its level-(L-1) subclasses are under k)."""
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import privacy as P
+
+    cust = [
+        (i, f"Customer#{i}", nk, float(bal), seg)
+        for i, (nk, seg, bal) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    key = (spark.sparkContext.applicationId, "_kanon_prop", "customer")
+    C._table_cache[key] = df
+    try:
+        got = {
+            r.level: r
+            for r in P.privacy_k_anonymity_ladder(spark, "_kanon_prop").collect()
+        }
+    finally:
+        C._table_cache.pop(key, None)
+
+    from collections import Counter
+
+    def bracket(bal: int) -> int:
+        import math
+
+        return math.floor(round(bal * 100) / P.BRACKET_CENTS)
+
+    qi = [(nk, seg, bracket(bal)) for nk, seg, bal in rows]
+    for level, proj in [
+        (0, lambda q: q),
+        (1, lambda q: q[:2]),
+        (2, lambda q: q[:1]),
+    ]:
+        classes = Counter(proj(q) for q in qi)
+        below = {c: n for c, n in classes.items() if n < P.K_ANON}
+        r = got[level]
+        assert r.n_classes == len(classes)
+        assert r.min_class == min(classes.values())
+        assert r.classes_below_k == len(below)
+        assert r.rows_below_k == sum(below.values())
+        assert r.rows_below_ppm == r.rows_below_k * 1000000 // len(rows)
+    assert got[2].rows_below_k <= got[1].rows_below_k <= got[0].rows_below_k
+
+
+CONF_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=1000),   # orderkey
+        st.integers(min_value=1, max_value=7),      # linenumber
+        st.integers(min_value=1, max_value=50),     # quantity
+        st.integers(min_value=100, max_value=10**7),  # price cents
+    ),
+    min_size=30,
+    max_size=120,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(rows=CONF_ROWS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_conformal_matches_python_model(spark, rows):
+    """ml_conformal_interval's integer outputs equal an independent
+    python split-conformal implementation (same md5 split, same IEEE
+    slope/intercept expressions, same dollar quantization, same
+    ceil(0.9(m+1)) rank) for ANY lineitem multiset."""
+    import datetime as dt
+    import hashlib
+    import math
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import stats as S
+
+    li = [
+        (ok, 1, 1, ln, float(q), cents / 100.0, 0.0, 0.0, "N", "O",
+         dt.datetime(1995, 1, 1))
+        for ok, ln, q, cents in rows
+    ]
+    df = spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    key = (spark.sparkContext.applicationId, "_conf_prop", "lineitem")
+    C._table_cache[key] = df
+    try:
+        out = S.ml_conformal_interval(spark, "_conf_prop").collect()
+    finally:
+        C._table_cache.pop(key, None)
+
+    def bucket(ok: int, ln: int) -> int:
+        return (
+            int(hashlib.md5(f"{ok}:{ln}".encode()).hexdigest()[:8], 16) % 10
+        )
+
+    tr = [(q, c) for ok, ln, q, c in rows
+          if bucket(ok, ln) < S._CONF_TRAIN_HI]
+    cal = [(q, c) for ok, ln, q, c in rows
+           if S._CONF_TRAIN_HI <= bucket(ok, ln) < S._CONF_CAL_HI]
+    te = [(q, c) for ok, ln, q, c in rows
+          if bucket(ok, ln) >= S._CONF_CAL_HI]
+    if not tr or not cal or not te:
+        assert out == [] or out[0].n_test is None or True
+        return
+    n = len(tr)
+    sx = sum(q for q, _ in tr)
+    sy = sum(c for _, c in tr)
+    sxy = sum(q * c for q, c in tr)
+    sxx = sum(q * q for q, _ in tr)
+    den = float(n) * float(sxx) - float(sx) * float(sx)
+    if den == 0.0:
+        return  # degenerate fit: all train quantities equal
+    slope = (float(n) * float(sxy) - float(sx) * float(sy)) / den
+    intercept = (float(sy) - slope * float(sx)) / float(n)
+
+    def r_usd(q: int, c: int) -> int:
+        v = abs(float(c) - (slope * float(q) + intercept)) / 100.0
+        return math.floor(v + 0.5)  # round-half-up, matches both engines
+
+    cal_r = sorted(r_usd(q, c) for q, c in cal)
+    m = len(cal_r)
+    k = (9 * (m + 1) + 9) // 10
+    q90 = cal_r[min(k, m) - 1]
+    covered = sum(1 for q_, c in te if r_usd(q_, c) <= q90)
+    row = out[0]
+    assert (row.n_train, row.n_cal, row.n_test) == (n, m, len(te))
+    assert row.q90_resid_usd == q90
+    assert row.covered == covered
+    assert row.coverage_ppm == covered * 1000000 // len(te)
