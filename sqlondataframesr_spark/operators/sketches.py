@@ -240,6 +240,136 @@ def sketch_cms_freq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the two event streams whose same-user join size the CMS predicts
+_JS_SIDE_A = "click"
+_JS_SIDE_B = "purchase"
+
+
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based JOIN-SIZE estimation — the inner-product read of a
+    count-min sketch (Cormode & Muthukrishnan 2005 §4.2; the AMS
+    F2/join-size line of work): estimate
+    |click ⋈_user purchase| = Σ_u f_click(u)·f_purchase(u)
+    from two CMS sketches as min_j Σ_bucket cmsA[j,b]·cmsB[j,b],
+    with the exact answer beside it. This is the cardinality a query
+    optimizer wants BEFORE running the join (the raw blowup behind
+    evt_click_purchase_pairs), shipped as two 4 KB sketches instead
+    of a corpus shuffle.
+
+    Guarantee: the estimate never underestimates (every bucket sum is
+    a sum of non-negative products that includes the true diagonal).
+
+    Scale (100 TB): the corpus collapses ONCE to per-(type, user)
+    counts (map-side combine); the CMS build explodes DEPTH rows over
+    that REDUCED frame and partial-aggregates to ≤ 2·DEPTH·WIDTH
+    cells; the dot product joins two ≤4096-row frames (broadcast).
+    The exact side is one more keyed shuffle of the reduced frame.
+
+    Output: one row (exact_join_size, cms_join_size, overcount,
+    overcount_ppm).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_JS_SIDE_A, _JS_SIDE_B)
+    )
+    cnt = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    js = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    cells = (
+        cnt.withColumn("j", F.explode(js))
+        .select(
+            "event_type",
+            "j",
+            F.expr(
+                _cms_bucket_spark("j", "cast(user_id as string)")
+            ).alias("bucket"),
+            "f",
+        )
+        .groupBy("event_type", "j", "bucket")
+        .agg(F.sum("f").cast("long").alias("cell"))
+    )
+    a = cells.filter(F.col("event_type") == _JS_SIDE_A).select(
+        "j", "bucket", F.col("cell").alias("ca")
+    )
+    b = cells.filter(F.col("event_type") == _JS_SIDE_B).select(
+        "j", "bucket", F.col("cell").alias("cb")
+    )
+    dots = (
+        a.join(F.broadcast(b), ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    est = dots.agg(F.min("dot").cast("long").alias("cms_join_size"))
+    per_user = cnt.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == _JS_SIDE_A, F.col("f"))
+              .otherwise(F.lit(0))).alias("fa"),
+        F.sum(F.when(F.col("event_type") == _JS_SIDE_B, F.col("f"))
+              .otherwise(F.lit(0))).alias("fb"),
+    )
+    exact = per_user.agg(
+        F.sum(F.col("fa") * F.col("fb")).cast("long").alias("exact_join_size")
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .selectExpr(
+            "exact_join_size",
+            "cms_join_size",
+            "cms_join_size - exact_join_size as overcount",
+            "(cms_join_size - exact_join_size) * 1000000"
+            " div nullif(exact_join_size, 0) as overcount_ppm",
+        )
+    )
+
+
+SKETCH_CMS_JOIN_SIZE_ORACLE = f"""
+WITH cnt AS (
+    SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS f
+    FROM events
+    WHERE event_type IN ('{_JS_SIDE_A}', '{_JS_SIDE_B}')
+    GROUP BY 1, 2
+),
+stream AS (
+    SELECT c.event_type, j.j, c.user_id, c.f
+    FROM cnt c CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) j
+),
+cells AS (
+    SELECT event_type, j, {{BUCKET}} AS bucket,
+           CAST(SUM(f) AS BIGINT) AS cell
+    FROM stream GROUP BY 1, 2, 3
+),
+dots AS (
+    SELECT a.j, CAST(SUM(a.cell * b.cell) AS BIGINT) AS dot
+    FROM cells a JOIN cells b ON a.j = b.j AND a.bucket = b.bucket
+    WHERE a.event_type = '{_JS_SIDE_A}' AND b.event_type = '{_JS_SIDE_B}'
+    GROUP BY a.j
+),
+est AS (SELECT CAST(MIN(dot) AS BIGINT) AS cms_join_size FROM dots),
+per_user AS (
+    SELECT user_id,
+           SUM(CASE WHEN event_type = '{_JS_SIDE_A}' THEN f ELSE 0 END) AS fa,
+           SUM(CASE WHEN event_type = '{_JS_SIDE_B}' THEN f ELSE 0 END) AS fb
+    FROM cnt GROUP BY user_id
+),
+ex AS (
+    SELECT CAST(SUM(fa * fb) AS BIGINT) AS exact_join_size FROM per_user
+)
+SELECT ex.exact_join_size, est.cms_join_size,
+       est.cms_join_size - ex.exact_join_size AS overcount,
+       (est.cms_join_size - ex.exact_join_size) * 1000000
+         {{DIV}} nullif(ex.exact_join_size, 0) AS overcount_ppm
+FROM ex CROSS JOIN est
+"""
+
+_JS_BUCKET_DUCK = (
+    "(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'"
+    f" || CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % {CMS_WIDTH})"
+)
+_JS_BUCKET_SPARK = (
+    "pmod(cast(conv(substring(md5(concat(cast(j as string), ':',"
+    f" cast(user_id as string))), 1, 13), 16, 10) as bigint), {CMS_WIDTH})"
+)
+
+
 SKETCH_KMV_DISTINCT_ORACLE = f"""
 WITH h AS (
     SELECT DISTINCT source, {_H_DUCK} AS h FROM documents
@@ -533,6 +663,7 @@ ORDER BY src_a, src_b
 QUERIES = {
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "sketch_kmv_jaccard": sketch_kmv_jaccard,
+    "sketch_cms_join_size": sketch_cms_join_size,
     "sketch_kmv_merge_check": sketch_kmv_merge_check,
     "sketch_cms_freq_report": sketch_cms_freq_report,
 }
@@ -540,6 +671,9 @@ QUERIES = {
 ORACLES = {
     "sketch_kmv_distinct": SKETCH_KMV_DISTINCT_ORACLE,
     "sketch_kmv_jaccard": SKETCH_KMV_JACCARD_ORACLE,
+    "sketch_cms_join_size": SKETCH_CMS_JOIN_SIZE_ORACLE.format(
+        BUCKET=_JS_BUCKET_DUCK, DIV="//"
+    ),
     "sketch_kmv_merge_check": SKETCH_KMV_MERGE_ORACLE,
     "sketch_cms_freq_report": SKETCH_CMS_ORACLE,
 }
@@ -569,6 +703,12 @@ SPARK_SQL = {
     "sketch_kmv_merge_check": SKETCH_KMV_MERGE_ORACLE.replace(
         _H_DUCK, _H_SQL
     ).replace(" // ", " div "),
+    "sketch_cms_join_size": SKETCH_CMS_JOIN_SIZE_ORACLE.format(
+        BUCKET=_JS_BUCKET_SPARK, DIV="div"
+    ).replace(
+        "(SELECT unnest([0, 1, 2, 3]) AS j)",
+        "(SELECT explode(array(0, 1, 2, 3)) AS j)",
+    ),
     "sketch_cms_freq_report": f"""
 WITH toks AS (
     SELECT explode(split(text, ' ')) AS term FROM documents

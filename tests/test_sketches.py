@@ -277,3 +277,40 @@ def test_mase_real_data_consistency(spark, sf_dir):
     assert r.n_eval > 0
     assert r.sae_c >= 0 and r.sane_c > 0
     assert r.mase_ppm == r.sae_c // (r.sane_c // 1_000_000)
+
+
+def test_cms_join_size_never_underestimates(spark, sf_dir):
+    """The inner-product read inherits the count-min guarantee: the
+    estimated join size is >= the exact Σ f_a(u)·f_b(u)."""
+    row = sketches.sketch_cms_join_size(spark, sf_dir).collect()[0]
+    assert row.overcount >= 0
+    assert row.cms_join_size == row.exact_join_size + row.overcount
+    assert row.exact_join_size > 0  # fixture has click+purchase users
+
+
+def test_cms_join_size_exact_on_tiny_corpus(spark):
+    """On a 3-user corpus with a sparse sketch the estimate is exact:
+    user1 has 2 clicks x 1 purchase, user2 1x1, user3 purchase-only
+    -> join size 3."""
+    import datetime as dt
+
+    base = dt.datetime(2020, 1, 1)
+    ev = [
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base, 1, "click", 1.0, "{}"),
+        (3, base, 1, "purchase", 1.0, "{}"),
+        (4, base, 2, "click", 1.0, "{}"),
+        (5, base, 2, "purchase", 1.0, "{}"),
+        (6, base, 3, "purchase", 1.0, "{}"),
+        (7, base, 4, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    seed_table_cache(spark, "_cmsjs_tiny", {"events": df})
+    row = sketches.sketch_cms_join_size(spark, "_cmsjs_tiny").collect()[0]
+    assert row.exact_join_size == 3
+    assert row.cms_join_size == 3
+    assert row.overcount == 0
