@@ -1,0 +1,274 @@
+"""Feature-engineering operators: distributed grid-search quantile
+regression (pinball loss) and leakage-safe leave-one-out target
+encoding — the model-prep passes a training pipeline runs over a
+100 TB feature store before any learner sees the data.
+
+North-star extensions (no reference counterpart — RDataFramesSQL.Rmd
+has no ML-prep surface; SURVEY.md north-star scope). Related:
+ml_ols_trend / ml_conformal_interval (operators/stats.py) fit and
+bound a MEAN model; ``ml_quantile_grid`` fits the conditional
+QUANTILES (the robust/asymmetric-cost alternative), and
+``ml_target_encoding_loo`` builds the categorical feature both would
+consume.
+
+Scale design (100 TB):
+
+- ``ml_quantile_grid`` — quantile regression has no closed-form
+  sufficient statistics, so the classic distributed answer is a GRID
+  of candidate slopes scored in ONE scan: the grid (derived from a
+  1-row broadcast aggregate, so it auto-centers at any SF) fans each
+  row ×|grid| MAP-SIDE, partial aggregation collapses the shuffle to
+  |grid|×|taus| keys regardless of corpus size, and argmin runs on
+  that bounded frame. No iterative IRLS, no sort, no driver loop.
+- ``ml_target_encoding_loo`` — one broadcast dim join + one category-
+  keyed shuffle to the per-category sufficient stats (n, Σy), then
+  the per-row encodings are a map-side expression joined BACK by the
+  bounded category table (broadcast). Output is the per-category
+  audit of the row-level encodings (n, Σenc, min/max enc), so the
+  differential check exercises every row's formula without shipping
+  a corpus-sized result.
+
+Determinism: pinball losses are exact integers (tau in tenths makes
+10·loss integral: max(9d, -d) for tau=0.9, max(5d, -5d) for tau=0.5);
+encodings are truncating-div integer cents; argmin ties break to the
+smallest slope via min_by struct order mirrored with a window in the
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+
+#: grid geometry: slopes from 50% to 150% of the moment estimate
+GRID_N = 32
+
+#: m-estimate smoothing weight for the smoothed encoding column
+TE_SMOOTH_M = 10
+
+
+def ml_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (tau=0.5) and 90th-percentile (tau=0.9) regression of
+    line-item price on quantity through the origin, by exact pinball-
+    loss grid search: {GRID_N}+1 candidate slopes spanning 50%..150%
+    of the moment estimate Σy div Σx, each scored with the integral
+    10×pinball loss in one corpus scan.
+
+    Output: (tau_pct, best_slope_cents, loss10, n_rows) — 2 rows
+    ordered by tau_pct. Ties on loss break to the smaller slope.
+    """
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "cast(round(l_quantity) as bigint) as x",
+        "cast(round(l_extendedprice * 100) as bigint) as y",
+    )
+    center = li.agg(
+        F.expr("sum(y) div nullif(sum(x), 0)").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    # grid derived from the 1-row broadcast center: slope_g =
+    # c*(GRID_N+g) div (2*GRID_N), g = 0..GRID_N*2 -> 50%..150% of c
+    grid = (
+        spark.range(0, 2 * GRID_N + 1)
+        .select(F.col("id").cast("long").alias("g"))
+        .crossJoin(F.broadcast(center))
+        .selectExpr(
+            f"c * ({GRID_N} + g) div {2 * GRID_N} as slope",
+            "n_rows",
+        )
+        # integer grid points can collide for small centers; dedupe or
+        # a duplicated slope would double-count its loss in the fan
+        .distinct()
+    )
+    taus = spark.range(0, 2).selectExpr(
+        "cast(IF(id = 0, 50, 90) as int) as tau_pct"
+    )
+    # ONE scan: each row fans x|grid|x|taus| map-side, partial agg
+    # collapses to <= (2*GRID_N+1)*2 keys before the shuffle
+    scored = (
+        li.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(taus))
+        .selectExpr(
+            "tau_pct",
+            "slope",
+            "n_rows",
+            "IF(tau_pct = 50,"
+            " greatest(5 * (y - slope * x), -5 * (y - slope * x)),"
+            " greatest(9 * (y - slope * x), -(y - slope * x))) as pin10",
+        )
+        .groupBy("tau_pct", "slope", "n_rows")
+        .agg(F.sum("pin10").cast("long").alias("loss10"))
+    )
+    return (
+        scored.groupBy("tau_pct")
+        .agg(
+            F.expr(
+                "min_by(struct(slope, loss10), struct(loss10, slope))"
+            ).alias("best"),
+            F.max("n_rows").alias("n_rows"),
+        )
+        .selectExpr(
+            "tau_pct",
+            "best.slope as best_slope_cents",
+            "best.loss10 as loss10",
+            "n_rows",
+        )
+        .orderBy("tau_pct")
+    )
+
+
+ML_QUANTILE_GRID_ORACLE = f"""
+WITH li AS (
+    SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+    FROM lineitem
+),
+center AS (
+    SELECT CAST(SUM(y) AS BIGINT) {{DIV}} nullif(CAST(SUM(x) AS BIGINT), 0)
+             AS c,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM li
+),
+grid AS (
+    SELECT DISTINCT c * ({GRID_N} + g.g) {{DIV}} {2 * GRID_N} AS slope,
+           n_rows
+    FROM center CROSS JOIN
+         (SELECT {{UNNEST_G}} AS g) g
+),
+taus AS (SELECT {{UNNEST_T}} AS tau_pct),
+scored AS (
+    SELECT t.tau_pct, gr.slope, gr.n_rows,
+           CAST(SUM(CASE WHEN t.tau_pct = 50
+                THEN greatest(5 * (li.y - gr.slope * li.x),
+                              -5 * (li.y - gr.slope * li.x))
+                ELSE greatest(9 * (li.y - gr.slope * li.x),
+                              -(li.y - gr.slope * li.x)) END) AS BIGINT)
+             AS loss10
+    FROM li CROSS JOIN grid gr CROSS JOIN taus t
+    GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT tau_pct, slope, loss10, n_rows,
+           row_number() OVER (PARTITION BY tau_pct
+                              ORDER BY loss10, slope) AS rn
+    FROM scored
+)
+SELECT CAST(tau_pct AS INT) AS tau_pct,
+       slope AS best_slope_cents,
+       loss10,
+       n_rows
+FROM ranked WHERE rn = 1 ORDER BY tau_pct
+"""
+
+
+def ml_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out + m-estimate target encoding of part brand
+    against line-item price (Micci-Barreca, SIGKDD Explorations 2001
+    — public): every row gets
+
+        enc_loo    = (S_brand − y_i) div (n_brand − 1)
+        enc_smooth = (S_brand − y_i + m·μ) div (n_brand − 1 + m)
+
+    (μ = corpus mean in cents, m = {TE_SMOOTH_M}) — the leakage-safe
+    encodings: the row's own target never leaks into its feature.
+    Reported as the per-brand audit of those row-level values.
+
+    Output: (brand, n, y_sum, enc_loo_sum, enc_loo_min, enc_loo_max,
+    enc_smooth_min, enc_smooth_max) ordered by brand.
+    """
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey",
+        "cast(round(l_extendedprice * 100) as bigint) as y",
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    rows = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "brand", "y"
+    )
+    stats = rows.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("y_sum"),
+    )
+    glob = rows.agg(
+        F.expr("sum(y) div count(1)").cast("long").alias("mu")
+    )
+    enc = (
+        rows.join(F.broadcast(stats), "brand")
+        .crossJoin(F.broadcast(glob))
+        .selectExpr(
+            "brand",
+            "n",
+            "y_sum",
+            "(y_sum - y) div nullif(n - 1, 0) as enc_loo",
+            f"(y_sum - y + {TE_SMOOTH_M} * mu)"
+            f" div (n - 1 + {TE_SMOOTH_M}) as enc_smooth",
+        )
+    )
+    return (
+        enc.groupBy("brand", "n", "y_sum")
+        .agg(
+            F.sum("enc_loo").cast("long").alias("enc_loo_sum"),
+            F.min("enc_loo").alias("enc_loo_min"),
+            F.max("enc_loo").alias("enc_loo_max"),
+            F.min("enc_smooth").alias("enc_smooth_min"),
+            F.max("enc_smooth").alias("enc_smooth_max"),
+        )
+        .orderBy("brand")
+    )
+
+
+ML_TARGET_ENCODING_ORACLE = f"""
+WITH rows_ AS (
+    SELECT p.p_brand AS brand,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS y
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+stats AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS y_sum
+    FROM rows_ GROUP BY brand
+),
+gmean AS (
+    SELECT CAST(SUM(y) AS BIGINT) {{DIV}} CAST(COUNT(*) AS BIGINT) AS mu
+    FROM rows_
+),
+enc AS (
+    SELECT r.brand, s.n, s.y_sum,
+           (s.y_sum - r.y) {{DIV}} nullif(s.n - 1, 0) AS enc_loo,
+           (s.y_sum - r.y + {TE_SMOOTH_M} * g.mu)
+             {{DIV}} (s.n - 1 + {TE_SMOOTH_M}) AS enc_smooth
+    FROM rows_ r JOIN stats s USING (brand) CROSS JOIN gmean g
+)
+SELECT brand, n, y_sum,
+       CAST(SUM(enc_loo) AS BIGINT) AS enc_loo_sum,
+       MIN(enc_loo) AS enc_loo_min,
+       MAX(enc_loo) AS enc_loo_max,
+       MIN(enc_smooth) AS enc_smooth_min,
+       MAX(enc_smooth) AS enc_smooth_max
+FROM enc GROUP BY brand, n, y_sum ORDER BY brand
+"""
+
+
+QUERIES = {
+    "ml_quantile_grid": ml_quantile_grid,
+    "ml_target_encoding_loo": ml_target_encoding_loo,
+}
+
+ORACLES = {
+    "ml_quantile_grid": ML_QUANTILE_GRID_ORACLE.format(
+        DIV="//",
+        UNNEST_G=f"unnest(range(0, {2 * GRID_N + 1}))",
+        UNNEST_T="unnest([50, 90])",
+    ),
+    "ml_target_encoding_loo": ML_TARGET_ENCODING_ORACLE.format(DIV="//"),
+}
+
+SPARK_SQL = {
+    "ml_quantile_grid": ML_QUANTILE_GRID_ORACLE.format(
+        DIV="div",
+        UNNEST_G=f"explode(sequence(0, {2 * GRID_N}))",
+        UNNEST_T="explode(array(50, 90))",
+    ),
+    "ml_target_encoding_loo": ML_TARGET_ENCODING_ORACLE.format(DIV="div"),
+}

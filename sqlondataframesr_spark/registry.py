@@ -40,6 +40,7 @@ from .operators import (
     asof,
     concentration,
     er,
+    features,
     forensics,
     graph,
     grouped,
@@ -107,6 +108,7 @@ _MODULES = [
     salt,
     scd,
     er,
+    features,
     privacy,
     stats,
     survival,
