@@ -226,18 +226,100 @@ LIMIT 50
 """
 
 
+#: DP release parameters: epsilon = 1, count sensitivity Delta f = 1
+DP_EPS = "1.0"
+
+#: md5-uniform in (0, 1]: (h + 1) / 2^52 over 13 hex chars — the
+#: sketches-module determinism contract (llm/sampling.py's idiom)
+_U_SPARK = (
+    "((cast(conv(substring(md5(concat('{salt}', cast(c_nationkey as"
+    " string))), 1, 13), 16, 10) as bigint) + 1)"
+    " / cast(4503599627370496 as double))"
+)
+_U_DUCK = (
+    "((('0x' || substr(md5('{salt}' || CAST(c_nationkey AS VARCHAR)),"
+    " 1, 13))::BIGINT + 1)"
+    " / CAST(4503599627370496 AS DOUBLE))"
+)
+
+
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-STYLE noisy count release of the
+    per-nation customer histogram: Laplace(1/ε) noise added to each
+    count (ε = {DP_EPS}, sensitivity 1), sampled as b·ln(u1/u2) — the
+    difference-of-exponentials construction (Dwork et al., TCC 2006
+    — public).
+
+    HONESTY CAVEAT (same contract as the sketches module): u1/u2 here
+    are md5-uniform — pure functions of the nation key — so this
+    release is DETERMINISTIC and therefore NOT differentially private
+    as shipped; real deployments swap the two uniforms for a seeded
+    RNG. Determinism is what makes the noise path EXACT-oracle-
+    checkable end-to-end; the operator verifies the release pipeline
+    (clamping, rounding, error accounting), not the privacy proof.
+
+    Scale: one partial-agg shuffle collapses customers to |nations|
+    rows; the noise is a map-side expression on that bounded frame.
+
+    Output: (c_nationkey, exact_n, noise, noisy_n, abs_err) ordered
+    by nation; noise rounded to 6 dp, noisy_n clamped at 0.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey")
+    counts = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    u1 = _U_SPARK.format(salt="a")
+    u2 = _U_SPARK.format(salt="b")
+    noise = f"(ln({u1}) - ln({u2})) / {DP_EPS}"
+    return counts.selectExpr(
+        "c_nationkey",
+        "exact_n",
+        f"round({noise}, 6) as noise",
+        f"greatest(cast(round(cast(exact_n as double) + {noise})"
+        " as bigint), 0L) as noisy_n",
+        f"abs(greatest(cast(round(cast(exact_n as double) + {noise})"
+        " as bigint), 0L) - exact_n) as abs_err",
+    ).orderBy("c_nationkey")
+
+
+_DP_U1 = _U_DUCK.format(salt="a")
+_DP_U2 = _U_DUCK.format(salt="b")
+
+DP_NOISY_ORACLE = f"""
+WITH counts AS (
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS exact_n
+    FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, exact_n,
+       round((ln({_DP_U1}) - ln({_DP_U2})) / {DP_EPS}, 6) AS noise,
+       greatest(CAST(round(CAST(exact_n AS DOUBLE)
+                + (ln({_DP_U1}) - ln({_DP_U2})) / {DP_EPS}) AS BIGINT),
+                0) AS noisy_n,
+       abs(greatest(CAST(round(CAST(exact_n AS DOUBLE)
+                + (ln({_DP_U1}) - ln({_DP_U2})) / {DP_EPS}) AS BIGINT),
+                0) - exact_n) AS abs_err
+FROM counts ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "privacy_k_anonymity_ladder": privacy_k_anonymity_ladder,
     "privacy_l_diversity": privacy_l_diversity,
+    "privacy_dp_noisy_counts": privacy_dp_noisy_counts,
 }
 
 ORACLES = {
     "privacy_k_anonymity_ladder": K_ANON_ORACLE,
     "privacy_l_diversity": L_DIV_ORACLE,
+    "privacy_dp_noisy_counts": DP_NOISY_ORACLE,
 }
 
-# Spark-SQL duals: the only dialect seam is DuckDB's ``//`` for
-# truncating integer division (Spark: ``div``).
+# Spark-SQL duals: seams are DuckDB's ``//`` (Spark ``div``) and the
+# hex-literal md5 uniforms (Spark conv(,16,10)).
 SPARK_SQL = {
     name: sql.replace(" // ", " div ") for name, sql in ORACLES.items()
 }
+SPARK_SQL["privacy_dp_noisy_counts"] = (
+    DP_NOISY_ORACLE.replace(_DP_U1, _U_SPARK.format(salt="a"))
+    .replace(_DP_U2, _U_SPARK.format(salt="b"))
+)
