@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
+from ..materialize import materialize
 from .drank import ntile_expr, with_global_rank
 
 _CENTS = "cast(round(o_totalprice * 100) as bigint)"
@@ -516,7 +517,254 @@ EVT_LINEAR_ATTRIBUTION_SPARK_SQL = _ATTR_BODY.format(
 )
 
 
+#: absorption iterations for the Markov attribution (deterministic
+#: N-step estimate; both engines run the SAME unrolled recurrence)
+MARKOV_ITERS = 12
+
+
+def evt_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) multi-touch attribution (Anderl
+    et al., "Mapping the Customer Journey", 2014 — public): build the
+    first-order journey chain (start → touch types → conv/null, each
+    user's history truncated at the FIRST purchase = conversion),
+    estimate conversion probability as {MARKOV_ITERS}-step absorption
+    mass, re-estimate with each channel removed (its edges deleted;
+    the lost mass drains to null), and attribute conversions by the
+    normalized removal effects. Complements evt_linear_attribution
+    (position-based) with the data-driven counterfactual model.
+
+    Exactness contract: transition probabilities and masses are
+    integer ppm with truncating division; both engines execute the
+    IDENTICAL unrolled recurrence (v_{{k+1}}(t) = Σ_f v_k(f)·T(f,t)
+    div 10⁶, conv/null held by 10⁶ self-loops), so every output cell
+    is EXACT-comparable. Truncation dust is clamped at 0 in the
+    removal effect.
+
+    Scale (100 TB): ONE user-keyed window shuffle builds the journey
+    edges (the sessionize/transition-matrix shape); everything after
+    is bounded by |event types|² — the transition matrix, the
+    |channels|+1 scenario fan, and the {MARKOV_ITERS} joined
+    iterations all run on ≤ tens of rows (the PageRank
+    distill-then-iterate idiom, operators/graph.py:81).
+
+    Output: (channel, p_full_ppm, p_removed_ppm, removal_effect_ppm,
+    attribution_ppm) ordered by channel.
+    """
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "IF(event_type = 'purchase', 'conv', event_type) as st",
+        "IF(event_type = 'purchase', 1, 0) as is_conv",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "st",
+        F.row_number().over(w).alias("rn"),
+        F.coalesce(
+            F.sum("is_conv").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("prev_convs"),
+    )
+    # prefix-closed truncation at the first conversion: rn stays 1..m
+    kept = ordered.filter(F.col("prev_convs") == 0)
+    wk = Window.partitionBy("user_id").orderBy("rn")
+    tr = kept.withColumn("nxt", F.lead("st").over(wk))
+    edges = (
+        kept.filter(F.col("rn") == 1)
+        .selectExpr("'start' as f", "st as t")
+        .unionByName(
+            tr.filter(F.col("nxt").isNotNull()).selectExpr(
+                "st as f", "nxt as t"
+            )
+        )
+        .unionByName(
+            tr.filter(
+                F.col("nxt").isNull() & (F.col("st") != "conv")
+            ).selectExpr("st as f", "'null' as t")
+        )
+    )
+    cnt = edges.groupBy("f", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tm = cnt.select(
+        "f",
+        "t",
+        F.expr(
+            "c * 1000000L div sum(c) over (partition by f)"
+        ).cast("long").alias("p_ppm"),
+    )
+    chans = tm.select(F.col("f").alias("ch")).filter(
+        F.col("ch") != "start"
+    ).distinct()
+    scen = (
+        spark.range(1)
+        .selectExpr("'__full__' as sc")
+        .unionByName(chans.select(F.col("ch").alias("sc")))
+    )
+    absorb = (
+        scen.crossJoin(
+            F.broadcast(
+                spark.range(1)
+                .selectExpr("'conv' as a")
+                .unionByName(spark.range(1).selectExpr("'null' as a"))
+            )
+        )
+        .selectExpr("sc", "a as f", "a as t",
+                    "cast(1000000 as bigint) as p_ppm")
+    )
+    smat = materialize(
+        scen.join(
+            F.broadcast(tm),
+            F.expr("sc = '__full__' OR (f != sc AND t != sc)"),
+        )
+        .select("sc", "f", "t", "p_ppm")
+        .unionByName(absorb)
+    )
+    v = scen.selectExpr(
+        "sc", "'start' as state", "cast(1000000 as bigint) as mass"
+    )
+    for _ in range(MARKOV_ITERS):
+        v = (
+            smat.join(
+                v,
+                (smat.sc == v.sc) & (smat.f == v.state),
+            )
+            .select(
+                smat.sc.alias("sc_"),
+                smat.t.alias("state"),
+                F.expr("mass * p_ppm div 1000000").alias("m"),
+            )
+            .groupBy("sc_", "state")
+            .agg(F.sum("m").cast("long").alias("mass"))
+            .withColumnRenamed("sc_", "sc")
+        )
+    conv = v.filter(F.col("state") == "conv").select("sc", "mass")
+    p_full = conv.filter(F.col("sc") == "__full__").select(
+        F.col("mass").alias("p_full_ppm")
+    )
+    per_chan = (
+        chans.crossJoin(F.broadcast(p_full))
+        .join(
+            conv.select(F.col("sc").alias("ch"),
+                        F.col("mass").alias("p_removed_ppm")),
+            "ch",
+            "left",
+        )
+        .selectExpr(
+            "ch",
+            "p_full_ppm",
+            "coalesce(p_removed_ppm, 0L) as p_removed_ppm",
+            "greatest((p_full_ppm - coalesce(p_removed_ppm, 0L))"
+            " * 1000000 div nullif(p_full_ppm, 0), 0L)"
+            " as removal_effect_ppm",
+        )
+    )
+    return (
+        per_chan.select(
+            F.col("ch").alias("channel"),
+            "p_full_ppm",
+            "p_removed_ppm",
+            "removal_effect_ppm",
+            F.expr(
+                "removal_effect_ppm * 1000000"
+                " div nullif(sum(removal_effect_ppm) over (), 0)"
+            ).cast("long").alias("attribution_ppm"),
+        )
+        .orderBy("channel")
+    )
+
+
+def _markov_sql(div: str) -> str:
+    """The SAME unrolled computation as portable SQL (DuckDB oracle;
+    the Spark-SQL twin swaps the division spelling)."""
+    sql = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 'conv'
+              ELSE event_type END AS st,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+  FROM events
+),
+ordered AS (
+  SELECT user_id, st,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COALESCE(SUM(is_conv) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prev_convs
+  FROM ev
+),
+kept AS (SELECT user_id, st, rn FROM ordered WHERE prev_convs = 0),
+tr AS (
+  SELECT user_id, st, rn,
+         lead(st) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+  FROM kept
+),
+edges AS (
+  SELECT 'start' AS f, st AS t FROM kept WHERE rn = 1
+  UNION ALL
+  SELECT st, nxt FROM tr WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT st, 'null' FROM tr WHERE nxt IS NULL AND st <> 'conv'
+),
+cnt AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS c FROM edges GROUP BY 1, 2),
+tm AS (
+  SELECT f, t,
+         CAST(c * 1000000 {div} SUM(c) OVER (PARTITION BY f) AS BIGINT)
+           AS p_ppm
+  FROM cnt
+),
+chans AS (SELECT DISTINCT f AS ch FROM tm WHERE f <> 'start'),
+scen AS (SELECT '__full__' AS sc UNION ALL SELECT ch FROM chans),
+smat AS (
+  SELECT s.sc, m.f, m.t, m.p_ppm
+  FROM scen s JOIN tm m
+    ON (s.sc = '__full__' OR (m.f <> s.sc AND m.t <> s.sc))
+  UNION ALL
+  SELECT s.sc, x.a, x.a, CAST(1000000 AS BIGINT)
+  FROM scen s CROSS JOIN
+       (SELECT 'conv' AS a UNION ALL SELECT 'null') x
+),
+v0 AS (SELECT sc, 'start' AS state, CAST(1000000 AS BIGINT) AS mass
+       FROM scen)"""
+    for i in range(MARKOV_ITERS):
+        sql += f""",
+v{i + 1} AS (
+  SELECT m.sc, m.t AS state,
+         CAST(SUM(v.mass * m.p_ppm {div} 1000000) AS BIGINT) AS mass
+  FROM v{i} v JOIN smat m ON m.sc = v.sc AND m.f = v.state
+  GROUP BY 1, 2)"""
+    sql += f""",
+conv AS (SELECT sc, mass FROM v{MARKOV_ITERS} WHERE state = 'conv'),
+pf AS (SELECT mass AS p_full_ppm FROM conv WHERE sc = '__full__'),
+per_chan AS (
+  SELECT c.ch, pf.p_full_ppm,
+         COALESCE(r.mass, 0) AS p_removed_ppm,
+         greatest((pf.p_full_ppm - COALESCE(r.mass, 0)) * 1000000
+                  {div} nullif(pf.p_full_ppm, 0), 0) AS removal_effect_ppm
+  FROM chans c CROSS JOIN pf
+  LEFT JOIN conv r ON r.sc = c.ch
+)
+SELECT ch AS channel, p_full_ppm, p_removed_ppm,
+       CAST(removal_effect_ppm AS BIGINT) AS removal_effect_ppm,
+       CAST(removal_effect_ppm * 1000000
+            {div} nullif(SUM(removal_effect_ppm) OVER (), 0) AS BIGINT)
+         AS attribution_ppm
+FROM per_chan ORDER BY channel"""
+    return sql
+
+
+EVT_MARKOV_ORACLE = _markov_sql("//")
+EVT_MARKOV_SPARK_SQL = _markov_sql("div")
+
+
 QUERIES = {
+    "evt_markov_attribution": evt_markov_attribution,
     "evt_transition_matrix": evt_transition_matrix,
     "cust_rfm_segments": cust_rfm_segments,
     "orders_snapshot_diff": orders_snapshot_diff,
@@ -526,6 +774,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "evt_markov_attribution": EVT_MARKOV_ORACLE,
     "evt_transition_matrix": EVT_TRANSITION_MATRIX_ORACLE,
     "cust_rfm_segments": CUST_RFM_SEGMENTS_ORACLE,
     "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_ORACLE,
@@ -535,6 +784,7 @@ ORACLES = {
 }
 
 SPARK_SQL = {
+    "evt_markov_attribution": EVT_MARKOV_SPARK_SQL,
     "evt_transition_matrix": EVT_TRANSITION_MATRIX_SPARK_SQL,
     "cust_rfm_segments": CUST_RFM_SEGMENTS_SPARK_SQL,
     "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_SPARK_SQL,
