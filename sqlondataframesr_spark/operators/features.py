@@ -250,9 +250,147 @@ FROM enc GROUP BY brand, n, y_sum ORDER BY brand
 """
 
 
+#: activity-bucket cap for the isotonic calibration curve
+ISO_MAX_BUCKET = 100
+
+
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of conversion rate against user
+    activity, via the CLOSED FORM of weighted isotonic regression:
+
+        iso(k) = max_{{i<=k}} min_{{j>=k}} rate(i..j)
+
+    (the max-min representation of the pool-adjacent-violators
+    solution — Ayer et al., Ann. Math. Stat. 1955; Barlow et al. 1972
+    — public), where rate(i..j) is the pooled conversion rate of
+    buckets i..j in integer ppm (big-ticket conversion, value >= 150). The classic PAV algorithm is a
+    SEQUENTIAL merge loop; the max-min form is embarrassingly
+    parallel, which is what makes isotonic regression Spark-friendly.
+
+    Monotonicity survives the ppm truncation: every pooled rate is
+    truncated BEFORE the max-min, and max over a growing prefix of
+    (min over a shrinking suffix) is non-decreasing in k by
+    construction — property-tested.
+
+    Scale (100 TB): one shuffle collapses events to per-user
+    (activity, converted) rows, a second to the ≤{ISO_MAX_BUCKET}
+    activity buckets; the O(n³) max-min expansion runs on that
+    BOUNDED bucket frame (≤ 64k intermediate rows for 40 buckets —
+    constant w.r.t. corpus size), never on raw data.
+
+    Output: (bucket, n_users, n_conv, raw_ppm, iso_ppm) ordered by
+    bucket; iso_ppm is non-decreasing.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    # big-ticket conversion (the ab_conversion_ztest threshold): plain
+    # "any purchase" saturates to rate 1.0 on this corpus
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(
+            f"least(count(1), {ISO_MAX_BUCKET})"
+        ).cast("long").alias("bucket"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("conv"),
+    )
+    b = per_user.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("w"),
+        F.sum("conv").cast("long").alias("c"),
+    )
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # prefix sums over the bounded bucket frame (<= ISO_MAX_BUCKET
+    # rows — the single-partition window never sees raw data)
+    pre = b.select(
+        "bucket",
+        "w",
+        "c",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("c").over(wcum).alias("cc"),
+    )
+    lo = pre.selectExpr(
+        "bucket as i", "cw - w as cw0", "cc - c as cc0"
+    )
+    hi = pre.selectExpr("bucket as j", "cw as cwj", "cc as ccj")
+    pairs = lo.crossJoin(F.broadcast(hi)).filter(
+        F.col("i") <= F.col("j")
+    ).selectExpr(
+        "i",
+        "j",
+        "(ccj - cc0) * 1000000 div nullif(cwj - cw0, 0) as r",
+    )
+    ks = b.select(F.col("bucket").alias("k"), "w", "c")
+    inner = (
+        pairs.join(
+            F.broadcast(ks),
+            (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")),
+        )
+        .groupBy("k", "w", "c", "i")
+        .agg(F.min("r").alias("mr"))
+    )
+    return (
+        inner.groupBy("k", "w", "c")
+        .agg(F.max("mr").cast("long").alias("iso_ppm"))
+        .selectExpr(
+            "k as bucket",
+            "w as n_users",
+            "c as n_conv",
+            "c * 1000000 div w as raw_ppm",
+            "iso_ppm",
+        )
+        .orderBy("bucket")
+    )
+
+
+ML_ISOTONIC_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id,
+           least(CAST(COUNT(*) AS BIGINT), {ISO_MAX_BUCKET}) AS bucket,
+           CAST(MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                THEN 1 ELSE 0 END) AS BIGINT) AS conv
+    FROM events GROUP BY user_id
+),
+b AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS w,
+           CAST(SUM(conv) AS BIGINT) AS c
+    FROM per_user GROUP BY bucket
+),
+pre AS (
+    SELECT bucket, w, c,
+           SUM(w) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cw,
+           SUM(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cc
+    FROM b
+),
+pairs AS (
+    SELECT lo.bucket AS i, hi.bucket AS j,
+           (hi.cc - (lo.cc - lo.c)) * 1000000
+             {{DIV}} nullif(hi.cw - (lo.cw - lo.w), 0) AS r
+    FROM pre lo JOIN pre hi ON lo.bucket <= hi.bucket
+),
+inner_ AS (
+    SELECT k.bucket AS k, k.w, k.c, p.i, MIN(p.r) AS mr
+    FROM pairs p JOIN b k ON p.i <= k.bucket AND p.j >= k.bucket
+    GROUP BY 1, 2, 3, 4
+)
+SELECT k AS bucket, w AS n_users, c AS n_conv,
+       c * 1000000 {{DIV}} w AS raw_ppm,
+       CAST(MAX(mr) AS BIGINT) AS iso_ppm
+FROM inner_ GROUP BY k, w, c ORDER BY bucket
+"""
+
+
 QUERIES = {
     "ml_quantile_grid": ml_quantile_grid,
     "ml_target_encoding_loo": ml_target_encoding_loo,
+    "ml_isotonic_calibration": ml_isotonic_calibration,
 }
 
 ORACLES = {
@@ -262,9 +400,11 @@ ORACLES = {
         UNNEST_T="unnest([50, 90])",
     ),
     "ml_target_encoding_loo": ML_TARGET_ENCODING_ORACLE.format(DIV="//"),
+    "ml_isotonic_calibration": ML_ISOTONIC_ORACLE.format(DIV="//"),
 }
 
 SPARK_SQL = {
+    "ml_isotonic_calibration": ML_ISOTONIC_ORACLE.format(DIV="div"),
     "ml_quantile_grid": ML_QUANTILE_GRID_ORACLE.format(
         DIV="div",
         UNNEST_G=f"explode(sequence(0, {2 * GRID_N}))",

@@ -1067,3 +1067,83 @@ def test_conformal_matches_python_model(spark, rows):
     assert row.q90_resid_usd == q90
     assert row.covered == covered
     assert row.coverage_ppm == covered * 1000000 // len(te)
+
+
+ISO_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=12),  # activity count
+        st.booleans(),                           # big-ticket conversion
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=ISO_ROWS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_isotonic_matches_maxmin_model_and_is_monotone(spark, rows):
+    """ml_isotonic_calibration == the brute-force max-min closed form
+    (python triple loop over the bucket frame) and its fit is
+    non-decreasing for ANY per-user (activity, converted) multiset."""
+    import datetime as dt
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.operators import features as FE
+
+    base = dt.datetime(2021, 1, 1)
+    ev, eid = [], 0
+    for uid, (n_act, conv) in enumerate(rows):
+        for k in range(n_act):
+            eid += 1
+            # the conversion event is a big-ticket purchase
+            if conv and k == 0:
+                ev.append((eid, base, uid, "purchase", 200.0, "{}"))
+            else:
+                ev.append((eid, base, uid, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    key = (spark.sparkContext.applicationId, "_iso_prop", "events")
+    C._table_cache[key] = df
+    try:
+        got = FE.ml_isotonic_calibration(spark, "_iso_prop").collect()
+    finally:
+        C._table_cache.pop(key, None)
+
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for n_act, conv in rows:
+        bucket = min(n_act, FE.ISO_MAX_BUCKET)
+        agg[bucket][0] += 1
+        agg[bucket][1] += 1 if conv else 0
+    buckets = sorted(agg)
+    w = {b: agg[b][0] for b in buckets}
+    c = {b: agg[b][1] for b in buckets}
+
+    def rate(i, j):
+        cw = sum(w[b] for b in buckets if i <= b <= j)
+        cc = sum(c[b] for b in buckets if i <= b <= j)
+        return cc * 1000000 // cw
+
+    expect = {}
+    for k in buckets:
+        expect[k] = max(
+            min(rate(i, j) for j in buckets if j >= k)
+            for i in buckets
+            if i <= k
+        )
+    assert [r.bucket for r in got] == buckets
+    prev = None
+    for r in got:
+        assert r.n_users == w[r.bucket]
+        assert r.n_conv == c[r.bucket]
+        assert r.raw_ppm == c[r.bucket] * 1000000 // w[r.bucket]
+        assert r.iso_ppm == expect[r.bucket]
+        if prev is not None:
+            assert r.iso_ppm >= prev
+        prev = r.iso_ppm
