@@ -224,6 +224,173 @@ ORDER BY d.doc_id
 """
 
 
-QUERIES = {"bloom_decontam": bloom_decontam}
-ORACLES = {"bloom_decontam": BLOOM_DECONTAM_ORACLE}
-SPARK_SQL: dict[str, str] = {"bloom_decontam": BLOOM_DECONTAM_SPARK_SQL}
+#: semi-join filter geometry: sized for the big-order key count at
+#: sf0.1 (~1.5k keys at sf0.01 -> fp ~0.03%; deliberately saturates toward ~12% at sf0.1s 15k keys so the report SHOWS what an under-sized filter costs)
+SJ_M_BITS = 65536
+#: selective dim predicate for the semi-join demo (~10% of orders)
+SJ_MIN_TOTAL = 450000
+
+
+def _sj_pos_spark(j: int, s: str) -> str:
+    return (
+        f"pmod(cast(conv(substring(md5(concat('{j}:', {s})), 1, 8), 16, 10)"
+        f" as bigint), {SJ_M_BITS})"
+    )
+
+
+def _sj_pos_duck(j: int, s: str) -> str:
+    return (
+        f"((('0x' || substr(md5('{j}:' || {s}), 1, 8))::BIGINT)"
+        f" % {SJ_M_BITS})"
+    )
+
+
+def bloom_semijoin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter SEMI-JOIN pruning — the runtime row-filter Spark's
+    own `spark.sql.optimizer.runtime.bloomFilter` injects, built
+    explicitly so its economics are measurable: the selective dim side
+    (orders with o_totalprice >= {SJ_MIN_TOTAL}) packs its keys into a
+    {SJ_M_BITS}-bit / K={K_HASHES} filter (ONE broadcast row of 64-bit
+    words), the fact side (lineitem) is tested map-only inside
+    codegen, and the report quantifies what the filter buys: rows
+    passed vs the exact semi-join, false positives, and the fp rate
+    among true non-matches.
+
+    Why it matters at 100 TB: a shuffle-hash semi-join moves the fact
+    side's join column through the network; the Bloom prefilter drops
+    (1 - selectivity - fp) of the fact rows BEFORE any exchange, at
+    the cost of a fixed {SJ_M_BITS}/8-byte broadcast. The report's
+    fp_nonmatch_ppm is the number that decides whether the verify
+    join downstream is cheap enough.
+
+    Output: one row (n_dim_keys, n_fact_rows, n_true_match,
+    n_bloom_pass, n_false_pos, fp_nonmatch_ppm).
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= SJ_MIN_TOTAL
+    )
+    keys = orders.selectExpr(
+        "cast(o_orderkey as string) as k"
+    ).distinct().transform(materialize)
+    pos = keys.select(
+        F.explode(
+            F.array(*[F.expr(_sj_pos_spark(j, "k")) for j in range(K_HASHES)])
+        ).alias("p")
+    ).distinct()
+    bitmap = (
+        pos.groupBy(F.expr("cast(p div 64 as int)").alias("w"))
+        .agg(
+            F.expr(
+                "aggregate(collect_set(cast(p % 64 as int)), 0L,"
+                " (acc, b) -> acc | shiftleft(1L, b))"
+            ).alias("word")
+        )
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "word"))
+            ).alias("bm")
+        )
+    )
+    fact = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "cast(l_orderkey as string) as k"
+    )
+    bit_ok = " AND ".join(
+        f"((coalesce(element_at(bm, cast({_sj_pos_spark(j, 'k')} div 64"
+        f" as int)), 0L)"
+        f" >> cast({_sj_pos_spark(j, 'k')} % 64 as int)) & 1) = 1"
+        for j in range(K_HASHES)
+    )
+    probed = fact.join(F.broadcast(bitmap)).selectExpr(
+        "k", f"IF({bit_ok}, 1, 0) as bloom_pass"
+    )
+    flagged = probed.join(
+        F.broadcast(keys.selectExpr("k", "1 as is_match")), "k", "left"
+    )
+    return (
+        flagged.agg(
+            F.count(F.lit(1)).cast("long").alias("n_fact_rows"),
+            F.sum(F.coalesce("is_match", F.lit(0)))
+            .cast("long")
+            .alias("n_true_match"),
+            F.sum("bloom_pass").cast("long").alias("n_bloom_pass"),
+            F.sum(
+                F.expr("IF(bloom_pass = 1 AND is_match IS NULL, 1, 0)")
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+        .crossJoin(
+            F.broadcast(
+                keys.agg(F.count(F.lit(1)).cast("long").alias("n_dim_keys"))
+            )
+        )
+        .selectExpr(
+            "n_dim_keys",
+            "n_fact_rows",
+            "n_true_match",
+            "n_bloom_pass",
+            "n_false_pos",
+            "n_false_pos * 1000000"
+            " div nullif(n_fact_rows - n_true_match, 0)"
+            " as fp_nonmatch_ppm",
+        )
+    )
+
+
+def _sj_sql(pos_fn, div: str) -> str:
+    member = " AND ".join(
+        f"{pos_fn(j, 'f.k')} IN (SELECT p FROM pos)" for j in range(K_HASHES)
+    )
+    pos_union = " UNION ".join(
+        f"SELECT DISTINCT {pos_fn(j, 'k')} AS p FROM keys"
+        for j in range(K_HASHES)
+    )
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT CAST(o_orderkey AS STRING) AS k FROM orders
+  WHERE o_totalprice >= {SJ_MIN_TOTAL}
+),
+pos AS ({pos_union}),
+fact AS (SELECT CAST(l_orderkey AS STRING) AS k FROM lineitem),
+flagged AS (
+  SELECT f.k,
+         CASE WHEN {member} THEN 1 ELSE 0 END AS bloom_pass,
+         CASE WHEN f.k IN (SELECT k FROM keys) THEN 1 ELSE 0 END
+           AS is_match
+  FROM fact f
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_fact_rows,
+         CAST(SUM(is_match) AS BIGINT) AS n_true_match,
+         CAST(SUM(bloom_pass) AS BIGINT) AS n_bloom_pass,
+         CAST(SUM(CASE WHEN bloom_pass = 1 AND is_match = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+  FROM flagged
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM keys) AS n_dim_keys,
+       n_fact_rows, n_true_match, n_bloom_pass, n_false_pos,
+       n_false_pos * 1000000
+         {div} nullif(n_fact_rows - n_true_match, 0) AS fp_nonmatch_ppm
+FROM agg
+"""
+
+
+BLOOM_SEMIJOIN_ORACLE = _sj_sql(_sj_pos_duck, "//").replace(
+    "AS STRING)", "AS VARCHAR)"
+)
+BLOOM_SEMIJOIN_SPARK_SQL = _sj_sql(_sj_pos_spark, "div")
+
+
+QUERIES = {
+    "bloom_decontam": bloom_decontam,
+    "bloom_semijoin_report": bloom_semijoin_report,
+}
+ORACLES = {
+    "bloom_decontam": BLOOM_DECONTAM_ORACLE,
+    "bloom_semijoin_report": BLOOM_SEMIJOIN_ORACLE,
+}
+SPARK_SQL: dict[str, str] = {
+    "bloom_decontam": BLOOM_DECONTAM_SPARK_SQL,
+    "bloom_semijoin_report": BLOOM_SEMIJOIN_SPARK_SQL,
+}
