@@ -482,7 +482,108 @@ DQ_JOIN_FANOUT_ORACLE = _FANOUT_BODY.format(DIV="//")
 DQ_JOIN_FANOUT_SPARK_SQL = _FANOUT_BODY.format(DIV="div")
 
 
+#: the lineitem numeric battery for the correlation matrix — integer
+#: re-units chosen so every sufficient statistic stays in int64
+#: through ~sf10 (price in whole DOLLARS: Σp² ≈ 6·10^15 at sf0.1 —
+#: the ml_ols_trend Σy² range contract; ≥sf100 path = DECIMAL(38,0))
+_CORR_COLS = [
+    ("qty_units", "cast(round(l_quantity) as bigint)"),
+    ("price_usd", "cast(round(l_extendedprice) as bigint)"),
+    ("discount_bp", "cast(round(l_discount * 10000) as bigint)"),
+    ("tax_bp", "cast(round(l_tax * 10000) as bigint)"),
+]
+
+
+def _corr_expr(a: str, b: str) -> str:
+    """Pearson r from exact BIGINT sums — ONE float expression,
+    token-identical in both engines (the ml_ols_trend discipline);
+    n·Σxy would overflow int64 at row scale, so every factor casts to
+    double first (exact for sums < 2^53)."""
+    n = "cast(n as double)"
+    return (
+        f"round(({n} * cast(s_{a}_{b} as double)"
+        f" - cast(s_{a} as double) * cast(s_{b} as double))"
+        f" / nullif(sqrt(({n} * cast(s_{a}_{a} as double)"
+        f"   - cast(s_{a} as double) * cast(s_{a} as double))"
+        f"  * ({n} * cast(s_{b}_{b} as double)"
+        f"   - cast(s_{b} as double) * cast(s_{b} as double))), 0.0), 6)"
+    )
+
+
+def profile_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the lineitem numeric
+    battery (quantity, price, discount, tax) — the profiling read an
+    ANALYZE/Deequ pass emits before feature selection.
+
+    Scale (100 TB): ONE scan computes every sufficient statistic
+    (n, 4 sums, 4 sums of squares, 6 cross sums) in a single
+    partial-aggregated reduce to ONE row; the 6 correlations are then
+    map-side expressions unpivoted from that row. No per-pair scans,
+    no corr() UDAF ordering hazards — the float math happens once,
+    identically in both engines, on exact integer sums.
+
+    Output: (col_a, col_b, n, corr) — C(4,2) = 6 rows ordered by
+    (col_a, col_b).
+    """
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        *[f"{expr} as {name}" for name, expr in _CORR_COLS]
+    )
+    names = [n for n, _ in _CORR_COLS]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, a in enumerate(names):
+        aggs.append(F.sum(F.col(a)).cast("long").alias(f"s_{a}"))
+        for b in names[i:]:
+            aggs.append(
+                F.sum(F.col(a) * F.col(b)).cast("long").alias(f"s_{a}_{b}")
+            )
+    sums = li.agg(*aggs)
+    pairs = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1:]
+    ]
+    stack = ", ".join(
+        f"'{a}', '{b}', {_corr_expr(a, b)}" for a, b in pairs
+    )
+    return (
+        sums.selectExpr(
+            "n",
+            f"stack({len(pairs)}, {stack}) as (col_a, col_b, corr)",
+        )
+        .select("col_a", "col_b", "n", "corr")
+        .orderBy("col_a", "col_b")
+    )
+
+
+def _corr_oracle() -> str:
+    sum_cols = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    names = [n for n, _ in _CORR_COLS]
+    for i, (a, ex) in enumerate(_CORR_COLS):
+        exd = ex.replace(" as bigint", " AS BIGINT")
+        sum_cols.append(f"CAST(SUM({exd}) AS BIGINT) AS s_{a}")
+        for b, exb in _CORR_COLS[i:]:
+            exbd = exb.replace(" as bigint", " AS BIGINT")
+            sum_cols.append(
+                f"CAST(SUM(({exd}) * ({exbd})) AS BIGINT) AS s_{a}_{b}"
+            )
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    selects = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, {_corr_expr(a, b)}"
+        f" AS corr FROM sums"
+        for a, b in pairs
+    )
+    return (
+        "WITH sums AS (SELECT "
+        + ", ".join(sum_cols)
+        + " FROM lineitem)\nSELECT col_a, col_b, n, corr FROM ("
+        + selects
+        + ") ORDER BY col_a, col_b"
+    )
+
+
+PROFILE_CORR_ORACLE = _corr_oracle()
+
+
 QUERIES = {
+    "profile_corr_matrix": profile_corr_matrix,
     "profile_orders": profile_orders,
     "dq_violations": dq_violations,
     "dq_split_psi": dq_split_psi,
@@ -490,6 +591,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "profile_corr_matrix": PROFILE_CORR_ORACLE,
     "profile_orders": PROFILE_ORDERS_ORACLE,
     "dq_violations": DQ_VIOLATIONS_ORACLE,
     "dq_split_psi": _psi_oracle(),
@@ -497,6 +599,8 @@ ORACLES = {
 }
 
 SPARK_SQL: dict[str, str] = {
+    # the UNION-ALL-over-one-CTE spelling is dialect-neutral
+    "profile_corr_matrix": PROFILE_CORR_ORACLE,
     "profile_orders": PROFILE_ORDERS_SPARK_SQL,
     # the scalar-subquery UNION spelling is dialect-neutral
     "dq_violations": DQ_VIOLATIONS_ORACLE,
