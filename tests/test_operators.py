@@ -1159,3 +1159,70 @@ def test_concurrent_sessions_designed_curve(spark, tmp_path):
     finally:
         C._table_cache.pop(key, None)
     assert got == [(0, 3, 2, 1), (1, 0, 1, 0), (5, 1, 1, 0)]
+
+
+def test_markov_attribution_designed_chain(spark, tmp_path):
+    """Designed journeys: user A converts via click only, user B via
+    view only, user C views and never converts. Removing 'click' must
+    kill exactly A's conversion path and removing 'view' exactly B's;
+    the non-converting channel still shows a removal effect only via
+    shared transition mass (none here), so both channels split the
+    attribution and the probabilities are exact ppm."""
+    import datetime as dt
+
+    from sqlondataframesr_spark.operators import journeys as J
+    import sqlondataframesr_spark.catalog as C
+
+    base = dt.datetime(2022, 1, 1)
+
+    def ev(eid, uid, minute, typ):
+        return (eid, base + dt.timedelta(minutes=minute), uid, typ, 10.0, "{}")
+
+    rows = [
+        ev(1, 1, 0, "click"), ev(2, 1, 1, "purchase"),
+        ev(3, 2, 0, "view"), ev(4, 2, 1, "purchase"),
+        ev(5, 3, 0, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    key = (spark.sparkContext.applicationId, str(tmp_path), "events")
+    C._table_cache[key] = df
+    try:
+        out = {
+            r.channel: r
+            for r in J.evt_markov_attribution(spark, str(tmp_path)).collect()
+        }
+    finally:
+        C._table_cache.pop(key, None)
+    assert set(out) == {"click", "view"}
+    # full chain: start->click 1/3 (converts p=1), start->view 2/3
+    # (converts p=1/2): p_full = 333333 + 666666*1/2-ish in trunc ppm
+    full = out["click"].p_full_ppm
+    assert full == out["view"].p_full_ppm
+    # removing click leaves only the view path; removing view leaves
+    # only the click path — both strictly reduce conversion
+    assert out["click"].p_removed_ppm < full
+    assert out["view"].p_removed_ppm < full
+    # view carries 2x the start mass but converts half as often; its
+    # absolute conversion contribution equals click's -> the removal
+    # effects (and attributions) are within truncation dust
+    assert abs(out["click"].removal_effect_ppm
+               - out["view"].removal_effect_ppm) <= 5
+    s = out["click"].attribution_ppm + out["view"].attribution_ppm
+    assert 999990 <= s <= 1000000
+
+
+def test_bloom_semijoin_no_false_negatives(spark, sf_dir):
+    """The Bloom guarantee: every true match passes the filter —
+    n_bloom_pass - n_false_pos == n_true_match — and the pass set
+    never shrinks below the exact semi-join."""
+    from sqlondataframesr_spark.llm import bloom as B
+
+    row = B.bloom_semijoin_report(spark, sf_dir).collect()[0]
+    assert row.n_bloom_pass - row.n_false_pos == row.n_true_match
+    assert row.n_bloom_pass >= row.n_true_match
+    assert row.n_false_pos >= 0
+    assert row.n_dim_keys > 0 and row.n_true_match > 0
