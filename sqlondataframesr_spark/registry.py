@@ -24,6 +24,7 @@ from .llm import (
     linear,
     lm,
     minhash,
+    pca,
     pipeline,
     pq,
     sampling,
@@ -83,6 +84,7 @@ _MODULES = [
     linear,
     lm,
     minhash,
+    pca,
     pq,
     semdedup,
     simhash,

@@ -1241,3 +1241,28 @@ def test_ann_recall_report_invariants(spark, sf_dir):
         assert r.n_possible == S.N_QUERIES * S.TOP_K
         assert 0 <= r.n_hits <= r.n_possible
         assert r.recall_ppm == r.n_hits * 1_000_000 // r.n_possible
+
+
+def test_pca_power_concentrates_on_the_variance_axis(spark, tmp_path):
+    """Designed corpus: all variance lives on dim 1 (vectors k*e1,
+    k = -3..3, zero elsewhere) -> the loading vector must be exactly
+    +-1e6 on dim 1 and 0 on every other dim."""
+    from sqlondataframesr_spark.llm import pca as P
+    import sqlondataframesr_spark.catalog as C
+
+    rows = [
+        (k + 4, [float(k)] + [0.0] * (P.PCA_DIM - 1), 0)
+        for k in range(-3, 4)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    key = (spark.sparkContext.applicationId, str(tmp_path), "embeddings")
+    C._table_cache[key] = df
+    try:
+        out = {r.dim: r.loading_ppm
+               for r in P.emb_pca_power(spark, str(tmp_path)).collect()}
+    finally:
+        C._table_cache.pop(key, None)
+    assert abs(out[1]) == 1000000
+    assert all(out[d] == 0 for d in range(2, P.PCA_DIM + 1))
