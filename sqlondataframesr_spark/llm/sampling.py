@@ -441,7 +441,114 @@ SAMPLE_UNIMAX_SPARK_SQL = _unimax_sql("div").replace(
 )
 
 
+#: total sample the Neyman allocation distributes
+NEYMAN_TOTAL = 1000
+
+
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman OPTIMAL stratified-sampling allocation (Neyman, JRSS
+    1934 — public): distribute a sample of {NEYMAN_TOTAL} across
+    sources proportionally to N_h·S_h (stratum size × stratum std of
+    doc length), the allocation that minimizes the estimator variance
+    for a fixed budget — the statically-principled upgrade over the
+    proportional split sample_stratified_topn uses.
+
+    Exact-integer contract: N_h·S_h = sqrt(N_h·Σx² − (Σx)²) — the
+    variance numerator is an exact BIGINT (< 2^53, so floor(sqrt())
+    over the correctly-rounded double is engine-identical); seats are
+    assigned by LARGEST-REMAINDER rounding (base = T·w div W, the
+    T − Σbase leftovers go to the biggest remainders, ties to the
+    lexicographically smallest source) — every step integer, fully
+    deterministic, Σ alloc = T exactly.
+
+    Scale: one partial-agg shuffle to the |sources| stratum frame;
+    the ranking windows run ON that bounded frame.
+
+    Output: (source, n_docs, weight, alloc) ordered by source.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("x")
+    )
+    strata = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    w = strata.selectExpr(
+        "source",
+        "n_docs",
+        "cast(floor(sqrt(cast(greatest(n_docs * sxx - sx * sx, 0)"
+        " as double))) as bigint) as weight",
+    )
+    tot = w.agg(F.sum("weight").cast("long").alias("wt"))
+    from pyspark.sql import Window
+
+    base = (
+        w.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "n_docs",
+            "weight",
+            f"{NEYMAN_TOTAL} * weight div nullif(wt, 0) as base",
+            f"{NEYMAN_TOTAL} * weight - ({NEYMAN_TOTAL} * weight"
+            " div nullif(wt, 0)) * wt as rem",
+        )
+    )
+    leftover = base.agg(
+        (F.lit(NEYMAN_TOTAL) - F.sum("base")).cast("long").alias("k")
+    )
+    wr = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        base.crossJoin(F.broadcast(leftover))
+        .withColumn("rnk", F.row_number().over(wr))
+        .selectExpr(
+            "source",
+            "n_docs",
+            "weight",
+            "base + IF(rnk <= k, 1, 0) as alloc",
+        )
+        .orderBy("source")
+    )
+
+
+SAMPLE_NEYMAN_ORACLE = f"""
+WITH strata AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sx,
+           CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+    FROM documents GROUP BY source
+),
+w AS (
+    SELECT source, n_docs,
+           CAST(floor(sqrt(CAST(greatest(n_docs * sxx - sx * sx, 0)
+                AS DOUBLE))) AS BIGINT) AS weight
+    FROM strata
+),
+tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS wt FROM w),
+base AS (
+    SELECT source, n_docs, weight,
+           {NEYMAN_TOTAL} * weight // nullif(tot.wt, 0) AS base,
+           {NEYMAN_TOTAL} * weight - ({NEYMAN_TOTAL} * weight
+             // nullif(tot.wt, 0)) * tot.wt AS rem
+    FROM w CROSS JOIN tot
+),
+leftover AS (
+    SELECT CAST({NEYMAN_TOTAL} - SUM(base) AS BIGINT) AS k FROM base
+),
+ranked AS (
+    SELECT b.*, l.k,
+           row_number() OVER (ORDER BY rem DESC, source ASC) AS rnk
+    FROM base b CROSS JOIN leftover l
+)
+SELECT source, n_docs, weight,
+       CAST(base + CASE WHEN rnk <= k THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM ranked ORDER BY source
+"""
+
+
 QUERIES = {
+    "sample_neyman_allocation": sample_neyman_allocation,
     "sample_unimax_allocation": sample_unimax_allocation,
     "sample_hash_split": sample_hash_split,
     "sample_stratified_topn": sample_stratified_topn,
@@ -451,6 +558,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_neyman_allocation": SAMPLE_NEYMAN_ORACLE,
     "sample_unimax_allocation": SAMPLE_UNIMAX_ORACLE,
     "sample_hash_split": SAMPLE_HASH_SPLIT_ORACLE,
     "sample_stratified_topn": SAMPLE_STRATIFIED_TOPN_ORACLE,
@@ -488,6 +596,10 @@ ORDER BY split_1, split_2
 
 # Spark-SQL N-version forms (fluent ≡ SQL, tests/test_reference_queries.py)
 SPARK_SQL: dict[str, str] = {
+    # seams: // -> div; IF spelling shared via CASE WHEN already
+    "sample_neyman_allocation": SAMPLE_NEYMAN_ORACLE.replace(
+        " // ", " div "
+    ),
     "sample_unimax_allocation": SAMPLE_UNIMAX_SPARK_SQL,
     "split_leakage_report": _split_leakage_spark_sql(),
     "sample_weighted_reservoir": SAMPLE_WEIGHTED_RESERVOIR_SPARK_SQL,

@@ -1147,3 +1147,72 @@ def test_isotonic_matches_maxmin_model_and_is_monotone(spark, rows):
         if prev is not None:
             assert r.iso_ppm >= prev
         prev = r.iso_ppm
+
+
+NEYMAN_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["sA", "sB", "sC", "sD"]),
+        st.integers(min_value=1, max_value=5000),  # n_chars
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=NEYMAN_ROWS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_neyman_allocation_conserves_and_matches_model(spark, rows):
+    """For ANY corpus: Σ alloc == NEYMAN_TOTAL whenever any stratum
+    has positive weight, and every column equals the python
+    largest-remainder model."""
+    import math
+
+    import sqlondataframesr_spark.catalog as C
+    from sqlondataframesr_spark.llm import sampling as SA
+
+    docs = [
+        (i, "t", "en", src, n) for i, (src, n) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    key = (spark.sparkContext.applicationId, "_ney_prop", "documents")
+    C._table_cache[key] = df
+    try:
+        got = {r.source: r
+               for r in SA.sample_neyman_allocation(spark, "_ney_prop").collect()}
+    finally:
+        C._table_cache.pop(key, None)
+
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for src, n in rows:
+        a = agg[src]
+        a[0] += 1
+        a[1] += n
+        a[2] += n * n
+    W = {
+        s: math.floor(math.sqrt(float(max(a[0] * a[2] - a[1] * a[1], 0))))
+        for s, a in agg.items()
+    }
+    wt = sum(W.values())
+    T = SA.NEYMAN_TOTAL
+    if wt == 0:
+        for s, r in got.items():
+            assert r.alloc is None  # nullif path: no variance anywhere
+        return
+    base = {s: T * w // wt for s, w in W.items()}
+    rem = {s: T * W[s] - base[s] * wt for s in W}
+    k = T - sum(base.values())
+    order = sorted(W, key=lambda s: (-rem[s], s))
+    alloc = {
+        s: base[s] + (1 if i < k else 0) for i, s in enumerate(order)
+    }
+    assert sum(alloc.values()) == T
+    for s, a in agg.items():
+        r = got[s]
+        assert (r.n_docs, r.weight, r.alloc) == (a[0], W[s], alloc[s])
