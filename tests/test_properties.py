@@ -1040,7 +1040,9 @@ def test_conformal_matches_python_model(spark, rows):
     te = [(q, c) for ok, ln, q, c in rows
           if bucket(ok, ln) >= S._CONF_CAL_HI]
     if not tr or not cal or not te:
-        assert out == [] or out[0].n_test is None or True
+        # an empty split means no test/fit/quantile row survives the
+        # inner joins — the operator must yield zero rows, not nulls
+        assert out == []
         return
     n = len(tr)
     sx = sum(q for q, _ in tr)
