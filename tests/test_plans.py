@@ -737,3 +737,35 @@ def test_kmv_jaccard_pair_stages_are_broadcast(spark, sf_dir):
     # corpus tokenize+hash pass runs once (materialize contract)
     assert a.text.count("InMemoryTableScan") >= 4
     assert not a.has_single_task_sort
+
+
+def test_pca_reuses_the_quantized_frame(spark, sf_dir):
+    """emb_pca_power: the int8 frame feeds n/sums/products and every
+    squaring output is pinned — the corpus tokenize+quantize pass must
+    run once (materialize contract), and no squaring join may
+    cartesian."""
+    a = _audit(spark, sf_dir, "emb_pca_power")
+    assert not a.has_cartesian
+    assert a.text.count("InMemoryTableScan") >= 4
+
+
+def test_quantile_grid_is_two_scans_and_bounded_keys(spark, sf_dir):
+    """ml_quantile_grid: one scan for the moment center, one for the
+    grid fan — never a scan per grid point; the fan's aggregate keys
+    are the bounded (slope, n_rows) pairs."""
+    plan = _plan(spark, sf_dir, "ml_quantile_grid")
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    assert "hashpartitioning(slope" in plan
+
+
+def test_markov_iterations_run_on_the_distilled_matrix(spark, sf_dir):
+    """evt_markov_attribution: exactly one corpus-sized window shuffle
+    (user_id) builds the edges; the squaring joins read the pinned
+    scenario matrix, never re-deriving it."""
+    a = _audit(spark, sf_dir, "evt_markov_attribution")
+    assert not a.has_cartesian
+    # every squaring consumer reads the PINNED scenario matrix (the
+    # cached-plan text re-renders its lineage per reader, so the
+    # occurrence count of the user window is not meaningful — the
+    # InMemoryTableScan count is the reuse evidence)
+    assert a.text.count("InMemoryTableScan") >= 3
