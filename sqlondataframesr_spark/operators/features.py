@@ -394,7 +394,138 @@ FROM inner_ GROUP BY k, w, c ORDER BY bucket
 """
 
 
+def ml_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per event type: clamp values at
+    the exact P1/P99 (the standard outlier-taming transform a feature
+    pipeline applies before scaling) and report mean/std before and
+    after — the audit that shows what winsorization bought.
+
+    Everything derives from ONE corpus scan: the per-(type, cents)
+    histogram (bounded by the price-like value domain — the
+    evt_value_percentiles_exact policy) yields the exact lower-
+    quantile P1/P99 via cumulative counts, and the winsorized sums
+    are computed ON THE HISTOGRAM (Σ cnt·clamp(cents, p1, p99)) —
+    no second pass over raw rows.
+
+    Determinism: means are truncating-div integer cents; stds are one
+    sqrt expression over exact BIGINT sums, rounded to 6 dp (the
+    ml_ols_trend float discipline).
+
+    Output: (event_type, n, p1_cents, p99_cents, mean_cents,
+    wins_mean_cents, std_cents, wins_std_cents) ordered by type.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.selectExpr(
+            "event_type", "cast(round(value * 100) as bigint) as cents"
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    cuts = cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(F.expr("100 * cum >= 1 * n"), F.col("cents"))).alias(
+            "p1_cents"
+        ),
+        F.min(F.when(F.expr("100 * cum >= 99 * n"), F.col("cents"))).alias(
+            "p99_cents"
+        ),
+    )
+    stats = (
+        hist.join(F.broadcast(cuts), "event_type")
+        .selectExpr(
+            "event_type",
+            "n",
+            "p1_cents",
+            "p99_cents",
+            "cnt",
+            "cents",
+            "greatest(least(cents, p99_cents), p1_cents) as wcents",
+        )
+        .groupBy("event_type", "n", "p1_cents", "p99_cents")
+        .agg(
+            F.sum(F.expr("cnt * cents")).cast("long").alias("sx"),
+            F.sum(F.expr("cnt * cents * cents")).cast("long").alias("sxx"),
+            F.sum(F.expr("cnt * wcents")).cast("long").alias("wx"),
+            F.sum(F.expr("cnt * wcents * wcents")).cast("long").alias("wxx"),
+        )
+    )
+    return stats.selectExpr(
+        "event_type",
+        "n",
+        "p1_cents",
+        "p99_cents",
+        "sx div n as mean_cents",
+        "wx div n as wins_mean_cents",
+        "round(sqrt(cast(n as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double))"
+        " / cast(n as double), 6) as std_cents",
+        "round(sqrt(cast(n as double) * cast(wxx as double)"
+        " - cast(wx as double) * cast(wx as double))"
+        " / cast(n as double), 6) as wins_std_cents",
+    ).orderBy("event_type")
+
+
+ML_WINSORIZE_ORACLE = """
+WITH hist AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, cents, cnt,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS n
+    FROM hist
+),
+cuts AS (
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           MIN(CASE WHEN 100 * cum >= 1 * n THEN cents END) AS p1_cents,
+           MIN(CASE WHEN 100 * cum >= 99 * n THEN cents END) AS p99_cents
+    FROM cum GROUP BY event_type
+),
+stats AS (
+    SELECT h.event_type, c.n, c.p1_cents, c.p99_cents,
+           CAST(SUM(h.cnt * h.cents) AS BIGINT) AS sx,
+           CAST(SUM(h.cnt * h.cents * h.cents) AS BIGINT) AS sxx,
+           CAST(SUM(h.cnt * greatest(least(h.cents, c.p99_cents),
+                                     c.p1_cents)) AS BIGINT) AS wx,
+           CAST(SUM(h.cnt * greatest(least(h.cents, c.p99_cents),
+                                     c.p1_cents)
+                    * greatest(least(h.cents, c.p99_cents),
+                               c.p1_cents)) AS BIGINT) AS wxx
+    FROM hist h JOIN cuts c USING (event_type)
+    GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, n, p1_cents, p99_cents,
+       sx {DIV} n AS mean_cents,
+       wx {DIV} n AS wins_mean_cents,
+       round(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE), 6) AS std_cents,
+       round(sqrt(CAST(n AS DOUBLE) * CAST(wxx AS DOUBLE)
+         - CAST(wx AS DOUBLE) * CAST(wx AS DOUBLE))
+         / CAST(n AS DOUBLE), 6) AS wins_std_cents
+FROM stats ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "ml_winsorize_stats": ml_winsorize_stats,
     "ml_quantile_grid": ml_quantile_grid,
     "ml_target_encoding_loo": ml_target_encoding_loo,
     "ml_isotonic_calibration": ml_isotonic_calibration,
@@ -408,10 +539,12 @@ ORACLES = {
     ),
     "ml_target_encoding_loo": ML_TARGET_ENCODING_ORACLE.format(DIV="//"),
     "ml_isotonic_calibration": ML_ISOTONIC_ORACLE.format(DIV="//"),
+    "ml_winsorize_stats": ML_WINSORIZE_ORACLE.format(DIV="//"),
 }
 
 SPARK_SQL = {
     "ml_isotonic_calibration": ML_ISOTONIC_ORACLE.format(DIV="div"),
+    "ml_winsorize_stats": ML_WINSORIZE_ORACLE.format(DIV="div"),
     "ml_quantile_grid": ML_QUANTILE_GRID_ORACLE.format(
         DIV="div",
         UNNEST_G=f"explode(sequence(0, {2 * GRID_N}))",

@@ -582,8 +582,117 @@ def _corr_oracle() -> str:
 PROFILE_CORR_ORACLE = _corr_oracle()
 
 
+#: the orders categorical battery for the entropy profile: column
+#: name -> dialect-neutral value expression (bounded domains only)
+_ENTROPY_COLS = [
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("order_month", "CAST(month(o_orderdate) AS VARCHAR)"),
+    (
+        "price_10k_bracket",
+        "CAST(CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS VARCHAR)",
+    ),
+]
+
+
+def profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy profile of the orders categorical battery —
+    the information-content read a profiler adds to null/distinct
+    counts (a column with 50 distinct values but 0.1 bits of entropy
+    is effectively constant; join keys want HIGH normalized entropy).
+
+    Exactness: each value's ln(p) is quantized to integer micro-nats
+    before the weighted sum (the lm.py discipline — order-independent
+    BIGINT aggregation); normalized entropy divides by ln(k) at the
+    same quantization.
+
+    Scale: the four columns unpivot MAP-SIDE (stack ×4 per row), so
+    ONE scan + one shuffle on the bounded (column, value) domain
+    builds every histogram; the entropy fold runs on that bounded
+    frame.
+
+    Output: (col_name, n_rows, n_distinct, entropy_micronats,
+    norm_entropy_ppm) ordered by col_name.
+    """
+    ords = load_table(spark, sf_dir, "orders")
+    stack = ", ".join(
+        f"'{name}', {expr.replace('AS VARCHAR', 'AS STRING')}"
+        for name, expr in _ENTROPY_COLS
+    )
+    long_ = ords.selectExpr(
+        f"stack({len(_ENTROPY_COLS)}, {stack}) as (col_name, val)"
+    )
+    hist = long_.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_col = hist.groupBy("col_name").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    terms = hist.join(F.broadcast(per_col), "col_name").selectExpr(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        "c * cast(round(ln(cast(c as double) / cast(n_rows as double))"
+        " * 1000000.0) as bigint) as term_us",
+    )
+    return (
+        terms.groupBy("col_name", "n_rows", "n_distinct")
+        .agg(F.sum("term_us").cast("long").alias("s_us"))
+        .selectExpr(
+            "col_name",
+            "n_rows",
+            "n_distinct",
+            # negate FIRST: -s_us >= 0, so truncating div (Spark)
+            # and floor // (DuckDB) agree on every operand
+            "(-s_us) div n_rows as entropy_micronats",
+            "((-s_us) div n_rows) * 1000000"
+            " div nullif(cast(round(ln(cast(n_distinct as double))"
+            " * 1000000.0) as bigint), 0) as norm_entropy_ppm",
+        )
+        .orderBy("col_name")
+    )
+
+
+def _entropy_oracle() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT '{name}' AS col_name, {expr} AS val FROM orders"
+        for name, expr in _ENTROPY_COLS
+    )
+    return f"""
+WITH long_ AS ({selects}),
+hist AS (
+    SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS c
+    FROM long_ GROUP BY 1, 2
+),
+per_col AS (
+    SELECT col_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM hist GROUP BY col_name
+),
+terms AS (
+    SELECT h.col_name, p.n_rows, p.n_distinct,
+           h.c * CAST(round(ln(CAST(h.c AS DOUBLE)
+                / CAST(p.n_rows AS DOUBLE)) * 1000000.0) AS BIGINT)
+             AS term_us
+    FROM hist h JOIN per_col p USING (col_name)
+)
+SELECT col_name, n_rows, n_distinct,
+       (-CAST(SUM(term_us) AS BIGINT)) // n_rows AS entropy_micronats,
+       ((-CAST(SUM(term_us) AS BIGINT)) // n_rows) * 1000000
+         // nullif(CAST(round(ln(CAST(n_distinct AS DOUBLE))
+                   * 1000000.0) AS BIGINT), 0) AS norm_entropy_ppm
+FROM terms GROUP BY col_name, n_rows, n_distinct
+ORDER BY col_name
+"""
+
+
+PROFILE_ENTROPY_ORACLE = _entropy_oracle()
+
+
 QUERIES = {
     "profile_corr_matrix": profile_corr_matrix,
+    "profile_entropy": profile_entropy,
     "profile_orders": profile_orders,
     "dq_violations": dq_violations,
     "dq_split_psi": dq_split_psi,
@@ -592,6 +701,7 @@ QUERIES = {
 
 ORACLES = {
     "profile_corr_matrix": PROFILE_CORR_ORACLE,
+    "profile_entropy": PROFILE_ENTROPY_ORACLE,
     "profile_orders": PROFILE_ORDERS_ORACLE,
     "dq_violations": DQ_VIOLATIONS_ORACLE,
     "dq_split_psi": _psi_oracle(),
@@ -601,6 +711,10 @@ ORACLES = {
 SPARK_SQL: dict[str, str] = {
     # the UNION-ALL-over-one-CTE spelling is dialect-neutral
     "profile_corr_matrix": PROFILE_CORR_ORACLE,
+    # seams: VARCHAR -> STRING, // -> div
+    "profile_entropy": PROFILE_ENTROPY_ORACLE.replace(
+        "AS VARCHAR)", "AS STRING)"
+    ).replace(" // ", " div "),
     "profile_orders": PROFILE_ORDERS_SPARK_SQL,
     # the scalar-subquery UNION spelling is dialect-neutral
     "dq_violations": DQ_VIOLATIONS_ORACLE,
