@@ -171,6 +171,118 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing (Li & König, "b-Bit Minwise Hashing",
+    WWW 2010 — public): store only the LOWEST BIT of each minhash
+    value (12 bits per doc instead of 12×64) and recover Jaccard from
+    the bit-agreement fraction via the b=1 unbiased inversion
+
+        J ≈ 2·agree − 1   (P[bit match] = J + (1−J)/2)
+
+    reported per LSH candidate pair next to the full-signature
+    estimate, so the output quantifies what the 64× storage saving
+    costs in estimator variance.
+
+    Scale: identical plan to dedup_minhash_lsh (map-only signatures,
+    banded candidate join); the b-bit columns add no shuffle. All
+    arithmetic integer ppm; the clamp at 0 absorbs the negative range
+    of the inversion.
+
+    Output: (doc_a, doc_b, sig_est_ppm, bbit_agree, bbit_est_ppm,
+    err_ppm) ordered by (doc_a, doc_b).
+    """
+    shingled = _with_shingles(load_table(spark, sf_dir, "documents"))
+    sig = minhash_signatures(shingled).transform(materialize)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, {BANDS - 1}),"
+            f"  b -> struct(b as band, concat_ws(',', transform("
+            f"    slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}),"
+            "     x -> cast(x as string))) as bkey))"
+        )).alias("e"),
+    ).select("doc_id", "e.band", "e.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),"
+            f" v -> v)) * 1000000 div {NUM_PERM} as sig_est_ppm",
+            f"cast(size(filter(zip_with(sig_a, sig_b,"
+            f" (x, y) -> x % 2 = y % 2), v -> v)) as bigint) as bbit_agree",
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "sig_est_ppm",
+            "bbit_agree",
+            f"greatest(2 * (bbit_agree * 1000000 div {NUM_PERM})"
+            " - 1000000, 0L) as bbit_est_ppm",
+            f"greatest(2 * (bbit_agree * 1000000 div {NUM_PERM})"
+            " - 1000000, 0L) - sig_est_ppm as err_ppm",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_MINHASH_BBIT_ORACLE = f"""
+WITH s AS ({_SHINGLES_SQL}),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         [list_min([(p[1] * h + p[2]) % {P}
+                    for h in [('0x' || substr(md5(x), 1, 8))::BIGINT for x in sh]])
+          for p in {_PERMS_DUCK}] AS sig
+  FROM s
+),
+bands AS (
+  SELECT doc_id, t.b,
+         list_aggregate([CAST(x AS VARCHAR)
+                         for x in sig[t.b * {ROWS_PER_BAND} + 1 : t.b * {ROWS_PER_BAND} + {ROWS_PER_BAND}]],
+                        'string_agg', ',') AS bkey
+  FROM sig, range(0, {BANDS}) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_filter([sa.sig[i] = sb.sig[i]
+                for i in range(1, {NUM_PERM + 1})], v -> v)) AS BIGINT)
+           * 1000000 // {NUM_PERM} AS sig_est_ppm,
+         CAST(len(list_filter([sa.sig[i] % 2 = sb.sig[i] % 2
+                for i in range(1, {NUM_PERM + 1})], v -> v)) AS BIGINT)
+           AS bbit_agree
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, sig_est_ppm, bbit_agree,
+       greatest(2 * (bbit_agree * 1000000 // {NUM_PERM}) - 1000000, 0)
+         AS bbit_est_ppm,
+       greatest(2 * (bbit_agree * 1000000 // {NUM_PERM}) - 1000000, 0)
+         - sig_est_ppm AS err_ppm
+FROM scored ORDER BY doc_a, doc_b
+"""
+
+
 def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall/precision meter for the MinHash-LSH candidate generator
     vs the EXACT shingle-Jaccard ground truth (the ANN-recall-report
@@ -264,11 +376,13 @@ def _recall_report_spark_sql() -> str:
 
 QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_bbit": dedup_minhash_bbit,
     "minhash_recall_report": minhash_recall_report,
 }
 
 ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_ORACLE,
+    "dedup_minhash_bbit": DEDUP_MINHASH_BBIT_ORACLE,
     "minhash_recall_report": _recall_report_oracle(),
 }
 
@@ -311,8 +425,29 @@ WHERE est_jaccard >= {EST_THRESHOLD}D
 ORDER BY doc_a, doc_b
 """
 
+DEDUP_MINHASH_BBIT_SPARK_SQL = DEDUP_MINHASH_LSH_SPARK_SQL.split(
+    "est AS ("
+)[0] + f"""scored AS (
+  SELECT c.doc_a, c.doc_b,
+         size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y), v -> v))
+           * 1000000 div {NUM_PERM} AS sig_est_ppm,
+         cast(size(filter(zip_with(sa.sig, sb.sig,
+              (x, y) -> x % 2 = y % 2), v -> v)) as bigint) AS bbit_agree
+  FROM cand c
+  JOIN sigt sa ON sa.doc_id = c.doc_a
+  JOIN sigt sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, sig_est_ppm, bbit_agree,
+       greatest(2 * (bbit_agree * 1000000 div {NUM_PERM}) - 1000000, 0L)
+         AS bbit_est_ppm,
+       greatest(2 * (bbit_agree * 1000000 div {NUM_PERM}) - 1000000, 0L)
+         - sig_est_ppm AS err_ppm
+FROM scored ORDER BY doc_a, doc_b
+"""
+
 SPARK_SQL: dict[str, str] = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SPARK_SQL,
+    "dedup_minhash_bbit": DEDUP_MINHASH_BBIT_SPARK_SQL,
     "minhash_recall_report": _recall_report_spark_sql(),
 }
 
