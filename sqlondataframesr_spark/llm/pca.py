@@ -17,23 +17,39 @@ Algorithm (all exact integers):
 1. int8-quantize each vector (the emb_quantize_int8 floor(x·s+0.5)
    spelling — half-up on every engine).
 2. ONE pass computes the sufficient statistics: per-dim sums Σq_a and
-   the flattened pairwise-product sums Σq_a·q_b (4096 map-side values
-   per row, partial-aggregated to DIM² keys — no shuffle of row-scale
-   data, no join of the exploded corpus).
+   the pairwise-product sums Σq_a·q_b. The product matrix is
+   symmetric, so the fan emits only the DIM·(DIM+1)/2 upper-triangle
+   pairs a≤b per row (2,080 instead of 4,096 at DIM=64 — VERDICT r10
+   item 3 halved the per-row array, the explode, and the shuffle
+   input), partial-aggregated map-side, then mirrored to the full
+   DIM² matrix AFTER aggregation (a bounded frame, not row-scale).
 3. Scatter matrix C = n·Σq_aq_b − Σq_a·Σq_b (×n² covariance — exact,
    no mean truncation), rescaled to ppm of max|C|.
 4. Three rescaled truncated squarings give B^8; the component is
    B^8 · 1 (row sums), L1-normalized to ppm.
 
-Signed-truncation contract: DuckDB ``//`` FLOORS while Spark ``div``
-truncates toward zero — they disagree on negatives, and covariance
-entries ARE negative. Every division here goes through the sign-split
-form sign(x)·(|x| div d), on which both engines agree exactly.
+Signed-truncation note: both engines truncate integer division toward
+zero — Spark ``div`` AND DuckDB ``//`` (-7//2 = -3 on both; verified
+empirically, ADVICE r10). The sign-split form sign(x)·(|x| div d)
+used below is therefore a defensive identity, kept only so the
+expression is correct even on an engine that floors; it is NOT a live
+dialect seam, and other operators (theilsen/acf/markov) correctly
+rely on plain truncating division matching across engines.
+
+Documented range contract (the ml_ols_trend convention): the scatter
+entry n·sp − sa·sb is bounded by 2·127²·n², which exceeds int64 past
+n ≈ 1.7·10⁷ vectors. Beyond that, route the c/cv computation through
+DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) exactly as
+llm/diversity.py:174 does for its n·Σxy − Σx·Σy combination — the
+downstream ppm rescale immediately returns to int64, so only the one
+combination line changes. The squaring chain itself is safe at any n:
+|p| ≤ 10⁶ by construction, so |pa·pb| ≤ 10¹² and the DIM-term sum is
+≤ 6.4·10¹³.
 
 Scale (100 TB): the corpus is touched ONCE (map-side product fan,
-DIM² aggregate keys); everything downstream — the DIM² scatter
-matrix, the three squaring joins, the normalization — is bounded by
-the embedding dimension, not the row count.
+DIM·(DIM+1)/2 aggregate keys); everything downstream — the DIM²
+scatter matrix, the three squaring joins, the normalization — is
+bounded by the embedding dimension, not the row count.
 
 Output: (dim, loading_ppm) — DIM rows ordered by dim; loadings sum to
 ±10⁶ in absolute value (L1-normalized, truncation dust aside).
@@ -54,8 +70,9 @@ _U = 1_000_000
 
 
 def _tdiv_spark(x: str, d: str) -> str:
-    """Truncate-toward-zero division, sign-split so Spark ``div``
-    (trunc) and DuckDB ``//`` (floor) compute the same value."""
+    """Truncate-toward-zero division. Spark ``div`` and DuckDB ``//``
+    BOTH already truncate toward zero (see module docstring); the
+    sign-split spelling is a defensive identity, not a bridge."""
     return f"(CASE WHEN {x} >= 0 THEN ({x}) div ({d}) ELSE -((-({x})) div ({d})) END)"
 
 
@@ -89,19 +106,41 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a0")
         .agg(F.sum("qa").cast("long").alias("s"))
     )
-    prod = (
-        q8.select(
-            F.posexplode(
-                F.expr("flatten(transform(q, x -> transform(q, y -> x * y)))")
-            ).alias("pos", "p")
-        )
-        .groupBy("pos")
+    # upper-triangle fan (VERDICT r10 item 3): a FLAT bigint array of the
+    # DIM*(DIM+1)/2 products q[i]*q[j] for i<=j — 2,080 elements per row
+    # instead of 4,096, and no per-element struct allocation (measured:
+    # the struct spelling is SLOWER than the full flat fan; the flat
+    # halved fan is ~1.5x faster than full). posexplode yields the
+    # row-major triangular index f; a broadcast 2,080-row decode table
+    # maps f -> (a0, b0) AFTER the aggregate, and the full symmetric
+    # matrix is recovered by mirroring a<b rows — both on the bounded
+    # DIM-scale frame, never on row-scale data.
+    pairs = (
+        f"flatten(transform(q, (x, i) -> "
+        f"transform(slice(q, i + 1, {PCA_DIM} - i), (y, j) -> x * y)))"
+    )
+    prod_u = (
+        q8.select(F.posexplode(F.expr(pairs)).alias("f", "p"))
+        .groupBy("f")
         .agg(F.sum("p").cast("long").alias("sp"))
     )
-    c = (
-        prod.selectExpr(
-            f"pos div {PCA_DIM} as a0", f"pmod(pos, {PCA_DIM}) as b0", "sp"
+    # triangular-index decode: f = i*DIM - i*(i-1)/2 + (j-i) for i<=j
+    dec = (
+        spark.range(PCA_DIM)
+        .selectExpr("cast(id as bigint) as i")
+        .selectExpr("i", f"explode(sequence(i, {PCA_DIM - 1})) as j")
+        .selectExpr(
+            f"i * {PCA_DIM} - (i * (i - 1)) div 2 + (j - i) as f",
+            "i as a0",
+            "j as b0",
         )
+    )
+    produ = prod_u.join(F.broadcast(dec), "f").select("a0", "b0", "sp")
+    prod = produ.unionByName(
+        produ.where("a0 <> b0").selectExpr("b0 as a0", "a0 as b0", "sp")
+    )
+    c = (
+        prod
         .join(F.broadcast(s.selectExpr("a0", "s as sa")), "a0")
         .join(F.broadcast(s.selectExpr("a0 as b0", "s as sb")), "b0")
         .crossJoin(F.broadcast(n))
@@ -116,7 +155,14 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             _tdiv_spark(f"{col} * {_U}", "nullif(mx, 0)") + " as p",
         )
 
-    b1 = materialize(rescale(c, "cv"))
+    # the squaring chain is a 3-round iterative loop on a DIM^2-bounded
+    # frame: localCheckpoint (the materialize.py iterative-loop remedy)
+    # truncates lineage so Catalyst analysis stays flat per round —
+    # with lazy persist the per-round wall time grew 0.4s -> 1.5s ->
+    # 5.3s on IDENTICAL 4,096-row inputs, pure plan-depth cost. Each
+    # intermediate is <= DIM^2 rows, so re-run-on-block-loss is a
+    # trivial retry story (see materialize.py docstring).
+    b1 = rescale(c, "cv").localCheckpoint()
 
     def square(m: DataFrame) -> DataFrame:
         x = m.selectExpr("a", "b as k", "p as pa")
@@ -126,8 +172,8 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .selectExpr("a", "b", _tdiv_spark("pa * pb", str(_U)) + " as m")
             .groupBy("a", "b")
             .agg(F.sum("m").cast("long").alias("raw"))
-        )
-        return materialize(rescale(mm, "raw"))
+        ).localCheckpoint()  # also stops rescale's max-agg re-deriving the join
+        return rescale(mm, "raw").localCheckpoint()
 
     b8 = square(square(square(b1)))
     v = b8.groupBy("a").agg(F.sum("p").cast("long").alias("v"))
@@ -177,10 +223,17 @@ long_ AS MATERIALIZED (
 ),
 nrow AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q8),
 s AS MATERIALIZED (SELECT a, CAST(SUM(qa) AS BIGINT) AS s FROM long_ GROUP BY a),
-prod AS MATERIALIZED (
+prod_u AS MATERIALIZED (
+  -- upper triangle only (a<=b); the matrix is symmetric, mirror below
   SELECT x.a, y.a AS b, CAST(SUM(x.qa * y.qa) AS BIGINT) AS sp
   FROM long_ x JOIN long_ y USING (vec_id)
+  WHERE x.a <= y.a
   GROUP BY x.a, y.a
+),
+prod AS MATERIALIZED (
+  SELECT a, b, sp FROM prod_u
+  UNION ALL
+  SELECT b AS a, a AS b, sp FROM prod_u WHERE a <> b
 ),
 c AS MATERIALIZED (
   SELECT p.a, p.b, nrow.n * p.sp - sa.s * sb.s AS cv

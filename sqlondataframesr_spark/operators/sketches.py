@@ -31,8 +31,24 @@ Scale design (100 TB):
   size, and the probe join broadcasts those 4096 cells. CMS
   guarantees cms_cnt >= exact_cnt (property-tested).
 - Estimate arithmetic is bounded by construction:
-  (K-1) * 2^52 = 283726776524341248 < 2^63, and err_ppm multiplies
-  the ESTIMATE by 1e6 only after the div, keeping everything int64.
+  (K-1) * 2^52 = 283726776524341248 < 2^63. err_ppm is computed
+  multiply-FIRST — (estimate - exact) * 1e6 div exact — so its real
+  int64 bound is |estimate - exact| <= ~9.2e12 (ADVICE r10 corrected
+  the earlier div-first description). Since the KMV estimate and the
+  exact count are both <= the true distinct count within a (K-1)*2^52
+  / min_h factor, the difference stays far inside that bound for any
+  input where the estimate itself fits int64; the same
+  multiply-first shape and bound apply to the CMS join-size err_ppm
+  (|cms - exact| <= ~9.2e12 rows of join output).
+
+Documented range contract (the ml_ols_trend convention):
+``sketch_cms_join_size``'s per-depth dot product
+SUM(cnt_a * cnt_b) over WIDTH buckets is bounded by the product of
+the two input cardinalities; it exceeds int64 once n_a * n_b >
+~9.2e18 (e.g. two 3e9-row inputs). Past that, CAST the per-bucket
+product to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) before the SUM —
+exactly the llm/diversity.py:174 escape — and divide back down before
+the ppm step.
 """
 
 from __future__ import annotations

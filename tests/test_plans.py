@@ -740,13 +740,19 @@ def test_kmv_jaccard_pair_stages_are_broadcast(spark, sf_dir):
 
 
 def test_pca_reuses_the_quantized_frame(spark, sf_dir):
-    """emb_pca_power: the int8 frame feeds n/sums/products and every
-    squaring output is pinned — the corpus tokenize+quantize pass must
-    run once (materialize contract), and no squaring join may
-    cartesian."""
+    """emb_pca_power: the squaring chain is an iterative loop on the
+    DIM^2-bounded frame, so each round is localCheckpoint-truncated
+    (the materialize.py iterative-loop remedy — lazy persist grew
+    0.4s -> 5.3s per round on identical 4,096-row inputs from pure
+    plan-depth analysis cost, VERDICT r10 item 3). The final plan must
+    therefore read the checkpointed matrix RDD (lineage cut), and no
+    squaring join may cartesian."""
     a = _audit(spark, sf_dir, "emb_pca_power")
     assert not a.has_cartesian
-    assert a.text.count("InMemoryTableScan") >= 4
+    assert "ExistingRDD" in a.text  # checkpoint truncation in effect
+    # the row-scale corpus is NOT in the final plan at all: everything
+    # after the one fan pass is bounded-matrix work behind the cut
+    assert "Scan parquet" not in a.text
 
 
 def test_quantile_grid_is_two_scans_and_bounded_keys(spark, sf_dir):
