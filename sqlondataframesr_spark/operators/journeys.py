@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..catalog import load_table
 from ..materialize import materialize
 from .drank import ntile_expr, with_global_rank
+from .sessionize import user_cap_report, user_cap_report_sql
 
 _CENTS = "cast(round(o_totalprice * 100) as bigint)"
 
@@ -413,13 +414,19 @@ def evt_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): the touch join is a per-user equi-join with the
     range predicate applied inside the sort-merge — candidate fan-out
     is clicks-within-24h × purchases per user, the output's own size.
-    A bot user is a hot key: same inherent per-key bound as
-    sessionize, same capped-variant escape documented there. The
-    per-purchase window partitions on purchase_id (never global).
+    A bot user is a hot key whose clicks × purchases fan is quadratic:
+    ``evt_linear_attribution_capped`` is the shipped escape hatch
+    (VERDICT r10 item 4) and ``evt_attribution_cap_report`` makes the
+    drop loud. The per-purchase window partitions on purchase_id
+    (never global).
 
     Output: (day, channel, att_cents, n_touches) ordered by
     day, channel."""
     ev = load_table(spark, sf_dir, "events")
+    return _linear_attribution_of(ev)
+
+
+def _linear_attribution_of(ev: DataFrame) -> DataFrame:
     cents = "cast(round(value * 100) as bigint)"
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -467,15 +474,49 @@ def evt_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: max events per user admitted by the capped attribution (bot guard —
+#: a bot's clicks × purchases join fan is quadratic in its event count;
+#: synthetic per-user counts run ~45..99 at every SF, so 80 binds)
+ATTR_USER_EVENTS_CAP = 80
+
+
+def evt_linear_attribution_capped(
+    spark: SparkSession, sf_dir: str, cap: int = ATTR_USER_EVENTS_CAP
+) -> DataFrame:
+    """:func:`evt_linear_attribution` restricted to users with at most
+    ``cap`` events (counted over ALL their events, before the
+    purchase/click split — the bot definition is activity volume, not
+    channel mix). The per-user touch join fans out as clicks ×
+    purchases per user — quadratic on a hot key — so the cap bounds
+    the worst key's join output and :func:`evt_attribution_cap_report`
+    counts what was dropped (the sessionize cap idiom). With
+    ``cap >= max per-user count`` the output is identical to the
+    uncapped attribution (property-tested)."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    ev = (
+        ev.withColumn("u_n", F.count(F.lit(1)).over(wu))
+        .filter(F.col("u_n") <= cap)
+        .drop("u_n")
+    )
+    return _linear_attribution_of(ev)
+
+
+def evt_attribution_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-binding signal for :func:`evt_linear_attribution_capped`
+    (the shared per-user-event-count report)."""
+    return user_cap_report(spark, sf_dir, ATTR_USER_EVENTS_CAP)
+
+
 _ATTR_BODY = f"""
-WITH purchases AS (
+WITH {{CAPPED}}purchases AS (
     SELECT user_id, ts AS p_ts, event_id AS p_id,
            CAST(round(value * 100) AS BIGINT) AS cents
-    FROM events WHERE event_type = 'purchase'
+    FROM {{SRC}} WHERE event_type = 'purchase'
 ),
 clicks AS (
     SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id
-    FROM events WHERE event_type = 'click'
+    FROM {{SRC}} WHERE event_type = 'click'
 ),
 j AS (
     SELECT p.*, c.c_ts, c.c_id
@@ -509,12 +550,33 @@ SELECT day, channel,
 FROM attributed GROUP BY day, channel ORDER BY day, channel
 """
 
+_ATTR_CAPPED_CTE = f"""capped AS (
+    SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS u_n FROM events
+    ) WHERE u_n <= {ATTR_USER_EVENTS_CAP}
+),
+"""
+
 EVT_LINEAR_ATTRIBUTION_ORACLE = _ATTR_BODY.format(
-    DIV="//", IVL=f"{ATTR_WINDOW_HOURS} HOURS"
+    DIV="//", IVL=f"{ATTR_WINDOW_HOURS} HOURS", CAPPED="", SRC="events"
 )
 EVT_LINEAR_ATTRIBUTION_SPARK_SQL = _ATTR_BODY.format(
-    DIV="div", IVL=f"'{ATTR_WINDOW_HOURS}' HOURS"
+    DIV="div", IVL=f"'{ATTR_WINDOW_HOURS}' HOURS", CAPPED="", SRC="events"
 )
+EVT_LINEAR_ATTRIBUTION_CAPPED_ORACLE = _ATTR_BODY.format(
+    DIV="//",
+    IVL=f"{ATTR_WINDOW_HOURS} HOURS",
+    CAPPED=_ATTR_CAPPED_CTE,
+    SRC="capped",
+)
+EVT_LINEAR_ATTRIBUTION_CAPPED_SPARK_SQL = _ATTR_BODY.format(
+    DIV="div",
+    IVL=f"'{ATTR_WINDOW_HOURS}' HOURS",
+    CAPPED=_ATTR_CAPPED_CTE,
+    SRC="capped",
+)
+
+ATTR_CAP_REPORT_SQL = user_cap_report_sql(ATTR_USER_EVENTS_CAP)
 
 
 #: absorption horizon for the Markov attribution: T^12 via repeated
@@ -779,6 +841,8 @@ QUERIES = {
     "evt_daily_spikes": evt_daily_spikes,
     "orders_yoy_seasonality": orders_yoy_seasonality,
     "evt_linear_attribution": evt_linear_attribution,
+    "evt_linear_attribution_capped": evt_linear_attribution_capped,
+    "evt_attribution_cap_report": evt_attribution_cap_report,
 }
 
 ORACLES = {
@@ -789,6 +853,8 @@ ORACLES = {
     "evt_daily_spikes": EVT_DAILY_SPIKES_ORACLE,
     "orders_yoy_seasonality": ORDERS_YOY_SEASONALITY_ORACLE,
     "evt_linear_attribution": EVT_LINEAR_ATTRIBUTION_ORACLE,
+    "evt_linear_attribution_capped": EVT_LINEAR_ATTRIBUTION_CAPPED_ORACLE,
+    "evt_attribution_cap_report": ATTR_CAP_REPORT_SQL,
 }
 
 SPARK_SQL = {
@@ -799,4 +865,6 @@ SPARK_SQL = {
     "evt_daily_spikes": EVT_DAILY_SPIKES_SPARK_SQL,
     "orders_yoy_seasonality": ORDERS_YOY_SEASONALITY_SPARK_SQL,
     "evt_linear_attribution": EVT_LINEAR_ATTRIBUTION_SPARK_SQL,
+    "evt_linear_attribution_capped": EVT_LINEAR_ATTRIBUTION_CAPPED_SPARK_SQL,
+    "evt_attribution_cap_report": ATTR_CAP_REPORT_SQL,
 }

@@ -21,9 +21,13 @@ Scale design (100 TB):
 - Output is bounded: the summary is |event_types| rows; the movers
   query is a ``TakeOrderedAndProject`` top-k, never a global sort.
 - Skew: a bot user with 10^7 events lands in one task for the window
-  (inherent to per-key order). The capped-sessionize guard
-  (operators/sessionize.py) is the documented escape hatch; at this
-  corpus the max events/user is bounded (see skew_key_report).
+  (inherent to per-key order). ``cdc_scd2_summary_capped`` is the
+  shipped escape hatch (VERDICT r10 item 4): users above
+  :data:`SCD2_USER_EVENTS_CAP` events are excluded from the
+  versioning, the per-user count rides the SAME user_id partitioning
+  the windows need (zero extra exchanges), and
+  ``cdc_scd2_cap_report`` makes the drop loud — the
+  sessionize/basket degradation contract.
 
 Determinism: versions are keyed by the total order ``(ts, event_id)``
 (``event_id`` unique), durations are exact integer MICROSECONDS
@@ -37,9 +41,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
+from .sessionize import user_cap_report, user_cap_report_sql
 
 #: top-k longest-lived closed versions emitted by cdc_scd2_top_versions
 TOP_K = 100
+
+#: max events per user admitted by the capped variant (bot guard) —
+#: synthetic per-user counts run ~45..99 at every SF, so 80 genuinely
+#: binds on this corpus and cdc_scd2_cap_report proves it
+SCD2_USER_EVENTS_CAP = 80
 
 
 def _versions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,6 +90,37 @@ def cdc_scd2_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     open (current) version, and total/max closed-version duration in
     exact microseconds. Output: |event_types| rows ordered by event_type."""
     return _summarize(_versions(spark, sf_dir))
+
+
+def cdc_scd2_summary_capped(
+    spark: SparkSession, sf_dir: str, cap: int = SCD2_USER_EVENTS_CAP
+) -> DataFrame:
+    """:func:`cdc_scd2_summary` restricted to users with at most
+    ``cap`` events — the bot guard (VERDICT r10 item 4). The
+    gaps-and-islands windows are per-key sequential, so one
+    10^8-event bot key is ONE task's sort in any engine; the cap
+    bounds the worst task and :func:`cdc_scd2_cap_report` counts what
+    was dropped (the sessionize cap idiom: degrade loudly, never
+    silently). The per-user count is a COUNT() over the SAME user_id
+    partitioning the versioning windows need — capping adds zero
+    exchanges. With ``cap >= max per-user count`` the output is
+    identical to the uncapped summary (property-tested)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wu = Window.partitionBy("user_id")
+    ev = (
+        ev.withColumn("u_n", F.count(F.lit(1)).over(wu))
+        .filter(F.col("u_n") <= cap)
+        .drop("u_n")
+    )
+    return _summarize(_versions_of(ev.withColumn("cnt", F.lit(1).cast("long"))))
+
+
+def cdc_scd2_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-binding signal for :func:`cdc_scd2_summary_capped` (the
+    shared per-user-event-count report, sessionize.user_cap_report)."""
+    return user_cap_report(spark, sf_dir, SCD2_USER_EVENTS_CAP)
 
 
 def _summarize(vers: DataFrame) -> DataFrame:
@@ -123,13 +164,17 @@ def cdc_scd2_top_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(TOP_K)
 
 
-_VERSIONS_CTE = """
+def _versions_cte(src: str = "events") -> str:
+    return _VERSIONS_CTE_TMPL.format(SRC=src)
+
+
+_VERSIONS_CTE_TMPL = """
 ordered AS (
     SELECT user_id, ts, event_id, event_type,
            CASE WHEN lag(event_type) OVER w IS NULL
                   OR lag(event_type) OVER w <> event_type
                 THEN 1 ELSE 0 END AS chg
-    FROM events
+    FROM {SRC}
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 islands AS (
@@ -154,8 +199,7 @@ vers AS (
 )
 """
 
-SCD2_SUMMARY_ORACLE = f"""
-WITH {_VERSIONS_CTE}
+_SUMMARY_BODY = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_versions,
        CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -171,8 +215,23 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+SCD2_SUMMARY_ORACLE = f"WITH {_versions_cte()}{_SUMMARY_BODY}"
+
+_CAPPED_SRC = f"""capped AS (
+    SELECT user_id, ts, event_id, event_type
+    FROM (SELECT user_id, ts, event_id, event_type,
+                 COUNT(*) OVER (PARTITION BY user_id) AS u_n
+          FROM events)
+    WHERE u_n <= {SCD2_USER_EVENTS_CAP}
+),
+"""
+
+SCD2_SUMMARY_CAPPED_ORACLE = (
+    f"WITH {_CAPPED_SRC}{_versions_cte('capped')}{_SUMMARY_BODY}"
+)
+
 SCD2_TOP_ORACLE = f"""
-WITH {_VERSIONS_CTE}
+WITH {_versions_cte()}
 SELECT user_id, event_type, valid_from, valid_to,
        CAST(epoch_us(valid_to) - epoch_us(valid_from) AS BIGINT)
          AS duration_us,
@@ -235,15 +294,19 @@ def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "cdc_scd2_summary": cdc_scd2_summary,
+    "cdc_scd2_summary_capped": cdc_scd2_summary_capped,
+    "cdc_scd2_cap_report": cdc_scd2_cap_report,
     "cdc_scd2_top_versions": cdc_scd2_top_versions,
     "cdc_scd2_incremental": cdc_scd2_incremental,
 }
 
 ORACLES = {
     "cdc_scd2_summary": SCD2_SUMMARY_ORACLE,
+    "cdc_scd2_summary_capped": SCD2_SUMMARY_CAPPED_ORACLE,
     "cdc_scd2_top_versions": SCD2_TOP_ORACLE,
     # deliberately the FULL-recompute SQL: the check IS incremental≡batch
     "cdc_scd2_incremental": SCD2_SUMMARY_ORACLE,
+    "cdc_scd2_cap_report": user_cap_report_sql(SCD2_USER_EVENTS_CAP),
 }
 
 # Spark-SQL duals (N-version: fluent plan vs SQL text on the Spark

@@ -272,12 +272,12 @@ EVT_SESSIONIZE_PROFILE_CAPPED_ORACLE = _SESSIONS_DUCK_CAPPED + _PROFILE_BODY
 EVT_SESSIONIZE_PROFILE_CAPPED_SPARK_SQL = _SESSIONS_SPARK_CAPPED + _PROFILE_BODY
 
 
-def evt_sessionize_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cap-binding signal for :func:`evt_sessionize_profile_capped`:
-    one row saying whether :data:`USER_EVENTS_CAP` binds on this
-    corpus — ``cap_binds = true`` means hot users were excluded and
-    the capped profile is a sub-corpus analysis. Costs one keyed count
-    (one shuffle straight down to per-user totals).
+def user_cap_report(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
+    """One-row binding signal for any per-user-event-count cap (the
+    loud-degradation contract shared by the sessionize, SCD2, and
+    attribution bot guards): ``cap_binds = true`` means hot users were
+    excluded and the capped variant is a sub-corpus analysis. Costs
+    one keyed count (one shuffle straight down to per-user totals).
 
     Output: (n_users, max_user_events, events_cap, n_users_dropped,
     n_events_dropped, cap_binds).
@@ -287,7 +287,6 @@ def evt_sessionize_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    cap = USER_EVENTS_CAP
     return per.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.max("n").cast("long").alias("max_user_events"),
@@ -300,6 +299,32 @@ def evt_sessionize_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.max("n") > F.lit(cap)).alias("cap_binds"),
     )
+
+
+def user_cap_report_sql(cap: int) -> str:
+    """The DuckDB/Spark-SQL dual of :func:`user_cap_report` (the text
+    is dialect-portable)."""
+    return f"""
+  WITH per AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+  )
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(MAX(n) AS BIGINT) AS max_user_events,
+         CAST({cap} AS BIGINT) AS events_cap,
+         CAST(SUM(CASE WHEN n > {cap} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_users_dropped,
+         CAST(SUM(CASE WHEN n > {cap} THEN n ELSE 0 END)
+              AS BIGINT) AS n_events_dropped,
+         MAX(n) > {cap} AS cap_binds
+  FROM per
+"""
+
+
+def evt_sessionize_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-binding signal for :func:`evt_sessionize_profile_capped`
+    (see :func:`user_cap_report`)."""
+    return user_cap_report(spark, sf_dir, USER_EVENTS_CAP)
 
 
 def evt_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,21 +400,7 @@ EVT_CONCURRENT_SESSIONS_ORACLE = _SESSIONS_DUCK + _CONCURRENT_BODY
 EVT_CONCURRENT_SESSIONS_SPARK_SQL = _SESSIONS_SPARK + _CONCURRENT_BODY
 
 
-EVT_SESSIONIZE_CAP_REPORT_SQL = f"""
-  WITH per AS (
-    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
-    FROM events GROUP BY user_id
-  )
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-         CAST(MAX(n) AS BIGINT) AS max_user_events,
-         CAST({USER_EVENTS_CAP} AS BIGINT) AS events_cap,
-         CAST(SUM(CASE WHEN n > {USER_EVENTS_CAP} THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_users_dropped,
-         CAST(SUM(CASE WHEN n > {USER_EVENTS_CAP} THEN n ELSE 0 END)
-              AS BIGINT) AS n_events_dropped,
-         MAX(n) > {USER_EVENTS_CAP} AS cap_binds
-  FROM per
-"""
+EVT_SESSIONIZE_CAP_REPORT_SQL = user_cap_report_sql(USER_EVENTS_CAP)
 
 
 def evt_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
