@@ -61,7 +61,28 @@ def _ts_array(days: np.ndarray, base: dt.datetime) -> pa.Array:
                     type=pa.timestamp("us"))
 
 
-def generate(out_dir: str, seed: int = 2) -> None:
+def generate(out_dir: str, seed: int = 2, skew: bool = False) -> None:
+    """``skew=True`` (VERDICT r10 item 2) plants the four hot-key
+    stress features the cap/bot-guard code paths exist for, while
+    keeping every schema and cardinality identical to the sf0.01
+    shape, so the full EXACT differential matrix runs unchanged:
+
+    - events: user 0 owns ~10% of all events (1000 of 10000 — the bot;
+      the 80-event user caps of sessionize/SCD2/attribution BIND).
+    - lineitem: order 0 is a mega-basket of ~300 lines over ~300
+      distinct parts (BASKET_SIZE_CAP=6 BINDS; the uncapped pair fan
+      on this one order alone is ~45k pairs).
+    - documents: an identical 5-token phrase is prepended to 100 of
+      the 500 docs (a hot shingle: its 3-shingles and its >=13-char
+      substring 13-grams have document frequency ~100, so
+      SHINGLE_DF_CAP=10 and SUBSTR_DF_CAP=10 BIND).
+    - embeddings: ~60% of vectors collapse into ONE dense cluster
+      (tight noise around a single center — the hot cluster that
+      makes cluster-scoped pair joins quadratic without the
+      CLUSTER_PAIR_CAP guard; at 500 rows the production cap of 4096
+      cannot bind, so the pytest asserts binding with an explicit
+      smaller cap and the report's max_cluster_size >> corpus/K).
+    """
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -118,9 +139,16 @@ def generate(out_dir: str, seed: int = 2) -> None:
 
     n = N["lineitem"]
     l_orderkey = rng.integers(0, N["orders"], n)  # binomial lines/order, like the original
+    l_partkey = rng.integers(0, N["part"], n)
+    if skew:
+        # mega-basket: first ~300 lineitems all belong to order 0,
+        # each a DISTINCT part (maximal pair fan for one basket)
+        mega = min(300, n)
+        l_orderkey[:mega] = 0
+        l_partkey[:mega] = np.arange(mega) % N["part"]
     write("lineitem",
           l_orderkey=pa.array(l_orderkey, pa.int64()),
-          l_partkey=pa.array(rng.integers(0, N["part"], n), pa.int64()),
+          l_partkey=pa.array(l_partkey, pa.int64()),
           l_suppkey=pa.array(rng.integers(0, N["supplier"], n), pa.int64()),
           # duplicates per order ARE a feature of the original data
           # (q4's first-line price is pinned as MIN among linenumber-1
@@ -138,10 +166,13 @@ def generate(out_dir: str, seed: int = 2) -> None:
     n = N["events"]
     us = rng.integers(0, 30 * 86400 * 10**6, n)
     epoch = np.datetime64(dt.datetime(2024, 1, 1), "us")
+    user_id = rng.integers(0, 150, n)
+    if skew:
+        user_id[: n // 10] = 0  # the bot: ~10% of all events
     write("events",
           event_id=pa.array(range(n), pa.int64()),
           ts=pa.array(epoch + us.astype("timedelta64[us]"), pa.timestamp("us")),
-          user_id=pa.array(rng.integers(0, 150, n), pa.int64()),
+          user_id=pa.array(user_id, pa.int64()),
           event_type=pa.array([_ETYPES[i] for i in rng.integers(0, 5, n)]),
           value=pa.array(np.round(rng.uniform(0.01, 500.0, n), 2)),
           props=pa.array(['{"k": %d}' % k for k in rng.integers(0, 100, n)]))
@@ -164,6 +195,17 @@ def generate(out_dir: str, seed: int = 2) -> None:
         else:
             k = int(rng.integers(10, 100))
             texts.append(" ".join(rng.choice(_VOCAB, size=k, p=weights)))
+    if skew:
+        # hot shingle: the SAME 16-token phrase opens 100 docs — its
+        # word-3-shingles (14 of them) and word-13-gram windows (4 of
+        # them) hit document frequency ~100, far past the DF caps of
+        # 10. 16 shared tokens on 10-99-token docs keeps pairwise
+        # Jaccard ~0.4, well under the 0.8 near-dup threshold, so the
+        # plant stresses the caps without flooding the dup detectors.
+        phrase = ("spark stream window merge join filter scan sort"
+                  " hash group batch query table column vector key")
+        for i in range(100, 200):
+            texts[i] = phrase + " " + texts[i]
     write("documents",
           doc_id=pa.array(range(n), pa.int64()),
           text=pa.array(texts),
@@ -176,7 +218,16 @@ def generate(out_dir: str, seed: int = 2) -> None:
     n, d = N["embeddings"], 64
     centers = rng.uniform(-0.4, 0.4, (10, d))
     labels = rng.integers(0, 10, n)
+    if skew:
+        # one dense cluster: ~60% of vectors collapse onto center 0
+        labels[: int(n * 0.6)] = 0
     vecs = (centers[labels] + rng.normal(0, 0.08, (n, d))).astype(np.float32)
+    if skew:
+        # tighten the hot cluster so it really is one semantic blob
+        hot = int(n * 0.6)
+        vecs[:hot] = (centers[0] + rng.normal(0, 0.02, (hot, d))).astype(
+            np.float32
+        )
     for i in range(0, 20, 2):  # plant 10 near-identical pairs
         labels[i + 1] = labels[i]
         vecs[i + 1] = vecs[i] + rng.normal(0, 0.002, d).astype(np.float32)
