@@ -59,6 +59,40 @@ EXT_HEAVY_RUNS = 7
 EXT_HEAVY_CUTOFF_S = 1.2
 
 
+def _stage_shuffle_stats(spark, floor_id: int) -> tuple[int, int, int]:
+    """(max_stage_id, shuffle_read_bytes, shuffle_write_bytes) summed
+    over completed stages with stageId > floor_id, via the JVM
+    AppStatusStore (the UI's own data — no listener, no REST server).
+
+    Machine-independent observability (VERDICT r10 item 6): wall time
+    moves with host contention, but BYTES MOVED by a plan is a pure
+    function of the plan + data, so a plan regression shows as a
+    shuffle_mb jump even on a noisy host. The floor-id guard makes the
+    delta robust to the status store evicting OLD stages mid-window
+    (spark.ui.retainedStages); only stages newer than the snapshot are
+    summed, and a bench query's ~15 runs create far fewer stages than
+    the retention limit."""
+    ss = spark.sparkContext._jsc.sc().statusStore()
+    jvm = spark.sparkContext._jvm
+    gw = spark.sparkContext._gateway
+    stages = ss.stageList(
+        jvm.java.util.ArrayList(),  # all statuses
+        False,
+        False,
+        gw.new_array(jvm.double, 0),
+        jvm.java.util.ArrayList(),
+    )
+    max_id, read_b, write_b = floor_id, 0, 0
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        sid = s.stageId()
+        max_id = max(max_id, sid)
+        if sid > floor_id:
+            read_b += s.shuffleReadBytes()
+            write_b += s.shuffleWriteBytes()
+    return max_id, read_b, write_b
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -255,18 +289,27 @@ def main() -> None:
     # are published (spreads = first pass, settled_pass = second) so
     # nothing hides. The reference's protocol times warm engines too.
     settled: dict[str, dict[str, float]] = {}
+    #: per-headline-query shuffle bytes moved per run, MB (read, write)
+    #: — machine-independent plan observability (VERDICT r10 item 6)
+    shuffle_mb: dict[str, list[float]] = {}
     for k, v in ref_confs.items():
         spark.conf.set(k, v)
     for name in sorted(ref_names):
         fn = registry.queries()[name]
         fn(spark, sf_dir).toPandas()
         release_all()
+        floor_id, _, _ = _stage_shuffle_stats(spark, -1)
         samples = []
         for _ in range(REF_RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).toPandas()
             samples.append(time.perf_counter() - t0)
             release_all()
+        _, read_b, write_b = _stage_shuffle_stats(spark, floor_id)
+        shuffle_mb[name] = [
+            round(read_b / REF_RUNS / 1e6, 3),
+            round(write_b / REF_RUNS / 1e6, 3),
+        ]
         med = round(statistics.median(samples), 4)
         settled[name] = {
             "first_pass_median": timings[name],
@@ -441,6 +484,10 @@ def main() -> None:
             if k in timings and k in BASELINE_SQLDF
         },
         "floor_sec": {"noop": floor_noop, "scan_count": floor_scan},
+        # bytes shuffled per run by each headline query, [read, write]
+        # MB: plan-shape observability that doesn't move with host
+        # noise — compare against SCALE.md's recorded reference values
+        "shuffle_mb": shuffle_mb,
         "se_scale": se_scale,
         # stress rows past reference magnitude: ratio is vs a
         # PROJECTED baseline = measured scale-100 sqldf median scaled

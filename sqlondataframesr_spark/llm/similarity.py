@@ -334,6 +334,23 @@ def _ivf_from_centroids(vec: DataFrame, centroids: DataFrame) -> DataFrame:
     return _topk(scored)
 
 
+def _mean_us(s: str, n: str, div: str) -> str:
+    """Round-half-up integer mean in micro units: mi = round(s/n) on
+    exact integers, half away from zero. The r11 skew tree exposed why
+    this can NOT be spelled as float round(round(s/(n*1e6),6)*1e6):
+    when s/n lands exactly on a .5 micro boundary (label 5's comp 4,
+    s ≡ n/2 mod n), Spark's and DuckDB's float ``round`` broke the tie
+    in opposite directions (-65394 vs -65393). The integer spelling
+    (2s+n) div (2n), sign-split so the operands are non-negative where
+    Spark ``div`` and DuckDB ``//`` provably agree, is exact on both
+    engines for every input. Overflow bound: |2s+n| <= n*(2*0.52e6+1),
+    inside int64 through n ~ 8.8e12 rows per group."""
+    return (
+        f"(CASE WHEN {s} >= 0 THEN (2 * {s} + {n}) {div} (2 * {n})"
+        f" ELSE -((2 * -({s}) + {n}) {div} (2 * {n})) END)"
+    )
+
+
 def emb_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column — the aggregation
     behind cluster quality checks, IVF codebook refresh, and
@@ -347,13 +364,14 @@ def emb_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: each component is quantized to integer micros
     (round(x*1e6)) BEFORE summing, so partial-aggregation order cannot
     perturb the sum — both engines produce the identical integer, and
-    the final mean is one exact-input double division.
+    the mean stays in integers via :func:`_mean_us` (round-half-up
+    (2s+n) div (2n)): the r11 skew tree proved the earlier float
+    round-of-round spelling tie-breaks differently across engines at
+    exact .5-micro boundaries.
 
     Output: the centroid is serialized as a comma-joined string of
     per-component integer micros (``centroid_us``) so result rows are
-    hashable/sortable by any harness; ``round(mean*1e6)`` is exact on
-    both engines because the 6-dp mean times 1e6 is within 1 ulp of an
-    integer."""
+    hashable/sortable by any harness."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "label", F.expr(V.to_double("embedding")).alias("v")
     )
@@ -363,9 +381,7 @@ def emb_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     g = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"), *sums)
     comps_us = [
-        F.expr(
-            f"cast(round(round(s{i} / (n * 1000000.0), 6) * 1000000.0) as bigint)"
-        ).cast("string")
+        F.expr(_mean_us(f"s{i}", "n", "div")).cast("string")
         for i in range(DIM)
     ]
     return g.select(
@@ -378,9 +394,7 @@ def _centroid_oracle() -> str:
         f"SUM(CAST(round(v[{i + 1}] * 1000000) AS BIGINT)) AS s{i}" for i in range(DIM)
     )
     comps = ", ".join(
-        f"CAST(CAST(round(round(s{i} / (n * 1000000.0), 6) * 1000000.0) AS BIGINT)"
-        " AS VARCHAR)"
-        for i in range(DIM)
+        f"CAST({_mean_us(f's{i}', 'n', '//')} AS VARCHAR)" for i in range(DIM)
     )
     return f"""
 WITH e AS (SELECT label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
@@ -419,7 +433,9 @@ def _kmeans_centroids(vec: DataFrame) -> DataFrame:
         for i in range(DIM)
     ]
     comps = [
-        F.round(F.col(f"s{i}") / (F.col("n") * F.lit(1000000.0)), 6)
+        # exact integer-micros mean (see _mean_us), back to a double
+        # component: mi/1e6 is the same IEEE double on both engines
+        F.expr(f"{_mean_us(f's{i}', 'n', 'div')} / 1000000.0")
         for i in range(DIM)
     ]
     for _ in range(KM_ITERS):
@@ -480,7 +496,9 @@ def _kmeans_parts() -> list[str]:
     sums = ",\n         ".join(
         f"SUM(CAST(round(v[{i + 1}] * 1000000) AS BIGINT)) AS s{i}" for i in range(DIM)
     )
-    comps = ", ".join(f"ROUND(s{i} / (n * 1000000.0), 6)" for i in range(DIM))
+    comps = ", ".join(
+        f"({_mean_us(f's{i}', 'n', '//')} / 1000000.0)" for i in range(DIM)
+    )
     parts = [
         f"vec AS ({_VEC_SQL})",
         f"c0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vec WHERE vec_id < {KM_K})",
@@ -1344,7 +1362,9 @@ def _kmeans_spark_parts() -> list[str]:
     sums = ",\n         ".join(
         f"SUM(cast(round(v[{i}] * 1000000) as bigint)) AS s{i}" for i in range(DIM)
     )
-    comps = ", ".join(f"round(s{i} / (n * 1000000.0D), 6)" for i in range(DIM))
+    comps = ", ".join(
+        f"({_mean_us(f's{i}', 'n', 'div')} / 1000000.0D)" for i in range(DIM)
+    )
     parts = [
         f"vec AS ({_VEC_SPARK_SQL})",
         f"c0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vec"

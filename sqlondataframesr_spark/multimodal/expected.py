@@ -173,13 +173,29 @@ def expected_dir() -> str:
     concatenated, keyed by sf_key."""
     import tempfile
 
-    # Key = md5(module source + resolved sfs list): editing the
-    # reference math OR changing SPARK_GRAFT_MM_EXPECTED_SFS rolls the
-    # cache dir — an env-var change can never silently reuse a cache
-    # built without the new scale (ADVICE r5).
+    # Key = md5(module source + resolved sfs list + each dir's LIVE
+    # sf_key): editing the reference math, changing
+    # SPARK_GRAFT_MM_EXPECTED_SFS, or REGENERATING the data under an
+    # unchanged path (the r11 skew tree did exactly this and silently
+    # reused the previous generation's expected rows) rolls the cache
+    # dir — neither an env-var change nor a data change can ever
+    # silently reuse stale expected rows (ADVICE r5 + r11 skew run).
+    import duckdb
+
     sfs_env = os.environ.get("SPARK_GRAFT_MM_EXPECTED_SFS", _DEFAULT_SFS)
+    data_keys = ":".join(
+        str(
+            duckdb.sql(
+                "SELECT CAST(SUM(n_chars) AS BIGINT) FROM "
+                f"read_parquet('{sf}/documents.parquet')"
+            ).fetchone()[0]
+        )
+        for sf in sfs_env.split(":")
+    )
     with open(__file__, "rb") as f:
-        ver = hashlib.md5(f.read() + b":" + sfs_env.encode()).hexdigest()[:12]
+        ver = hashlib.md5(
+            f.read() + b":" + sfs_env.encode() + b":" + data_keys.encode()
+        ).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"sqlondataframesr_mm_expected_{ver}")
     if os.path.isdir(d):
         return d
