@@ -32,5 +32,21 @@ def cosine(a: str, b: str, na: str, nb: str, decimals: int = 6) -> str:
     NULL on EVERY engine. Spark's non-ANSI x/0 is already NULL, but
     DuckDB's default ieee_floating_point_ops yields inf/nan — which
     sorts FIRST under DESC NULLS LAST and silently diverges the
-    shortlist. nullif pins both engines to NULL (r8 ADVICE item)."""
-    return f"round({dot(a, b)} / nullif({na} * {nb}, 0), {decimals})"
+    shortlist. nullif pins both engines to NULL (r8 ADVICE item).
+
+    Rounding spelling (r11, skew-exposed): ``round(x, 6)`` is NOT
+    engine-portable near decimal ties — Spark rounds the double's
+    decimal representation (BigDecimal HALF_UP) while DuckDB scales in
+    float, and the skew tree's dense cluster produced 58 cosines where
+    the two differ in the 6th decimal (0.995578 vs 0.995577). The
+    ``floor(x * 1e6 + 0.5) / 1e6`` spelling uses only IEEE-754
+    multiply/add/floor/divide — each correctly rounded and therefore
+    bit-identical on both engines for every input."""
+    # CAST(... AS DOUBLE) literals: Spark parses a bare 1000000.0 as
+    # DECIMAL, which would silently change the output type; the CAST
+    # spelling is double on both engines.
+    scale = f"CAST({10 ** decimals}.0 AS DOUBLE)"
+    return (
+        f"(floor(({dot(a, b)} / nullif({na} * {nb}, 0))"
+        f" * {scale} + CAST(0.5 AS DOUBLE)) / {scale})"
+    )

@@ -32,6 +32,13 @@ CONTAM_THRESHOLD = 0.2
 EVAL_MOD = 53
 
 
+def _r6(c):
+    """6-dp round via floor(x*1e6+0.5)/1e6 — the engine-portable
+    spelling (see functions/vector.py cosine + llm/dedup.py _r6;
+    r11 skew finding)."""
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
 def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per training document: distinct-3-shingle overlap with the eval
     slice, as (doc_id, n_shingles, n_overlap, overlap_ratio,
@@ -68,10 +75,9 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
             F.when(
                 F.coalesce("n_shingles", F.lit(0)) > 0,
-                F.round(
+                _r6(
                     F.coalesce("n_overlap", F.lit(0)).cast("double")
-                    / F.col("n_shingles").cast("double"),
-                    6,
+                    / F.col("n_shingles").cast("double")
                 ),
             )
             .otherwise(F.lit(0.0))
@@ -99,12 +105,12 @@ SELECT d.doc_id,
        CAST(COALESCE(sz.n_shingles, 0) AS BIGINT) AS n_shingles,
        CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
        CASE WHEN COALESCE(sz.n_shingles, 0) > 0
-            THEN ROUND(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
-                       / CAST(sz.n_shingles AS DOUBLE), 6)
+            THEN (floor((CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
+                       / CAST(sz.n_shingles AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
             ELSE 0.0 END AS overlap_ratio,
        (CASE WHEN COALESCE(sz.n_shingles, 0) > 0
-             THEN ROUND(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
-                        / CAST(sz.n_shingles AS DOUBLE), 6)
+             THEN (floor((CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
+                        / CAST(sz.n_shingles AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
              ELSE 0.0 END) >= {CONTAM_THRESHOLD} AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % {EVAL_MOD} != 0) d
 LEFT JOIN sizes sz USING (doc_id)
@@ -297,8 +303,8 @@ ORACLES = {
 
 #: Spark-SQL ratio expression (shared by overlap_ratio and contaminated)
 _RATIO_SPARK = """CASE WHEN COALESCE(sz.n_shingles, 0) > 0
-            THEN ROUND(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
-                       / CAST(sz.n_shingles AS DOUBLE), 6)
+            THEN (floor((CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
+                       / CAST(sz.n_shingles AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
             ELSE 0.0D END"""
 
 # Spark-SQL N-version form (fluent ≡ SQL, tests/test_reference_queries.py)

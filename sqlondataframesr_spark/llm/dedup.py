@@ -95,6 +95,14 @@ GROUP BY md5(text)
 """
 
 
+def _r6(c):
+    """6-dp round via floor(x*1e6+0.5)/1e6 — the engine-portable
+    spelling (plain (floor((x) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) tie-breaks differently in Spark vs
+    DuckDB at exact decimal halves, e.g. 1/128; r11 skew finding —
+    see functions/vector.py cosine)."""
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
 def _jaccard_pairs(docs: DataFrame) -> DataFrame:
     """(doc_a < doc_b, jaccard) pairs with word-3-shingle Jaccard >=
     JACCARD_THRESHOLD, via an inverted shingle index (see
@@ -119,12 +127,11 @@ def _jaccard_pairs(docs: DataFrame) -> DataFrame:
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .withColumn(
             "jaccard",
-            F.round(
+            _r6(
                 F.col("n_common").cast("double")
                 / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")).cast(
                     "double"
-                ),
-                6,
+                )
             ),
         )
     )
@@ -163,13 +170,13 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b,
-       ROUND(CAST(c.n_common AS DOUBLE)
-             / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE), 6) AS jaccard
+       (floor((CAST(c.n_common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS jaccard
 FROM common c
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE ROUND(CAST(c.n_common AS DOUBLE)
-      / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+WHERE (floor((CAST(c.n_common AS DOUBLE)
+      / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 
@@ -262,7 +269,7 @@ def _jaccard_pairs_capped(
     # while it fits and falls back to shuffle when it doesn't (a pinned
     # hint that fits at sf0.1 OOMs executors at 100x). The threshold
     # carries 5e-7 slack so the prefilter keeps every pair the final
-    # round(jaccard, 6) >= threshold filter could accept (true jaccard
+    # r6(jaccard) >= threshold filter could accept (true jaccard
     # in [thr - 5e-7, thr) rounds UP to qualify).
     sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
     cand = (
@@ -295,12 +302,11 @@ def _jaccard_pairs_capped(
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.round(
+            _r6(
                 F.col("n_common").cast("double")
                 / (
                     F.size("sh_a") + F.size("sh_b") - F.col("n_common")
-                ).cast("double"),
-                6,
+                ).cast("double")
             ),
         )
     )
@@ -346,10 +352,10 @@ verified AS (
   JOIN s sb ON sb.doc_id = cm.doc_b
 )
 SELECT doc_a, doc_b,
-       ROUND(CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE), 6)
+       (floor((CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
          AS jaccard
 FROM verified
-WHERE ROUND(CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE), 6)
+WHERE (floor((CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
       >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
@@ -407,15 +413,15 @@ def _containment_pairs(docs: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
     both = v.select(
         F.col("doc_a").alias("container_id"),
         F.col("doc_b").alias("contained_id"),
-        F.round(
-            F.col("n_common").cast("double") / F.size("sh_b").cast("double"), 6
+        _r6(
+            F.col("n_common").cast("double") / F.size("sh_b").cast("double")
         ).alias("containment"),
     ).union(
         v.select(
             F.col("doc_b").alias("container_id"),
             F.col("doc_a").alias("contained_id"),
-            F.round(
-                F.col("n_common").cast("double") / F.size("sh_a").cast("double"), 6
+            _r6(
+                F.col("n_common").cast("double") / F.size("sh_a").cast("double")
             ).alias("containment"),
         )
     )
@@ -476,11 +482,11 @@ verified AS (
 ),
 dirs AS (
   SELECT doc_a AS container_id, doc_b AS contained_id,
-         ROUND(CAST(n_common AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS containment
+         (floor((CAST(n_common AS DOUBLE) / CAST(nb AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS containment
   FROM verified
   UNION ALL
   SELECT doc_b, doc_a,
-         ROUND(CAST(n_common AS DOUBLE) / CAST(na AS DOUBLE), 6)
+         (floor((CAST(n_common AS DOUBLE) / CAST(na AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
   FROM verified
 )
 SELECT container_id, contained_id, containment
@@ -514,11 +520,11 @@ verified AS (
 ),
 dirs AS (
   SELECT doc_a AS container_id, doc_b AS contained_id,
-         ROUND(CAST(n_common AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS containment
+         (floor((CAST(n_common AS DOUBLE) / CAST(nb AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS containment
   FROM verified
   UNION ALL
   SELECT doc_b, doc_a,
-         ROUND(CAST(n_common AS DOUBLE) / CAST(na AS DOUBLE), 6)
+         (floor((CAST(n_common AS DOUBLE) / CAST(na AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
   FROM verified
 )
 SELECT container_id, contained_id, containment
@@ -914,8 +920,8 @@ near AS (
   FROM common c
   JOIN sizes sa ON sa.doc_id = c.doc_a
   JOIN sizes sb ON sb.doc_id = c.doc_b
-  WHERE ROUND(CAST(c.n_common AS DOUBLE)
-        / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+  WHERE (floor((CAST(c.n_common AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) >= {JACCARD_THRESHOLD}
 ),
 exact AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1289,8 +1295,8 @@ common AS (
 sizes AS (SELECT doc_id, size(sh) AS n_sh FROM s),
 jac AS (
   SELECT doc_a, doc_b,
-         round(cast(n_common as double)
-               / cast(sa.n_sh + sb.n_sh - n_common as double), 6) AS jaccard
+         (floor((cast(n_common as double)
+               / cast(sa.n_sh + sb.n_sh - n_common as double)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS jaccard
   FROM common
   JOIN sizes sa ON doc_a = sa.doc_id
   JOIN sizes sb ON doc_b = sb.doc_id
@@ -1323,10 +1329,10 @@ verified AS (
   JOIN s sb ON sb.doc_id = cm.doc_b
 )
 SELECT doc_a, doc_b,
-       ROUND(CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE), 6)
+       (floor((CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
          AS jaccard
 FROM verified
-WHERE ROUND(CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE), 6)
+WHERE (floor((CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
       >= {JACCARD_THRESHOLD}D
 ORDER BY doc_a, doc_b
 """,

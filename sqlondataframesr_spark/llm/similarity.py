@@ -434,8 +434,13 @@ def _kmeans_centroids(vec: DataFrame) -> DataFrame:
     ]
     comps = [
         # exact integer-micros mean (see _mean_us), back to a double
-        # component: mi/1e6 is the same IEEE double on both engines
-        F.expr(f"{_mean_us(f's{i}', 'n', 'div')} / 1000000.0")
+        # component: mi/1e6 is the same IEEE double on both engines.
+        # CAST, not a bare 1000000.0 literal — Spark parses that as
+        # DECIMAL and the whole centroid would silently go decimal
+        F.expr(
+            f"cast({_mean_us(f's{i}', 'n', 'div')} as double)"
+            " / cast(1000000.0 as double)"
+        )
         for i in range(DIM)
     ]
     for _ in range(KM_ITERS):
@@ -577,9 +582,11 @@ _VEC_SQL = """
   FROM embeddings
 """
 
+# floor-based 6-dp rounding, not ROUND(x, 6): engine-portable at
+# decimal ties (see functions/vector.py cosine, r11 skew finding)
 _COS_DUCK = (
-    "ROUND(list_sum([{a}[i] * {b}[i] for i in range(1, " + str(DIM + 1) + ")])"
-    " / nullif({na} * {nb}, 0), 6)"
+    "(floor((list_sum([{a}[i] * {b}[i] for i in range(1, " + str(DIM + 1) + ")])"
+    " / nullif({na} * {nb}, 0)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))"
 )
 
 _SIG_SQL = f"""
@@ -1142,9 +1149,9 @@ def ann_matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is not; DuckDB would emit inf/nan (sorts first under DESC NULLS LAST)
 # where Spark emits NULL — both engines must agree on NULL (r8 ADVICE).
 _MRL_COS_DUCK = (
-    "ROUND(list_sum([{a}[i] * {b}[i] for i in range(1, "
+    "(floor((list_sum([{a}[i] * {b}[i] for i in range(1, "
     + str(MRL_PREFIX_DIM + 1)
-    + ")]) / nullif({na} * {nb}, 0), 6)"
+    + ")]) / nullif({na} * {nb}, 0)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))"
 )
 
 _MRL_PREFIX_DUCK = f"""
@@ -1338,9 +1345,7 @@ def _centroid_spark_sql() -> str:
         f"SUM(cast(round(v[{i}] * 1000000) as bigint)) AS s{i}" for i in range(DIM)
     )
     comps = ", ".join(
-        f"cast(cast(round(round(s{i} / (n * 1000000.0), 6) * 1000000.0) as bigint)"
-        " as string)"
-        for i in range(DIM)
+        f"cast({_mean_us(f's{i}', 'n', 'div')} as string)" for i in range(DIM)
     )
     return f"""
 WITH e AS (SELECT label, transform(embedding, x -> cast(x as double)) AS v

@@ -50,6 +50,55 @@ def test_session_stream_matches_batch(spark, sf_dir):
     assert not compare_frames(got, batch)
 
 
+def test_session_funnel_stream_matches_batch(spark, sf_dir):
+    """VERDICT r10 item 8: the funnel flags (has_click / converted)
+    computed per session_window must agree between a true streaming
+    run (availableNow, watermark) and the batch run of the SAME
+    transformation — and so must the rolled-up funnel counts."""
+    from pyspark.sql import functions as F
+
+    batch = W.session_funnel(load_table(spark, sf_dir, "events"))
+    stream = W.session_funnel(W.with_watermark(W.stream_events(spark, sf_dir)))
+    got = _run_stream(spark, stream)
+    assert not compare_frames(got, batch)
+    rollup = lambda df: sorted(  # noqa: E731
+        tuple(r)
+        for r in df.agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.col("has_click").cast("long")).alias("n_with_click"),
+            F.sum(F.col("converted").cast("long")).alias("n_converted"),
+        ).collect()
+    )
+    assert rollup(got) == rollup(batch)
+
+
+def test_capped_session_profile_stream_matches_batch(spark, sf_dir):
+    """VERDICT r10 item 8: the bot-guard cap over session rows. The
+    cap needs corpus-wide per-user totals (unknowable mid-stream), so
+    the production shape is stream-writes-sessions + batch-curates:
+    stream sink -> capped_session_profile must equal batch sessionize
+    -> capped_session_profile, with a cap that BINDS (drops at least
+    one user) on this corpus."""
+    from pyspark.sql import functions as F
+
+    batch_sessions = W.sessionized(load_table(spark, sf_dir, "events"))
+    stream_sessions = _run_stream(
+        spark, W.sessionized(W.with_watermark(W.stream_events(spark, sf_dir)))
+    )
+    cap = 80
+    got = W.capped_session_profile(stream_sessions, cap)
+    want = W.capped_session_profile(batch_sessions, cap)
+    assert not compare_frames(got, want)
+    # the cap binds: at least one user exceeds it corpus-wide
+    mx = (
+        batch_sessions.groupBy("user_id")
+        .agg(F.sum("n_events").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert mx > cap
+
+
 def test_dedup_stream_matches_batch_distinct(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     stream = W.dedup_stream(W.stream_events(spark, sf_dir)).select("event_id")
