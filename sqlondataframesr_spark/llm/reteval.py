@@ -1,0 +1,142 @@
+"""Rank-agreement report for the text-retrieval family — pairwise
+overlap@k and top-1 agreement between BM25, Dirichlet-QL, and hybrid
+RRF over the family's standard query set. The retrieval twin of
+``ann_recall_report`` (llm/annrecall.py): every ranker in the repo
+gets a quality meter on the same dashboard row.
+
+Why agreement, not labeled relevance: the corpus ships no relevance
+labels, every ranker excludes the query document itself (bm25.py's
+``doc_id != q_id`` filter; ANN excludes self-pairs), and the document
+near-duplicate plants sit outside the BM25_N_QUERIES query window —
+so any labeled-metric protocol here would be degenerate (all-zero) and
+a bug that zeroes the metric would pass unseen. Pairwise agreement is
+the non-degenerate dashboard a retrieval stack actually watches:
+overlap@k between the lexical arms says how much the scoring functions
+disagree on the SAME candidate pool; overlap between each arm and the
+RRF fusion says how much of each arm survives fusion (RRF fuses BM25
+with the cosine ANN arm, so bm25↔rrf overlap is expected to dominate
+ql↔rrf — the report shows the fusion's lexical bias explicitly).
+
+North-star extension (no reference counterpart — RDataFramesSQL.Rmd
+has no retrieval surface).
+
+Determinism: overlap counts are exact integers; ``overlap_ppm`` is the
+repo-wide ``n * 1e6 div possible`` truncating-BIGINT idiom — both
+engines hash identically. No transcendentals anywhere.
+
+Scale: aggregates three already-top-k frames (N_QUERIES x k rows
+each) — the join is top-k x top-k WITHIN a (method pair, query), never
+corpus-sized. Oracle = literal composition of the three gated oracle
+texts (the annrecall.py pattern). No SPARK_SQL dual: a composition of
+registered queries — same COVERAGE.md justification as
+ann_recall_report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import bm25 as _bm25
+from . import hybrid as _hybrid
+
+#: (method label, fn, output id column) — label-sorted
+_METHODS = [
+    ("bm25", _bm25.bm25_topk, "doc_id"),
+    ("hybrid_rrf", _hybrid.hybrid_rrf_topk, "id"),
+    ("ql_dirichlet", _bm25.ql_dirichlet_topk, "doc_id"),
+]
+
+#: ordered method pairs reported (label-sorted, a < b)
+_PAIRS = [
+    ("bm25", "hybrid_rrf"),
+    ("bm25", "ql_dirichlet"),
+    ("hybrid_rrf", "ql_dirichlet"),
+]
+
+
+def ret_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per ranker pair: pooled overlap@k of their top-k id
+    sets and the number of queries where they agree on the top-1,
+    over the :data:`bm25.BM25_N_QUERIES` standard queries.
+
+    Output: (method_a, method_b, n_queries, k, n_overlap, overlap_ppm,
+    n_same_top1) ordered by (method_a, method_b)."""
+    n_q, k = _bm25.BM25_N_QUERIES, _bm25.BM25_TOP_K
+    ranked = None
+    for label, fn, id_col in _METHODS:
+        r = fn(spark, sf_dir).select(
+            F.lit(label).alias("method"),
+            "q_id",
+            F.col(id_col).alias("id"),
+            "rnk",
+        )
+        ranked = r if ranked is None else ranked.unionByName(r)
+    out = None
+    for ma, mb in _PAIRS:
+        a = ranked.filter(F.col("method") == ma).select(
+            "q_id", "id", F.col("rnk").alias("rnk_a")
+        )
+        b = ranked.filter(F.col("method") == mb).select(
+            "q_id", "id", F.col("rnk").alias("rnk_b")
+        )
+        j = a.join(b, ["q_id", "id"])
+        row = j.agg(
+            F.lit(ma).alias("method_a"),
+            F.lit(mb).alias("method_b"),
+            F.lit(n_q).cast("long").alias("n_queries"),
+            F.lit(k).cast("long").alias("k"),
+            F.count(F.lit(1)).cast("long").alias("n_overlap"),
+            F.expr(f"count(1) * 1000000L div {n_q * k}")
+            .cast("long")
+            .alias("overlap_ppm"),
+            F.coalesce(
+                F.sum(F.expr("if(rnk_a = 1 and rnk_b = 1, 1L, 0L)")),
+                F.lit(0),
+            ).cast("long").alias("n_same_top1"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("method_a", "method_b")
+
+
+def _agreement_oracle() -> str:
+    texts = {
+        "bm25": ("doc_id", _bm25.ORACLES["bm25_topk"]),
+        "hybrid_rrf": ("id", _hybrid.ORACLES["hybrid_rrf_topk"]),
+        "ql_dirichlet": ("doc_id", _bm25.ORACLES["ql_dirichlet_topk"]),
+    }
+    n_q, k = _bm25.BM25_N_QUERIES, _bm25.BM25_TOP_K
+    branches = " UNION ALL ".join(
+        f"SELECT '{label}' AS method, q_id, {col} AS id, rnk"
+        f" FROM ({sql}) t_{label}"
+        for label, (col, sql) in texts.items()
+    )
+    pair_rows = " UNION ALL ".join(
+        f"SELECT '{ma}' AS method_a, '{mb}' AS method_b" for ma, mb in _PAIRS
+    )
+    return f"""
+WITH ranked AS ({branches}),
+pairs AS ({pair_rows}),
+joined AS (
+  SELECT p.method_a, p.method_b, a.q_id, a.rnk AS rnk_a, b.rnk AS rnk_b
+  FROM pairs p
+  JOIN ranked a ON a.method = p.method_a
+  JOIN ranked b ON b.method = p.method_b AND b.q_id = a.q_id AND b.id = a.id
+)
+SELECT p.method_a, p.method_b,
+       CAST({n_q} AS BIGINT) AS n_queries,
+       CAST({k} AS BIGINT) AS k,
+       CAST(COUNT(j.q_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(j.q_id) * 1000000 // {n_q * k} AS BIGINT) AS overlap_ppm,
+       CAST(COALESCE(SUM(CASE WHEN j.rnk_a = 1 AND j.rnk_b = 1
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_same_top1
+FROM pairs p
+LEFT JOIN joined j ON j.method_a = p.method_a AND j.method_b = p.method_b
+GROUP BY p.method_a, p.method_b
+ORDER BY p.method_a, p.method_b
+"""
+
+
+QUERIES = {"ret_rank_agreement": ret_rank_agreement}
+ORACLES = {"ret_rank_agreement": _agreement_oracle()}
+SPARK_SQL: dict[str, str] = {}

@@ -27,6 +27,7 @@ from .llm import (
     pca,
     pipeline,
     pq,
+    reteval,
     sampling,
     semdedup,
     simhash,
@@ -86,6 +87,7 @@ _MODULES = [
     minhash,
     pca,
     pq,
+    reteval,
     semdedup,
     simhash,
     similarity,
