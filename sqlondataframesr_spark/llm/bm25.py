@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..materialize import materialize, spread_scan
+from ..functions.rounding import r6 as _r6
 
 K1 = 1.2
 B = 0.75
@@ -81,9 +82,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("q_id", "doc_id")
         .agg(
-            F.round(
-                F.sum("contrib_us").cast("double") / F.lit(1000000.0), 6
-            ).alias("score")
+            _r6(
+                F.sum("contrib_us").cast("double") / F.lit(1000000.0)).alias("score")
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())

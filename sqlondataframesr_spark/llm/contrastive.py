@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..materialize import materialize
+from ..functions.rounding import r6 as _r6
 from .semdedup import _cap_cte, _final_assign_sql, capped_partners
 from .similarity import (
     KM_ITERS,
@@ -88,7 +89,7 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a_id")
         .agg(
             F.expr("max_by(b_id, struct(cos, -b_id))").alias("pos_id"),
-            F.round(F.max("cos"), 6).alias("pos_cos"),
+            _r6(F.max("cos")).alias("pos_cos"),
         )
     )
     neg = (
@@ -96,7 +97,7 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a_id")
         .agg(
             F.expr("max_by(b_id, struct(cos, -b_id))").alias("neg_id"),
-            F.round(F.max("cos"), 6).alias("neg_cos"),
+            _r6(F.max("cos")).alias("neg_cos"),
         )
     )
     return (
@@ -128,13 +129,13 @@ pairs AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos} AS cos
   FROM m a JOIN ma b ON a.list_id = b.list_id AND a.vec_id <> b.vec_id),
 pos AS (
-  SELECT a_id, b_id AS pos_id, ROUND(cos, 6) AS pos_cos FROM (
+  SELECT a_id, b_id AS pos_id, (floor((cos) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS pos_cos FROM (
     SELECT a_id, b_id, cos,
            ROW_NUMBER() OVER (PARTITION BY a_id
                               ORDER BY cos DESC, b_id ASC) AS rn
     FROM pairs WHERE cos >= {POS_T}) WHERE rn = 1),
 neg AS (
-  SELECT a_id, b_id AS neg_id, ROUND(cos, 6) AS neg_cos FROM (
+  SELECT a_id, b_id AS neg_id, (floor((cos) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS neg_cos FROM (
     SELECT a_id, b_id, cos,
            ROW_NUMBER() OVER (PARTITION BY a_id
                               ORDER BY cos DESC, b_id ASC) AS rn

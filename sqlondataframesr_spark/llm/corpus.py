@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
+from ..functions.rounding import r6 as _r6
 
 #: "paragraph" width in words for boilerplate stripping
 SEG_W = 8
@@ -155,12 +156,12 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.expr("size(split(text, ' '))").alias("n_words"),
         F.expr(
-            "round(aggregate(split(text, ' '), 0L, (acc, x) -> acc + length(x))"
-            " / CAST(size(split(text, ' ')) AS DOUBLE), 6)"
+            "(floor((aggregate(split(text, ' '), 0L, (acc, x) -> acc + length(x))"
+            " / CAST(size(split(text, ' ')) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))"
         ).alias("mean_word_len"),
         F.expr(
-            "round(CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)"
-            " / size(split(text, ' ')), 6)"
+            "(floor((CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)"
+            " / size(split(text, ' '))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))"
         ).alias("ttr"),
     ).select(
         "doc_id",
@@ -187,10 +188,10 @@ TEXT_GOPHER_RULES_ORACLE = f"""
 WITH m AS (
   SELECT doc_id, lang,
          len(string_split(text, ' ')) AS n_words,
-         round(list_sum(list_transform(string_split(text, ' '), x -> length(x)))
-               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS mean_word_len,
-         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')), 6) AS ttr
+         (floor((list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS mean_word_len,
+         (floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' '))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS ttr
   FROM documents
 )
 SELECT doc_id, lang, CAST(n_words AS INT) AS n_words, mean_word_len, ttr,
@@ -334,7 +335,7 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cnt.withColumn(
             "pmi",
-            F.round(F.log(F.col("c_ab").cast("double") * n_tot / (c_a * c_b)), 6),
+            _r6(F.log(F.col("c_ab").cast("double") * n_tot / (c_a * c_b))),
         )
         .filter(F.col("c_ab") >= PMI_MIN_COUNT)
         .orderBy(F.desc("pmi"), "a", "b")
@@ -355,7 +356,7 @@ win AS (SELECT a, b, c_ab,
                SUM(c_ab) OVER (PARTITION BY b) AS c_b
         FROM cnt)
 SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
-       round(ln(CAST(c_ab AS DOUBLE) * n_tot / (c_a * c_b)), 6) AS pmi
+       (floor((ln(CAST(c_ab AS DOUBLE) * n_tot / (c_a * c_b))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS pmi
 FROM win
 WHERE c_ab >= {PMI_MIN_COUNT}
 ORDER BY pmi DESC, a, b
@@ -527,10 +528,10 @@ FROM tot t LEFT JOIN clean c ON t.doc_id = c.doc_id
 WITH m AS (
   SELECT doc_id, lang,
          size(split(text, ' ')) AS n_words,
-         round(aggregate(split(text, ' '), 0L, (acc, x) -> acc + length(x))
-               / CAST(size(split(text, ' ')) AS DOUBLE), 6) AS mean_word_len,
-         round(CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
-               / size(split(text, ' ')), 6) AS ttr
+         (floor((aggregate(split(text, ' '), 0L, (acc, x) -> acc + length(x))
+               / CAST(size(split(text, ' ')) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS mean_word_len,
+         (floor((CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
+               / size(split(text, ' '))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS ttr
   FROM documents
 )
 SELECT doc_id, lang, n_words, mean_word_len, ttr,
@@ -580,7 +581,7 @@ win AS (SELECT a, b, c_ab,
                SUM(c_ab) OVER (PARTITION BY b) AS c_b
         FROM cnt)
 SELECT a, b, c_ab,
-       round(ln(CAST(c_ab AS DOUBLE) * n_tot / (c_a * c_b)), 6) AS pmi
+       (floor((ln(CAST(c_ab AS DOUBLE) * n_tot / (c_a * c_b))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS pmi
 FROM win
 WHERE c_ab >= {PMI_MIN_COUNT}
 ORDER BY pmi DESC, a, b

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
+from ..functions.rounding import r6 as _r6
 
 # ---------------------------------------------------------------------------
 # Exact distributed heavy hitters
@@ -150,9 +151,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(w)))).alias("bow_key"),
-        F.round(
-            F.size(F.array_distinct(w)).cast("double") / F.size(w).cast("double"), 6
-        ).alias("ttr"),
+        _r6(
+            F.size(F.array_distinct(w)).cast("double") / F.size(w).cast("double")).alias("ttr"),
     )
     kept = prepared.groupBy("bow_key").agg(
         F.expr(
@@ -177,8 +177,8 @@ WITH b AS (
   SELECT doc_id, source,
          array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
            AS bow_key,
-         ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS ttr
+         (floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS ttr
   FROM documents
 ), ranked AS (
   SELECT doc_id, source, ttr,
@@ -195,8 +195,8 @@ WITH b AS (
   SELECT doc_id, source,
          md5(concat_ws(' ', array_sort(array_distinct(split(text, ' ')))))
            AS bow_key,
-         ROUND(CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
-               / CAST(size(split(text, ' ')) AS DOUBLE), 6) AS ttr
+         (floor((CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
+               / CAST(size(split(text, ' ')) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS ttr
   FROM documents
 ), ranked AS (
   SELECT doc_id, source, ttr,
@@ -315,8 +315,8 @@ def corpus_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
-            F.round("ttr_raw", 6).alias("ttr"),
-            F.round("med_raw", 6).alias("src_median"),
+            _r6("ttr_raw").alias("ttr"),
+            _r6("med_raw").alias("src_median"),
         )
     )
 
@@ -332,8 +332,8 @@ WITH scored AS (
   FROM scored GROUP BY source
 )
 SELECT s.doc_id, s.source,
-       ROUND(s.ttr_raw, 6) AS ttr,
-       ROUND(m.med_raw, 6) AS src_median
+       (floor((s.ttr_raw) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS ttr,
+       (floor((m.med_raw) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS src_median
 FROM scored s JOIN med m USING (source)
 WHERE s.ttr_raw > m.med_raw
 """
@@ -349,8 +349,8 @@ WITH scored AS (
   FROM scored GROUP BY source
 )
 SELECT s.doc_id, s.source,
-       ROUND(s.ttr_raw, 6) AS ttr,
-       ROUND(m.med_raw, 6) AS src_median
+       (floor((s.ttr_raw) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS ttr,
+       (floor((m.med_raw) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS src_median
 FROM scored s JOIN med m USING (source)
 WHERE s.ttr_raw > m.med_raw
 """

@@ -24,19 +24,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..materialize import materialize
 from ..catalog import load_table
+from ..functions.rounding import r6 as _r6
 from .dedup import _SHINGLES_SPARK_SQL, _SHINGLES_SQL, _with_shingles
 
 #: flag a training doc when >= this fraction of its 3-shingles appear in the eval set
 CONTAM_THRESHOLD = 0.2
 #: deterministic pseudo-eval-set selector
 EVAL_MOD = 53
-
-
-def _r6(c):
-    """6-dp round via floor(x*1e6+0.5)/1e6 — the engine-portable
-    spelling (see functions/vector.py cosine + llm/dedup.py _r6;
-    r11 skew finding)."""
-    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
 def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

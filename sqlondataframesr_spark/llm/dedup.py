@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..materialize import materialize, spread_scan
 from ..catalog import load_table
+from ..functions.rounding import r6 as _r6
 
 #: near-duplicate decision threshold on word-3-shingle Jaccard
 JACCARD_THRESHOLD = 0.8
@@ -93,14 +94,6 @@ SELECT md5(text) AS text_hash,
 FROM documents
 GROUP BY md5(text)
 """
-
-
-def _r6(c):
-    """6-dp round via floor(x*1e6+0.5)/1e6 — the engine-portable
-    spelling (plain (floor((x) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) tie-breaks differently in Spark vs
-    DuckDB at exact decimal halves, e.g. 1/128; r11 skew finding —
-    see functions/vector.py cosine)."""
-    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
 def _jaccard_pairs(docs: DataFrame) -> DataFrame:

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..materialize import materialize, spread_scan
+from ..functions.rounding import r6 as _r6
 
 #: diversity is reported for word n-grams of these orders
 DIVERSITY_NS = (1, 2, 3)
@@ -42,7 +43,7 @@ DIVERSITY_NS = (1, 2, 3)
 #: head of the vocabulary; 1000 terms is the standard fit range
 ZIPF_TOP_K = 1000
 
-_LN_MICRO = "cast(round(round(ln({x}), 6) * 1000000.0) as bigint)"
+_LN_MICRO = "cast(round((floor((ln({x})) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) * 1000000.0) as bigint)"
 
 
 def _ngrams_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,11 +101,9 @@ def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.col("total_ngrams").cast("long").alias("total_ngrams"),
             F.col("distinct_ngrams").cast("long").alias("distinct_ngrams"),
-            F.round(
+            _r6(
                 F.col("distinct_ngrams").cast("double")
-                / F.col("total_ngrams").cast("double"),
-                6,
-            ).alias("diversity"),
+                / F.col("total_ngrams").cast("double")).alias("diversity"),
         )
         .orderBy("source", "n")
     )
@@ -149,7 +148,7 @@ per_gram AS (SELECT source, n, gram, COUNT(*) AS cnt FROM g GROUP BY ALL)
 SELECT source, n,
        CAST(SUM(cnt) AS BIGINT) AS total_ngrams,
        CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS diversity
+       (floor((CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS diversity
 FROM per_gram GROUP BY source, n ORDER BY source, n
 """
 
@@ -160,7 +159,7 @@ per_gram AS (SELECT source, n, gram, COUNT(*) AS cnt FROM g GROUP BY source, n, 
 SELECT source, n,
        CAST(SUM(cnt) AS BIGINT) AS total_ngrams,
        CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS diversity
+       (floor((CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS diversity
 FROM per_gram GROUP BY source, n ORDER BY source, n
 """
 
@@ -195,16 +194,14 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_terms"),
-        F.round(
+        _r6(
             F.expr(
                 "cast(cast(count(1) as decimal(38,0)) * cast(sum(x * y) as decimal(38,0))"
                 " - cast(sum(x) as decimal(38,0)) * cast(sum(y) as decimal(38,0)) as double)"
                 " / cast(cast(count(1) as decimal(38,0)) * cast(sum(x * x) as decimal(38,0))"
                 " - cast(sum(x) as decimal(38,0)) * cast(sum(x) as decimal(38,0)) as double)"
-            ),
-            6,
-        ).alias("slope"),
-        F.round(
+            )).alias("slope"),
+        _r6(
             F.expr(
                 "(cast(sum(y) as double) - "
                 " cast(cast(count(1) as decimal(38,0)) * cast(sum(x * y) as decimal(38,0))"
@@ -212,13 +209,11 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " / cast(cast(count(1) as decimal(38,0)) * cast(sum(x * x) as decimal(38,0))"
                 "  - cast(sum(x) as decimal(38,0)) * cast(sum(x) as decimal(38,0)) as double)"
                 " * cast(sum(x) as double)) / (count(1) * 1000000.0)"
-            ),
-            6,
-        ).alias("intercept"),
+            )).alias("intercept"),
     )
 
 
-_ZIPF_LN_DUCK = "CAST(round(round(ln({x}), 6) * 1000000.0) AS BIGINT)"
+_ZIPF_LN_DUCK = "CAST(round((floor((ln({x})) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) * 1000000.0) AS BIGINT)"
 
 CORPUS_ZIPF_SLOPE_ORACLE = f"""
 WITH tok AS (
@@ -235,12 +230,12 @@ ranked AS (
   FROM top
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
-       ROUND(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
-             / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE), 6) AS slope,
-       ROUND((CAST(SUM(y) AS DOUBLE)
+       (floor((CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS slope,
+       (floor(((CAST(SUM(y) AS DOUBLE)
               - CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
                 / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
-                * CAST(SUM(x) AS DOUBLE)) / (COUNT(*) * 1000000.0), 6) AS intercept
+                * CAST(SUM(x) AS DOUBLE)) / (COUNT(*) * 1000000.0)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS intercept
 FROM ranked
 """
 
@@ -253,21 +248,21 @@ top AS (
   SELECT term, freq FROM freq ORDER BY freq DESC, term ASC LIMIT {ZIPF_TOP_K}
 ),
 ranked AS (
-  SELECT CAST(round(round(ln(CAST(row_number() OVER (ORDER BY freq DESC, term ASC) AS DOUBLE)), 6) * 1000000.0) AS BIGINT) AS x,
-         CAST(round(round(ln(CAST(freq AS DOUBLE)), 6) * 1000000.0) AS BIGINT) AS y
+  SELECT CAST(round((floor((ln(CAST(row_number() OVER (ORDER BY freq DESC, term ASC) AS DOUBLE))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+         CAST(round((floor((ln(CAST(freq AS DOUBLE))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
   FROM top
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
-       ROUND(CAST(CAST(COUNT(1) AS DECIMAL(38,0)) * CAST(SUM(x * y) AS DECIMAL(38,0))
+       (floor((CAST(CAST(COUNT(1) AS DECIMAL(38,0)) * CAST(SUM(x * y) AS DECIMAL(38,0))
                   - CAST(SUM(x) AS DECIMAL(38,0)) * CAST(SUM(y) AS DECIMAL(38,0)) AS DOUBLE)
              / CAST(CAST(COUNT(1) AS DECIMAL(38,0)) * CAST(SUM(x * x) AS DECIMAL(38,0))
-                  - CAST(SUM(x) AS DECIMAL(38,0)) * CAST(SUM(x) AS DECIMAL(38,0)) AS DOUBLE), 6) AS slope,
-       ROUND((CAST(SUM(y) AS DOUBLE)
+                  - CAST(SUM(x) AS DECIMAL(38,0)) * CAST(SUM(x) AS DECIMAL(38,0)) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS slope,
+       (floor(((CAST(SUM(y) AS DOUBLE)
               - CAST(CAST(COUNT(1) AS DECIMAL(38,0)) * CAST(SUM(x * y) AS DECIMAL(38,0))
                      - CAST(SUM(x) AS DECIMAL(38,0)) * CAST(SUM(y) AS DECIMAL(38,0)) AS DOUBLE)
                 / CAST(CAST(COUNT(1) AS DECIMAL(38,0)) * CAST(SUM(x * x) AS DECIMAL(38,0))
                      - CAST(SUM(x) AS DECIMAL(38,0)) * CAST(SUM(x) AS DECIMAL(38,0)) AS DOUBLE)
-                * CAST(SUM(x) AS DOUBLE)) / (COUNT(1) * 1000000.0), 6) AS intercept
+                * CAST(SUM(x) AS DOUBLE)) / (COUNT(1) * 1000000.0)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS intercept
 FROM ranked
 """
 
@@ -348,9 +343,8 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_a",
             "source_b",
             F.col("n_shared").cast("long").alias("n_shared"),
-            F.round(
-                F.col("n_shared").cast("double") / F.least("na", "nb").cast("double"), 6
-            ).alias("overlap_coef"),
+            _r6(
+                F.col("n_shared").cast("double") / F.least("na", "nb").cast("double")).alias("overlap_coef"),
         )
         .orderBy("source_a", "source_b")
     )
@@ -374,8 +368,8 @@ shared AS (
 )
 SELECT s.source_a, s.source_b,
        CAST(s.n_shared AS BIGINT) AS n_shared,
-       ROUND(CAST(s.n_shared AS DOUBLE)
-             / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE), 6) AS overlap_coef
+       (floor((CAST(s.n_shared AS DOUBLE)
+             / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS overlap_coef
 FROM shared s
 JOIN sizes sa ON sa.source = s.source_a
 JOIN sizes sb ON sb.source = s.source_b
@@ -398,8 +392,8 @@ shared AS (
 )
 SELECT s.source_a, s.source_b,
        CAST(s.n_shared AS BIGINT) AS n_shared,
-       ROUND(CAST(s.n_shared AS DOUBLE)
-             / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE), 6) AS overlap_coef
+       (floor((CAST(s.n_shared AS DOUBLE)
+             / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS overlap_coef
 FROM shared s
 JOIN sizes sa ON sa.source = s.source_a
 JOIN sizes sb ON sb.source = s.source_b

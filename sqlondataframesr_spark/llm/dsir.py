@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
 from ..materialize import materialize, spread_scan
+from ..functions.rounding import r6 as _r6
 from .decontam import EVAL_MOD
 
 #: hashed feature-space size (paper uses 10k; small here so the tiny
@@ -102,10 +103,11 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "feat",
             F.expr(
-                "cast(round(round("
+                "cast(round((floor(("
                 f" ln((coalesce(tcnt, 0) + 1) / cast(t_total + {N_BUCKETS} as double))"
-                f" - ln((coalesce(rcnt, 0) + 1) / cast(r_total + {N_BUCKETS} as double)),"
-                " 6) * 1000000.0) as bigint)"
+                f" - ln((coalesce(rcnt, 0) + 1) / cast(r_total + {N_BUCKETS} as double))"
+                ") * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+                " / CAST(1000000.0 AS DOUBLE)) * 1000000.0) as bigint)"
             ).alias("lr_us"),
         )
     )
@@ -125,9 +127,8 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
-            F.round(
-                F.coalesce("w_us", F.lit(0)).cast("double") / 1000000.0, 6
-            ).alias("log_weight"),
+            _r6(
+                F.coalesce("w_us", F.lit(0)).cast("double") / 1000000.0).alias("log_weight"),
         )
         .orderBy("doc_id")
     )
@@ -151,10 +152,9 @@ totals AS (
 ),
 lr AS (
   SELECT COALESCE(t.feat, r.feat) AS feat,
-         CAST(round(round(
+         CAST(round((floor((
            ln((COALESCE(t.tcnt, 0) + 1) / CAST(tt.t_total + {N_BUCKETS} AS DOUBLE))
-           - ln((COALESCE(r.rcnt, 0) + 1) / CAST(tt.r_total + {N_BUCKETS} AS DOUBLE)),
-           6) * 1000000.0) AS BIGINT) AS lr_us
+           - ln((COALESCE(r.rcnt, 0) + 1) / CAST(tt.r_total + {N_BUCKETS} AS DOUBLE))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) * 1000000.0) AS BIGINT) AS lr_us
   FROM tcnt t FULL JOIN rcnt r ON t.feat = r.feat CROSS JOIN totals tt
 ),
 scored AS (
@@ -166,7 +166,7 @@ scored AS (
 )
 SELECT d.doc_id,
        CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
-       ROUND(CAST(COALESCE(s.w_us, 0) AS DOUBLE) / 1000000.0, 6) AS log_weight
+       (floor((CAST(COALESCE(s.w_us, 0) AS DOUBLE) / 1000000.0) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS log_weight
 FROM documents d LEFT JOIN scored s USING (doc_id)
 WHERE d.doc_id % {EVAL_MOD} != 0
 ORDER BY d.doc_id
@@ -191,10 +191,9 @@ totals AS (
 ),
 lr AS (
   SELECT COALESCE(t.feat, r.feat) AS feat,
-         CAST(round(round(
+         CAST(round((floor((
            ln((COALESCE(t.tcnt, 0) + 1) / CAST(tt.t_total + {N_BUCKETS} AS DOUBLE))
-           - ln((COALESCE(r.rcnt, 0) + 1) / CAST(tt.r_total + {N_BUCKETS} AS DOUBLE)),
-           6) * 1000000.0) AS BIGINT) AS lr_us
+           - ln((COALESCE(r.rcnt, 0) + 1) / CAST(tt.r_total + {N_BUCKETS} AS DOUBLE))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) * 1000000.0) AS BIGINT) AS lr_us
   FROM tcnt t FULL JOIN rcnt r ON t.feat = r.feat CROSS JOIN totals tt
 ),
 scored AS (
@@ -206,7 +205,7 @@ scored AS (
 )
 SELECT d.doc_id,
        CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
-       ROUND(CAST(COALESCE(s.w_us, 0) AS DOUBLE) / 1000000.0, 6) AS log_weight
+       (floor((CAST(COALESCE(s.w_us, 0) AS DOUBLE) / 1000000.0) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS log_weight
 FROM documents d LEFT JOIN scored s USING (doc_id)
 WHERE d.doc_id % {EVAL_MOD} != 0
 ORDER BY d.doc_id

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.rounding import r6 as _r6
+
 from .bm25 import (
     BM25_CTES_DUCK,
     BM25_CTES_SPARK,
@@ -61,11 +63,9 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.join(a, ["q_id", "id"], "full_outer")
         .withColumn(
             "rrf_score",
-            F.round(
+            _r6(
                 F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("b_rnk")), F.lit(0.0))
-                + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("a_rnk")), F.lit(0.0)),
-                6,
-            ),
+                + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("a_rnk")), F.lit(0.0))),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("rrf_score").desc(), F.col("id").asc())

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
 from ..materialize import materialize
+from ..functions.rounding import r6 as _r6
 from .dedup import _SHINGLES_SPARK_SQL, _SHINGLES_SQL, _with_shingles
 from .minhash import (
     BANDS,
@@ -105,12 +106,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "b_id",
             "h_id",
-            F.round(
+            _r6(
                 F.size(F.filter(
                     F.zip_with("sig_b", "sig_h", lambda x, y: x == y), lambda v: v
-                )).cast("double") / F.lit(float(NUM_PERM)),
-                6,
-            ).alias("est"),
+                )).cast("double") / F.lit(float(NUM_PERM))).alias("est"),
         )
         .filter(F.col("est") >= EST_THRESHOLD)
     )

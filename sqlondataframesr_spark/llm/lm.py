@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..materialize import materialize, spread_scan
+from ..functions.rounding import r6 as _r6
 
 #: interpolation weight of the ML bigram term (rest goes to the
 #: unigram continuation model) — 0.9 is the classic Jelinek-Mercer
@@ -46,7 +47,7 @@ LAMBDA_BI = 0.9
 NB_TEST_MOD = 5
 
 #: ln -> 6 dp -> integer micro-nats (exact BIGINT from here on)
-_MICRONATS = "cast(round(round(ln({p}), 6) * 1000000.0) as bigint)"
+_MICRONATS = "cast(round((floor((ln({p})) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) * 1000000.0) as bigint)"
 
 
 def _clean_tokens_expr() -> str:
@@ -140,11 +141,9 @@ def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-            F.round(
+            _r6(
                 F.col("sum_micronats").cast("double")
-                / (F.col("n_bigrams") * F.lit(1000000.0)),
-                6,
-            ).alias("avg_logprob"),
+                / (F.col("n_bigrams") * F.lit(1000000.0))).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )
@@ -167,8 +166,8 @@ c2 AS (SELECT t2, SUM(c12) AS c2 FROM c12 GROUP BY t2),
 tot AS (SELECT SUM(c12) AS t_total FROM c12),
 prob AS (
   SELECT c12.t1, c12.t2,
-         CAST(round(round(ln({LAMBDA_BI} * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
-              + {1 - LAMBDA_BI} * (CAST(c2.c2 AS DOUBLE) / CAST(tot.t_total AS DOUBLE))), 6)
+         CAST(round((floor((ln({LAMBDA_BI} * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+              + {1 - LAMBDA_BI} * (CAST(c2.c2 AS DOUBLE) / CAST(tot.t_total AS DOUBLE)))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
               * 1000000.0) AS BIGINT) AS micronats
   FROM c12 JOIN c1 USING (t1) JOIN c2 USING (t2) CROSS JOIN tot
 ),
@@ -182,7 +181,7 @@ LM_BIGRAM_LOGPROB_ORACLE = f"""
 WITH {_BI_STAGES_DUCK}
 SELECT d.doc_id,
        CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       ROUND(CAST(p.sum_micronats AS DOUBLE) / (p.n_bigrams * 1000000.0), 6)
+       (floor((CAST(p.sum_micronats AS DOUBLE) / (p.n_bigrams * 1000000.0)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
          AS avg_logprob
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 ORDER BY d.doc_id
@@ -206,8 +205,8 @@ c2 AS (SELECT t2, SUM(c12) AS c2 FROM c12 GROUP BY t2),
 tot AS (SELECT SUM(c12) AS t_total FROM c12),
 prob AS (
   SELECT c12.t1, c12.t2,
-         CAST(round(round(ln({LAMBDA_BI} * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
-              + {1 - LAMBDA_BI} * (CAST(c2.c2 AS DOUBLE) / CAST(tot.t_total AS DOUBLE))), 6)
+         CAST(round((floor((ln({LAMBDA_BI} * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+              + {1 - LAMBDA_BI} * (CAST(c2.c2 AS DOUBLE) / CAST(tot.t_total AS DOUBLE)))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
               * 1000000.0) AS BIGINT) AS micronats
   FROM c12 JOIN c1 USING (t1) JOIN c2 USING (t2) CROSS JOIN tot
 ),
@@ -221,7 +220,7 @@ LM_BIGRAM_LOGPROB_SPARK_SQL = f"""
 WITH {_BI_STAGES_SPARK}
 SELECT d.doc_id,
        CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       ROUND(CAST(p.sum_micronats AS DOUBLE) / (p.n_bigrams * 1000000.0), 6)
+       (floor((CAST(p.sum_micronats AS DOUBLE) / (p.n_bigrams * 1000000.0)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
          AS avg_logprob
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 ORDER BY d.doc_id
@@ -256,8 +255,8 @@ def lm_perplexity_tercile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(materialize)
     )
     cuts = s.groupBy("lang").agg(
-        F.round(F.percentile("avg_logprob", F.lit(1.0 / 3.0)), 6).alias("p33"),
-        F.round(F.percentile("avg_logprob", F.lit(2.0 / 3.0)), 6).alias("p66"),
+        _r6(F.percentile("avg_logprob", F.lit(1.0 / 3.0))).alias("p33"),
+        _r6(F.percentile("avg_logprob", F.lit(2.0 / 3.0))).alias("p66"),
     )
     return (
         s.join(F.broadcast(cuts), "lang")
@@ -278,15 +277,15 @@ LM_PERPLEXITY_TERCILE_GATE_ORACLE = f"""
 WITH {_BI_STAGES_DUCK},
 scored AS (
   SELECT d.doc_id, d.lang,
-         ROUND(CAST(p.sum_micronats AS DOUBLE) / (p.n_bigrams * 1000000.0), 6)
+         (floor((CAST(p.sum_micronats AS DOUBLE) / (p.n_bigrams * 1000000.0)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
            AS avg_logprob
   FROM documents d JOIN per_doc p USING (doc_id)
   WHERE p.n_bigrams > 0
 ),
 cuts AS (
   SELECT lang,
-         ROUND(quantile_cont(avg_logprob, 1.0/3.0), 6) AS p33,
-         ROUND(quantile_cont(avg_logprob, 2.0/3.0), 6) AS p66
+         (floor((quantile_cont(avg_logprob, 1.0/3.0)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS p33,
+         (floor((quantile_cont(avg_logprob, 2.0/3.0)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS p66
   FROM scored GROUP BY lang
 )
 SELECT s.doc_id, s.lang, s.avg_logprob,
@@ -301,15 +300,15 @@ LM_PERPLEXITY_TERCILE_GATE_SPARK_SQL = f"""
 WITH {_BI_STAGES_SPARK},
 scored AS (
   SELECT d.doc_id, d.lang,
-         ROUND(CAST(p.sum_micronats AS DOUBLE) / (p.n_bigrams * 1000000.0), 6)
+         (floor((CAST(p.sum_micronats AS DOUBLE) / (p.n_bigrams * 1000000.0)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
            AS avg_logprob
   FROM documents d JOIN per_doc p USING (doc_id)
   WHERE p.n_bigrams > 0
 ),
 cuts AS (
   SELECT lang,
-         ROUND(percentile(avg_logprob, 1.0D/3.0D), 6) AS p33,
-         ROUND(percentile(avg_logprob, 2.0D/3.0D), 6) AS p66
+         (floor((percentile(avg_logprob, 1.0D/3.0D)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS p33,
+         (floor((percentile(avg_logprob, 2.0D/3.0D)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS p66
   FROM scored GROUP BY lang
 )
 SELECT s.doc_id, s.lang, s.avg_logprob,
@@ -450,7 +449,7 @@ def _nb_stages(dialect: str) -> str:
             "SELECT doc_id, lang, is_test, explode(filter("
             "split(text, ' '), x -> x != '')) AS term FROM d"
         )
-    mn = "CAST(round(round(ln({p}), 6) * 1000000.0) AS BIGINT)"
+    mn = "CAST(round((floor((ln({p})) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) * 1000000.0) AS BIGINT)"
     return f"""d AS (
   SELECT doc_id, lang, text, doc_id % {NB_TEST_MOD} = 0 AS is_test FROM documents
 ),
@@ -614,11 +613,9 @@ def lm_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-            F.round(
+            _r6(
                 F.col("sum_micronats").cast("double")
-                / (F.col("n_bigrams") * F.lit(1000000.0)),
-                6,
-            ).alias("avg_logprob"),
+                / (F.col("n_bigrams") * F.lit(1000000.0))).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )
@@ -637,7 +634,7 @@ n1b AS (SELECT t2, COUNT(*) AS n1b FROM c12 GROUP BY t2),
 bt AS (SELECT COUNT(*) AS b_types FROM c12),
 prob AS (
   SELECT c12.t1, c12.t2,
-         CAST(round(round(ln({_KN_P}), 6) * 1000000.0) AS BIGINT)
+         CAST(round((floor((ln({_KN_P})) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) * 1000000.0) AS BIGINT)
            AS micronats
   FROM c12 JOIN c1 USING (t1) JOIN n1b USING (t2) CROSS JOIN bt
 ),
@@ -652,7 +649,7 @@ per_doc AS (
 _KN_FINAL = """
 SELECT d.doc_id,
        CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       ROUND(CAST(p.sum_micronats AS DOUBLE) / (p.n_bigrams * 1000000.0), 6)
+       (floor((CAST(p.sum_micronats AS DOUBLE) / (p.n_bigrams * 1000000.0)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
          AS avg_logprob
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 ORDER BY d.doc_id

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..materialize import materialize
 from ..catalog import load_table
+from ..functions.rounding import r6 as _r6
 from .dedup import _SHINGLES_SPARK_SQL, _SHINGLES_SQL, _with_shingles
 
 #: K signature positions = BANDS * ROWS_PER_BAND
@@ -121,12 +122,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            _r6(
                 F.size(F.filter(
                     F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-                )).cast("double") / F.lit(float(NUM_PERM)),
-                6,
-            ).alias("est_jaccard"),
+                )).cast("double") / F.lit(float(NUM_PERM))).alias("est_jaccard"),
         )
     )
     return (

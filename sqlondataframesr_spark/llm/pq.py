@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..materialize import materialize
+from ..functions.rounding import r6 as _r6
 from .similarity import (
     N_QUERIES,
     NLIST,
@@ -56,12 +57,12 @@ KSUB = 16
 
 #: squared-L2 subspace distance in integer micro-units (engine-exact)
 _D_US_SPARK = (
-    "cast(round(round(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
-    " 0D, (acc, x) -> acc + x), 6) * 1000000.0) as bigint)"
+    "cast(round((floor((aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " 0D, (acc, x) -> acc + x)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) * 1000000.0) as bigint)"
 )
 _D_US_DUCK = (
-    "CAST(round(round(list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i])"
-    f" for i in range(1, {SUB_DIM + 1})]), 6) * 1000000.0) AS BIGINT)"
+    "CAST(round((floor((list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i])"
+    f" for i in range(1, {SUB_DIM + 1})])) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) * 1000000.0) AS BIGINT)"
 )
 
 
@@ -114,7 +115,7 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "codes",
-            F.round(F.col("qerr_us").cast("double") / 1000000.0, 6).alias("qerr"),
+            _r6(F.col("qerr_us").cast("double") / 1000000.0).alias("qerr"),
         )
         .orderBy("vec_id")
     )
@@ -159,7 +160,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(F.col("dist_us").cast("double") / 1000000.0, 6).alias("adc_dist"),
+            _r6(F.col("dist_us").cast("double") / 1000000.0).alias("adc_dist"),
             "rnk",
         )
         .orderBy("q_id", "rnk")
@@ -266,7 +267,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "neighbor_id",
-            F.round(F.col("dist_us").cast("double") / 1000000.0, 6).alias("adc_dist"),
+            _r6(F.col("dist_us").cast("double") / 1000000.0).alias("adc_dist"),
             F.expr(_COS.format(a="qv", b="v", na="qn", nb="nrm")).alias("cosine"),
         )
     )
@@ -322,7 +323,7 @@ short AS (
   FROM approx),
 rer AS (
   SELECT s.q_id, s.neighbor_id,
-         round(CAST(s.dist_us AS DOUBLE) / 1000000.0, 6) AS adc_dist,
+         (floor((CAST(s.dist_us AS DOUBLE) / 1000000.0) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS adc_dist,
          {cos.format(a='q.v', b='c.v', na='q.nrm', nb='c.nrm')} AS cosine
   FROM short s
   JOIN vec q ON q.vec_id = s.q_id
@@ -382,7 +383,7 @@ def _pq_encode_sql(dialect: str) -> str:
         + ",\n".join(_pq_parts(dialect))
         + f"""
 SELECT vec_id, {codes} AS codes,
-       round(CAST(SUM(d_us) AS DOUBLE) / 1000000.0, 6) AS qerr
+       (floor((CAST(SUM(d_us) AS DOUBLE) / 1000000.0) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS qerr
 FROM best GROUP BY vec_id ORDER BY vec_id"""
     )
 
@@ -408,7 +409,7 @@ r AS (
                                ORDER BY dist_us, vec_id) AS rnk
   FROM approx)
 SELECT q_id, vec_id AS neighbor_id,
-       round(CAST(dist_us AS DOUBLE) / 1000000.0, 6) AS adc_dist, rnk
+       (floor((CAST(dist_us AS DOUBLE) / 1000000.0) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS adc_dist, rnk
 FROM r WHERE rnk <= {TOP_K} ORDER BY q_id, rnk"""
     )
 

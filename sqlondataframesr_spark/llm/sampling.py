@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..materialize import materialize
+from ..functions.rounding import r6 as _r6
 
 #: hash-bucket split boundaries (out of 100): [0,80) train, [80,90) val,
 #: [90,100) test
@@ -190,9 +191,8 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard cosine trick), ties break on doc_id.
     """
     docs = load_table(spark, sf_dir, "documents")
-    key = F.round(
-        F.expr(f"power({_U_SPARK}, 1.0 / cast(n_chars as double))"), 6
-    )
+    key = _r6(
+        F.expr(f"power({_U_SPARK}, 1.0 / cast(n_chars as double))"))
     return (
         docs.filter(F.col("n_chars") > 0)
         .select("doc_id", "n_chars", key.alias("es_key"))
@@ -203,7 +203,7 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_WEIGHTED_RESERVOIR_ORACLE = f"""
 SELECT doc_id, n_chars,
-       ROUND(POW({_U_DUCK}, 1.0 / CAST(n_chars AS DOUBLE)), 6) AS es_key
+       (floor((POW({_U_DUCK}, 1.0 / CAST(n_chars AS DOUBLE))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS es_key
 FROM documents
 WHERE n_chars > 0
 ORDER BY es_key DESC, doc_id
@@ -212,7 +212,7 @@ LIMIT {RESERVOIR_K}
 
 SAMPLE_WEIGHTED_RESERVOIR_SPARK_SQL = f"""
 SELECT doc_id, n_chars,
-       ROUND(POWER({_U_SPARK}, 1.0 / CAST(n_chars AS DOUBLE)), 6) AS es_key
+       (floor((POWER({_U_SPARK}, 1.0 / CAST(n_chars AS DOUBLE))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS es_key
 FROM documents
 WHERE n_chars > 0
 ORDER BY es_key DESC, doc_id
@@ -378,7 +378,7 @@ def sample_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").alias("lang_tokens"),
             F.col("cap").alias("cap_tokens"),
             "alloc_tokens",
-            F.round(F.col("alloc_tokens") / F.col("t"), 6).alias("epochs"),
+            _r6(F.col("alloc_tokens") / F.col("t")).alias("epochs"),
             "capped",
         )
         .orderBy("lang")
@@ -424,8 +424,8 @@ m AS (
 SELECT lang, t AS lang_tokens, cap AS cap_tokens,
        round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
                   ELSE (budget - paid) / (k - m) END, 2) AS alloc_tokens,
-       round(round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
-                        ELSE (budget - paid) / (k - m) END, 2) / t, 6) AS epochs,
+       (floor((round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+                        ELSE (budget - paid) / (k - m) END, 2) / t) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS epochs,
        capped
 FROM f CROSS JOIN m
 ORDER BY lang

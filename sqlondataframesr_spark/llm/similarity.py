@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..materialize import materialize, spread_scan
 from ..catalog import load_table
 from ..functions import vector as V
+from ..functions.rounding import r6 as _r6
 
 DIM = 64
 NUM_PLANES = 16
@@ -582,7 +583,7 @@ _VEC_SQL = """
   FROM embeddings
 """
 
-# floor-based 6-dp rounding, not ROUND(x, 6): engine-portable at
+# floor-based 6-dp rounding, not (floor((x) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)): engine-portable at
 # decimal ties (see functions/vector.py cosine, r11 skew finding)
 _COS_DUCK = (
     "(floor((list_sum([{a}[i] * {b}[i] for i in range(1, " + str(DIM + 1) + ")])"
@@ -776,13 +777,11 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "max_err",
             F.when(F.col("scale") > 0,
-                   F.round(
+                   _r6(
                        F.expr(
                            "array_max(transform(zip_with(v, q_emb,"
                            " (x, q) -> abs(x - q / scale)), e -> e))"
-                       ),
-                       6,
-                   )).otherwise(F.lit(0.0)),
+                       ))).otherwise(F.lit(0.0)),
         )
         .select(
             "vec_id",
@@ -791,7 +790,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "array_join(transform(q_emb, x -> cast(x as string)), ',')"
             ).alias("q_emb_str"),
-            F.round("scale", 6).alias("scale"),
+            _r6("scale").alias("scale"),
             "max_err",
         )
         .orderBy("vec_id")
@@ -821,11 +820,11 @@ q AS (
 )
 SELECT vec_id,
        array_to_string(list_transform(q_emb, x -> CAST(x AS VARCHAR)), ',') AS q_emb_str,
-       ROUND(scale, 6) AS scale,
+       (floor((scale) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS scale,
        CASE WHEN scale > 0
-            THEN ROUND(list_max(list_transform(
+            THEN (floor((list_max(list_transform(
                    list_zip(v, q_emb),
-                   p -> abs(p[1] - p[2] / scale))), 6)
+                   p -> abs(p[1] - p[2] / scale)))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
             ELSE 0.0 END AS max_err
 FROM q
 ORDER BY vec_id
@@ -1578,10 +1577,10 @@ q AS (
 )
 SELECT vec_id,
        array_join(transform(q_emb, x -> cast(x as string)), ',') AS q_emb_str,
-       round(scale, 6) AS scale,
+       (floor((scale) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS scale,
        CASE WHEN scale > 0
-            THEN round(array_max(transform(zip_with(v, q_emb,
-                   (x, qq) -> abs(x - qq / scale)), e -> e)), 6)
+            THEN (floor((array_max(transform(zip_with(v, q_emb,
+                   (x, qq) -> abs(x - qq / scale)), e -> e))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
             ELSE 0.0D END AS max_err
 FROM q
 ORDER BY vec_id

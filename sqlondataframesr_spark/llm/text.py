@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
+from ..functions.rounding import r6 as _r6
 
 #: Tiny per-language stopword lists for the n-gram/stopword language
 #: heuristic. Order matters: it is the deterministic tie-break.
@@ -83,11 +84,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "source",
-        F.round(F.size(F.array_distinct(w)).cast("double") / n_tok, 6).alias(
+        _r6(F.size(F.array_distinct(w)).cast("double") / n_tok).alias(
             "type_token_ratio"
         ),
-        F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
-        F.round(n_digit_chars / F.length("text").cast("double"), 6).alias(
+        _r6(n_stop / n_tok).alias("stopword_ratio"),
+        _r6(n_digit_chars / F.length("text").cast("double")).alias(
             "digit_ratio"
         ),
     )
@@ -98,12 +99,12 @@ _EN_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"]) + "]"
 TEXT_QUALITY_SCORE_ORACLE = f"""
 WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents)
 SELECT doc_id, source,
-       ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE), 6)
+       (floor((CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
          AS type_token_ratio,
-       ROUND(CAST(len(list_filter(w, t -> list_contains({_EN_LIST_SQL}, t))) AS DOUBLE)
-             / CAST(len(w) AS DOUBLE), 6) AS stopword_ratio,
-       ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-             / CAST(length(text) AS DOUBLE), 6) AS digit_ratio
+       (floor((CAST(len(list_filter(w, t -> list_contains({_EN_LIST_SQL}, t))) AS DOUBLE)
+             / CAST(len(w) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS stopword_ratio,
+       (floor((CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS digit_ratio
 FROM t
 """
 
@@ -279,14 +280,12 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_tok", F.sum("tf").over(w_doc))
         .withColumn(
             "score",
-            F.round(
+            _r6(
                 (F.col("tf").cast("double") / F.col("n_tok").cast("double"))
                 * F.log(
                     (F.col("n_docs").cast("double") + 1)
                     / (F.col("df").cast("double") + 1)
-                ),
-                6,
-            ),
+                )),
         )
     )
     w_rank = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
@@ -305,8 +304,8 @@ dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 nd AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
-         ROUND((CAST(tf.tf AS DOUBLE) / CAST(SUM(tf.tf) OVER (PARTITION BY tf.doc_id) AS DOUBLE))
-               * ln((CAST(n_docs AS DOUBLE) + 1) / (CAST(df AS DOUBLE) + 1)), 6) AS score
+         (floor(((CAST(tf.tf AS DOUBLE) / CAST(SUM(tf.tf) OVER (PARTITION BY tf.doc_id) AS DOUBLE))
+               * ln((CAST(n_docs AS DOUBLE) + 1) / (CAST(df AS DOUBLE) + 1))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS score
   FROM tf JOIN dfq USING (term) CROSS JOIN nd
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
@@ -437,8 +436,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct",
             "top_term",
             "top_tf",
-            F.round(F.col("top_tf") / F.col("n_tokens"), 6).alias("repetition_ratio"),
-            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+            _r6(F.col("top_tf") / F.col("n_tokens")).alias("repetition_ratio"),
+            _r6(F.col("n_distinct") / F.col("n_tokens")).alias("distinct_ratio"),
         )
         .orderBy("doc_id")
     )
@@ -467,8 +466,8 @@ top AS (
   WHERE rn = 1
 )
 SELECT r.doc_id, r.n_tokens, r.n_distinct, t.top_term, r.top_tf,
-       ROUND(CAST(r.top_tf AS DOUBLE) / r.n_tokens, 6) AS repetition_ratio,
-       ROUND(CAST(r.n_distinct AS DOUBLE) / r.n_tokens, 6) AS distinct_ratio
+       (floor((CAST(r.top_tf AS DOUBLE) / r.n_tokens) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS repetition_ratio,
+       (floor((CAST(r.n_distinct AS DOUBLE) / r.n_tokens) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS distinct_ratio
 FROM rolled r JOIN top t USING (doc_id)
 ORDER BY r.doc_id
 """
@@ -506,8 +505,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "micronats",
             F.expr(
-                "cast(round(round(ln(cast(ctf as double)"
-                " / cast(total as double)), 6) * 1000000.0) as bigint)"
+                "cast(round((floor((ln(cast(ctf as double)"
+                " / cast(total as double))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) * 1000000.0) as bigint)"
             ),
         )
     )
@@ -520,11 +519,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.round(
+            _r6(
                 F.col("sum_micronats").cast("double")
-                / (F.col("n_tokens") * F.lit(1000000.0)),
-                6,
-            ).alias("avg_logprob"),
+                / (F.col("n_tokens") * F.lit(1000000.0))).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )
@@ -542,15 +539,15 @@ ctf AS (SELECT term, SUM(tf) AS ctf FROM tf GROUP BY term),
 tot AS (SELECT SUM(ctf) AS total FROM ctf),
 scored AS (
   SELECT tf.doc_id, tf.tf,
-         CAST(round(round(ln(CAST(ctf.ctf AS DOUBLE)
-              / CAST(tot.total AS DOUBLE)), 6) * 1000000.0) AS BIGINT)
+         CAST(round((floor((ln(CAST(ctf.ctf AS DOUBLE)
+              / CAST(tot.total AS DOUBLE))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) * 1000000.0) AS BIGINT)
            AS micronats
   FROM tf JOIN ctf USING (term) CROSS JOIN tot
 )
 SELECT doc_id,
        CAST(SUM(tf) AS BIGINT) AS n_tokens,
-       ROUND(CAST(SUM(tf * micronats) AS DOUBLE)
-             / (SUM(tf) * 1000000.0), 6) AS avg_logprob
+       (floor((CAST(SUM(tf * micronats) AS DOUBLE)
+             / (SUM(tf) * 1000000.0)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS avg_logprob
 FROM scored
 GROUP BY doc_id
 ORDER BY doc_id
@@ -746,12 +743,12 @@ FROM documents
     "text_quality_score": f"""
 WITH t AS (SELECT doc_id, source, text, split(text, ' ') AS w FROM documents)
 SELECT doc_id, source,
-       ROUND(CAST(size(array_distinct(w)) AS DOUBLE) / CAST(size(w) AS DOUBLE), 6)
+       (floor((CAST(size(array_distinct(w)) AS DOUBLE) / CAST(size(w) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
          AS type_token_ratio,
-       ROUND(CAST(size(filter(w, t -> array_contains({_EN_ARRAY_SPARK}, t))) AS DOUBLE)
-             / CAST(size(w) AS DOUBLE), 6) AS stopword_ratio,
-       ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '')) AS DOUBLE)
-             / CAST(length(text) AS DOUBLE), 6) AS digit_ratio
+       (floor((CAST(size(filter(w, t -> array_contains({_EN_ARRAY_SPARK}, t))) AS DOUBLE)
+             / CAST(size(w) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS stopword_ratio,
+       (floor((CAST(length(text) - length(regexp_replace(text, '[0-9]', '')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS digit_ratio
 FROM t
 """,
     "lang_id_stopword": _lang_id_spark_sql(),
@@ -784,9 +781,9 @@ dfq AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
 nd AS (SELECT COUNT(1) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
-         ROUND((CAST(tf.tf AS DOUBLE)
+         (floor(((CAST(tf.tf AS DOUBLE)
                 / CAST(SUM(tf.tf) OVER (PARTITION BY tf.doc_id) AS DOUBLE))
-               * ln((CAST(n_docs AS DOUBLE) + 1) / (CAST(df AS DOUBLE) + 1)), 6)
+               * ln((CAST(n_docs AS DOUBLE) + 1) / (CAST(df AS DOUBLE) + 1))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
            AS score
   FROM tf JOIN dfq USING (term) CROSS JOIN nd
 ),
@@ -834,8 +831,8 @@ SELECT doc_id,
        COUNT(1) AS n_distinct,
        min_by(term, struct(-tf, term)) AS top_term,
        MAX(tf) AS top_tf,
-       ROUND(MAX(tf) / SUM(tf), 6) AS repetition_ratio,
-       ROUND(COUNT(1) / SUM(tf), 6) AS distinct_ratio
+       (floor((MAX(tf) / SUM(tf)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS repetition_ratio,
+       (floor((COUNT(1) / SUM(tf)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS distinct_ratio
 FROM tf GROUP BY doc_id ORDER BY doc_id
 """,
     "text_unigram_logprob": """
@@ -850,15 +847,15 @@ ctf AS (SELECT term, SUM(tf) AS ctf FROM tf GROUP BY term),
 tot AS (SELECT SUM(ctf) AS total FROM ctf),
 scored AS (
   SELECT tf.doc_id, tf.tf,
-         CAST(round(round(ln(CAST(ctf.ctf AS DOUBLE)
-              / CAST(tot.total AS DOUBLE)), 6) * 1000000.0) AS BIGINT)
+         CAST(round((floor((ln(CAST(ctf.ctf AS DOUBLE)
+              / CAST(tot.total AS DOUBLE))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) * 1000000.0) AS BIGINT)
            AS micronats
   FROM tf JOIN ctf USING (term) CROSS JOIN tot
 )
 SELECT doc_id,
        SUM(tf) AS n_tokens,
-       ROUND(CAST(SUM(tf * micronats) AS DOUBLE)
-             / (SUM(tf) * 1000000.0D), 6) AS avg_logprob
+       (floor((CAST(SUM(tf * micronats) AS DOUBLE)
+             / (SUM(tf) * 1000000.0D)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS avg_logprob
 FROM scored
 GROUP BY doc_id
 ORDER BY doc_id

@@ -31,6 +31,8 @@ from __future__ import annotations
 import hashlib
 import os
 
+from sqlondataframesr_spark.functions.rounding import r6_py as _r6py
+
 #: scales the expected tables are precomputed for (the correctness
 #: gates; bench at sf0.1 never evaluates oracles)
 _DEFAULT_SFS = "/root/testdata/sf0.001:/root/testdata/sf0.01"
@@ -102,9 +104,9 @@ def _expected_frames(sf_dir: str):
             px = _pixels(payload, width, height)
             img_rows.append((
                 doc_id, px.shape[1], px.shape[0],
-                round(float(px.mean()), 6),
-                round(float(px.std()), 6),
-                round(float((px > 0).mean()), 6),
+                _r6py(float(px.mean())),
+                _r6py(float(px.std())),
+                _r6py(float((px > 0).mean())),
             ))
         elif media_type == "audio":
             pcm = np.frombuffer(payload, np.uint8).astype(np.float64) - 128.0
@@ -116,10 +118,10 @@ def _expected_frames(sf_dir: str):
                 zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
                 aud_rows.append((
                     doc_id, n, int(round(n / 8000 * 1000)),
-                    round(float(np.sqrt(np.mean(pcm * pcm))), 6),
-                    round(zc / max(n - 1, 1), 6),
+                    _r6py(float(np.sqrt(np.mean(pcm * pcm)))),
+                    _r6py(zc / max(n - 1, 1)),
                     int(np.max(np.abs(pcm))),
-                    round(float(np.mean(np.abs(pcm) >= 127.0)), 6),
+                    _r6py(float(np.mean(np.abs(pcm) >= 127.0))),
                 ))
         else:  # video: 1 frame/s, duration 1 + doc_id % 30
             duration_s = 1 + doc_id % 30

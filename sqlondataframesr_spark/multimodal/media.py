@@ -231,8 +231,16 @@ def decode_image(media: DataFrame) -> DataFrame:
     # nested so cloudpickle ships it by value (executors of an external
     # driver have no import path to this package)
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
         import numpy as np
         import pandas as pd
+
+        # local twin of functions/rounding.r6_py — the body must stay
+        # self-contained (no package globals: executors of an external
+        # driver can't import this package)
+        def _r6py(x):
+            return math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
         magic, header = b"SIMG", 8
 
@@ -262,9 +270,9 @@ def decode_image(media: DataFrame) -> DataFrame:
                         "doc_id": doc_id,
                         "width": px.shape[1],
                         "height": px.shape[0],
-                        "mean_luma": round(float(px.mean()), 6),
-                        "std_luma": round(float(px.std()), 6),
-                        "nonzero_frac": round(float((px > 0).mean()), 6),
+                        "mean_luma": _r6py(float(px.mean())),
+                        "std_luma": _r6py(float(px.std())),
+                        "nonzero_frac": _r6py(float((px > 0).mean())),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -454,8 +462,14 @@ def decode_audio(media: DataFrame) -> DataFrame:
     # nested so cloudpickle ships it by value (external drivers have
     # no import path to this package on executors)
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
         import numpy as np
         import pandas as pd
+
+        # local twin of functions/rounding.r6_py (see image decode)
+        def _r6py(x):
+            return math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
         sr = 8000
         for pdf in batches:
@@ -478,10 +492,10 @@ def decode_audio(media: DataFrame) -> DataFrame:
                         "doc_id": doc_id,
                         "n_samples": n,
                         "duration_ms": int(round(n / sr * 1000)),
-                        "rms": round(float(np.sqrt(np.mean(pcm * pcm))), 6),
-                        "zcr": round(zc / max(n - 1, 1), 6),
+                        "rms": _r6py(float(np.sqrt(np.mean(pcm * pcm)))),
+                        "zcr": _r6py(zc / max(n - 1, 1)),
                         "peak": int(np.max(np.abs(pcm))),
-                        "clip_frac": round(float(np.mean(np.abs(pcm) >= 127.0)), 6),
+                        "clip_frac": _r6py(float(np.mean(np.abs(pcm) >= 127.0))),
                     }
                 )
             yield pd.DataFrame(rows)

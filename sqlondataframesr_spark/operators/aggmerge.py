@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
+from ..functions.rounding import r6 as _r6
 
 def _state_aggs() -> list:
     """The mergeable state per key — a function, not a module
@@ -59,11 +60,9 @@ def merge_states(states: DataFrame, *keys: str) -> DataFrame:
         F.round(F.col("sum_c").cast("double") / 100.0, 2).alias("total_value"),
         F.round(F.col("min_c").cast("double") / 100.0, 2).alias("min_value"),
         F.round(F.col("max_c").cast("double") / 100.0, 2).alias("max_value"),
-        F.round(
+        _r6(
             (F.col("sum_c").cast("double") / F.col("n_events").cast("double"))
-            / 100.0,
-            6,
-        ).alias("avg_value"),
+            / 100.0).alias("avg_value"),
     )
 
 

@@ -274,7 +274,7 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.selectExpr(
         "c_nationkey",
         "exact_n",
-        f"round({noise}, 6) as noise",
+        f"(floor(({noise}) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) as noise",
         f"greatest(cast(round(cast(exact_n as double) + {noise})"
         " as bigint), 0L) as noisy_n",
         f"abs(greatest(cast(round(cast(exact_n as double) + {noise})"
@@ -291,7 +291,7 @@ WITH counts AS (
     FROM customer GROUP BY c_nationkey
 )
 SELECT c_nationkey, exact_n,
-       round((ln({_DP_U1}) - ln({_DP_U2})) / {DP_EPS}, 6) AS noise,
+       (floor(((ln({_DP_U1}) - ln({_DP_U2})) / {DP_EPS}) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS noise,
        greatest(CAST(round(CAST(exact_n AS DOUBLE)
                 + (ln({_DP_U1}) - ln({_DP_U2})) / {DP_EPS}) AS BIGINT),
                 0) AS noisy_n,

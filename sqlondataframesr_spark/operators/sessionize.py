@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
+from ..functions.rounding import r6 as _r6
 
 #: maximal intra-session gap, seconds. The synthetic events stream has
 #: a ~7 h median inter-event gap per user (sf0.01), so 4 h yields a
@@ -52,7 +53,7 @@ TOP_SESSIONS_K = 15
 #: binds on this corpus and the cap report proves it
 USER_EVENTS_CAP = 80
 
-_VAL_MICRO = "cast(round(round(value, 6) * 1000000.0) as bigint)"
+_VAL_MICRO = "cast(round((floor((value) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) * 1000000.0) as bigint)"
 
 
 def _assigned(
@@ -105,10 +106,10 @@ def _sessions(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.round((F.max("t_us") - F.min("t_us")) / F.lit(1_000_000.0), 6).alias(
+        _r6((F.max("t_us") - F.min("t_us")) / F.lit(1_000_000.0)).alias(
             "duration_s"
         ),
-        F.round(F.sum("v_micro") / F.lit(1_000_000.0), 6).alias("total_value"),
+        _r6(F.sum("v_micro") / F.lit(1_000_000.0)).alias("total_value"),
     )
 
 
@@ -127,11 +128,9 @@ def evt_sessionize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_sessions"),
             # duration_s is micro-exact (6dp multiple); avg over exact
             # micro-units keeps the mean order-invariant
-            F.round(
+            _r6(
                 F.sum(F.expr("cast(round(duration_s * 1000000.0) as bigint)"))
-                / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
-                6,
-            ).alias("avg_duration_s"),
+                / (F.count(F.lit(1)) * F.lit(1_000_000.0))).alias("avg_duration_s"),
             F.max("duration_s").alias("max_duration_s"),
         )
         .orderBy("n_events")
@@ -184,7 +183,7 @@ def _sessions_cte(epoch: str, cap: int | None = None) -> str:
     return f"""
   WITH {capped}flagged AS (
     SELECT user_id, ts, event_id, event_type,
-           CAST(round(round(value, 6) * 1000000.0) AS BIGINT) AS v_micro,
+           CAST(round((floor((value) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) * 1000000.0) AS BIGINT) AS v_micro,
            {epoch}(ts) AS t_us,
            CASE WHEN {epoch}(ts) - lag({epoch}(ts)) OVER
                      (PARTITION BY user_id ORDER BY ts, event_id) <= {_GAP_US}
@@ -201,8 +200,8 @@ def _sessions_cte(epoch: str, cap: int | None = None) -> str:
     SELECT user_id, session_id,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND((MAX(t_us) - MIN(t_us)) / CAST(1000000 AS DOUBLE), 6) AS duration_s,
-           ROUND(SUM(v_micro) / CAST(1000000 AS DOUBLE), 6) AS total_value
+           (floor(((MAX(t_us) - MIN(t_us)) / CAST(1000000 AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS duration_s,
+           (floor((SUM(v_micro) / CAST(1000000 AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS total_value
     FROM assigned GROUP BY user_id, session_id
   )
 """
@@ -216,8 +215,8 @@ _SESSIONS_SPARK_CAPPED = _sessions_cte("unix_micros", USER_EVENTS_CAP)
 _PROFILE_BODY = """
   SELECT n_events,
          CAST(COUNT(*) AS BIGINT) AS n_sessions,
-         ROUND(SUM(CAST(round(duration_s * 1000000.0) AS BIGINT))
-               / (COUNT(*) * CAST(1000000 AS DOUBLE)), 6) AS avg_duration_s,
+         (floor((SUM(CAST(round(duration_s * 1000000.0) AS BIGINT))
+               / (COUNT(*) * CAST(1000000 AS DOUBLE))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS avg_duration_s,
          MAX(duration_s) AS max_duration_s
   FROM sess GROUP BY n_events ORDER BY n_events
 """
@@ -257,11 +256,9 @@ def evt_sessionize_profile_capped(
         s.groupBy("n_events")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_sessions"),
-            F.round(
+            _r6(
                 F.sum(F.expr("cast(round(duration_s * 1000000.0) as bigint)"))
-                / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
-                6,
-            ).alias("avg_duration_s"),
+                / (F.count(F.lit(1)) * F.lit(1_000_000.0))).alias("avg_duration_s"),
             F.max("duration_s").alias("max_duration_s"),
         )
         .orderBy("n_events")
@@ -583,13 +580,12 @@ def evt_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lat.agg(
         F.count(F.lit(1)).cast("long").alias("n_converted"),
-        F.round(
-            F.sum("lat_us") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
-        ).alias("mean_latency_s"),
-        F.round(F.percentile("lat_us", F.lit(0.5)) / F.lit(1_000_000.0), 6).alias(
+        _r6(
+            F.sum("lat_us") / (F.count(F.lit(1)) * F.lit(1_000_000.0))).alias("mean_latency_s"),
+        _r6(F.percentile("lat_us", F.lit(0.5)) / F.lit(1_000_000.0)).alias(
             "p50_s"
         ),
-        F.round(F.percentile("lat_us", F.lit(0.9)) / F.lit(1_000_000.0), 6).alias(
+        _r6(F.percentile("lat_us", F.lit(0.9)) / F.lit(1_000_000.0)).alias(
             "p90_s"
         ),
     )
@@ -610,10 +606,10 @@ _LATENCY_BODY = """
     GROUP BY a.user_id, a.session_id
   )
   SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
-         ROUND(SUM(lat_us) / (COUNT(*) * CAST(1000000 AS DOUBLE)), 6)
+         (floor((SUM(lat_us) / (COUNT(*) * CAST(1000000 AS DOUBLE))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
            AS mean_latency_s,
-         ROUND({P50} / CAST(1000000 AS DOUBLE), 6) AS p50_s,
-         ROUND({P90} / CAST(1000000 AS DOUBLE), 6) AS p90_s
+         (floor(({P50} / CAST(1000000 AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS p50_s,
+         (floor(({P90} / CAST(1000000 AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS p90_s
   FROM lat
 """
 

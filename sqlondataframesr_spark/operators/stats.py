@@ -975,8 +975,8 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(test_cov))
         .selectExpr(
             "n_train",
-            "round(slope, 6) as slope",
-            "round(intercept, 6) as intercept",
+            "(floor((slope) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) as slope",
+            "(floor((intercept) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) as intercept",
             "m as n_cal",
             "q90_resid_usd",
             "n_test",
@@ -1047,8 +1047,8 @@ cov AS (
     FROM hist h CROSS JOIN q WHERE h.split = 'test'
 )
 SELECT t.n_train,
-       round(t.slope, 6) AS slope,
-       round(t.intercept, 6) AS intercept,
+       (floor((t.slope) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS slope,
+       (floor((t.intercept) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS intercept,
        CAST(q.m AS BIGINT) AS n_cal,
        q.q90_resid_usd,
        t.n_test,

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
+from ..functions.rounding import r6 as _r6
 
 RICH_BAL = 9000.0
 RECENT = "1998-01-01"
@@ -309,13 +310,13 @@ def q15_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_linestatus",
         "n",
-        F.expr("ROUND(CAST(s AS DOUBLE) / n, 6)").alias("avg_qty"),
+        F.expr("(floor((CAST(s AS DOUBLE) / n) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))").alias("avg_qty"),
         "min_qty",
         "max_qty",
         "n_parts",
         F.expr(
-            "ROUND(SQRT((n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
-            " / (CAST(n AS DOUBLE) * (n - 1))), 6)"
+            "(floor((SQRT((n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * (n - 1)))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))"
         ).alias("stddev_qty"),
     ).orderBy("l_returnflag", "l_linestatus")
 
@@ -333,10 +334,10 @@ WITH g AS (
   GROUP BY l_returnflag, l_linestatus
 )
 SELECT l_returnflag, l_linestatus, n,
-       ROUND(CAST(s AS DOUBLE) / n, 6) AS avg_qty,
+       (floor((CAST(s AS DOUBLE) / n) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS avg_qty,
        min_qty, max_qty, n_parts,
-       ROUND(SQRT((n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-             / (CAST(n AS DOUBLE) * (n - 1))), 6) AS stddev_qty
+       (floor((SQRT((n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (n - 1)))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS stddev_qty
 FROM g
 ORDER BY l_returnflag, l_linestatus
 """
@@ -1006,7 +1007,7 @@ def q28_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = Window.partitionBy()
     return (
         hist.withColumn(
-            "share", F.round(F.col("n_orders") / F.sum("n_orders").over(total), 6)
+            "share", _r6(F.col("n_orders") / F.sum("n_orders").over(total))
         )
         .select(
             "bucket",
@@ -1027,7 +1028,7 @@ WITH hist AS (
 SELECT bucket,
        CAST(bucket * {BUCKET_W} AS DOUBLE) AS bucket_lo,
        n_orders,
-       ROUND(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 6) AS share
+       (floor((CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER ()) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS share
 FROM hist
 ORDER BY bucket
 """
@@ -1063,14 +1064,12 @@ def q29_price_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             # pr/cd are per-row-identical doubles across engines, but a
             # raw AVG sums them in engine-specific order — quantize each
             # to integer micros so the sum is exact, then divide once
-            F.round(
+            _r6(
                 F.sum(F.expr("cast(round(pr * 1e6) as bigint)")).cast("double")
-                / F.count(F.lit(1)) / F.lit(1e6), 6
-            ).alias("avg_pct_rank"),
-            F.round(
+                / F.count(F.lit(1)) / F.lit(1e6)).alias("avg_pct_rank"),
+            _r6(
                 F.sum(F.expr("cast(round(cd * 1e6) as bigint)")).cast("double")
-                / F.count(F.lit(1)) / F.lit(1e6), 6
-            ).alias("avg_cume_dist"),
+                / F.count(F.lit(1)) / F.lit(1e6)).alias("avg_cume_dist"),
         )
         .orderBy("o_orderpriority", "quartile")
     )
@@ -1089,8 +1088,8 @@ SELECT o_orderpriority, quartile,
        CAST(count(*) AS BIGINT) AS n,
        round(min(o_totalprice), 2) AS min_price,
        round(max(o_totalprice), 2) AS max_price,
-       round(CAST(sum(CAST(round(pr * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS avg_pct_rank,
-       round(CAST(sum(CAST(round(cd * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS avg_cume_dist
+       (floor((CAST(sum(CAST(round(pr * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS avg_pct_rank,
+       (floor((CAST(sum(CAST(round(cd * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS avg_cume_dist
 FROM ranked
 GROUP BY o_orderpriority, quartile
 ORDER BY o_orderpriority, quartile
@@ -1181,7 +1180,7 @@ def q31_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
             "day_offset",
             "n_users",
-            F.round(F.col("n_users") / F.col("cohort_size"), 6).alias("retained_share"),
+            _r6(F.col("n_users") / F.col("cohort_size")).alias("retained_share"),
         )
         .orderBy("cohort_day", "day_offset")
     )
@@ -1204,9 +1203,9 @@ matrix AS (
 SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
        day_offset,
        CAST(n_users AS BIGINT) AS n_users,
-       round(CAST(n_users AS DOUBLE) /
+       (floor((CAST(n_users AS DOUBLE) /
              MAX(CASE WHEN day_offset = 0 THEN n_users END)
-               OVER (PARTITION BY cohort_d), 6) AS retained_share
+               OVER (PARTITION BY cohort_d)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS retained_share
 FROM matrix
 ORDER BY cohort_day, day_offset
 """
@@ -1233,16 +1232,15 @@ def q32_unpivot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("value").alias("n_distinct"),
-            F.round(F.min("value"), 6).alias("min_v"),
-            F.round(F.max("value"), 6).alias("max_v"),
+            _r6(F.min("value")).alias("min_v"),
+            _r6(F.max("value")).alias("max_v"),
             # integer-micros mean: a raw avg(double) diverged from the
             # oracle at the 6th decimal (summation-order nondeterminism,
             # CORRECTNESS_r02 q32) — quantize per row, sum exact bigints,
             # divide once
-            F.round(
+            _r6(
                 F.sum(F.expr("cast(round(value * 1e6) as bigint)")).cast("double")
-                / F.count(F.lit(1)) / F.lit(1e6), 6
-            ).alias("avg_v"),
+                / F.count(F.lit(1)) / F.lit(1e6)).alias("avg_v"),
         )
         .orderBy("metric")
     )
@@ -1258,9 +1256,9 @@ WITH melted AS (
 SELECT metric,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
-       round(min(value), 6) AS min_v,
-       round(max(value), 6) AS max_v,
-       round(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS avg_v
+       (floor((min(value)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS min_v,
+       (floor((max(value)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS max_v,
+       (floor((CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS avg_v
 FROM melted
 GROUP BY metric
 ORDER BY metric
@@ -1287,10 +1285,9 @@ def q33_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             # integer-micros mean (see q32): exact per-group sum, then
             # one deterministic division — groups are tiny today but the
             # raw-double avg is the same cross-engine trap at any size
-            F.round(
+            _r6(
                 F.sum(F.expr("cast(round(value * 1e6) as bigint)")).cast("double")
-                / F.count(F.lit(1)) / F.lit(1e6), 6
-            ).alias("v")
+                / F.count(F.lit(1)) / F.lit(1e6)).alias("v")
         )
     )
     spine = (
@@ -1321,7 +1318,7 @@ def q33_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q33_ORACLE = """
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
-         round(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS v
+         (floor((CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS v
   FROM events GROUP BY 1, 2
 ),
 bounds AS (
@@ -1413,7 +1410,7 @@ def q45_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bool_and(l_discount <= 0.1)").alias("all_low_discount"),
             F.expr("bool_or(l_tax > 0.07)").alias("any_high_tax"),
             F.min("l_linestatus").alias("first_status"),
-            # Integer ppm, not round(avg, 6): two engines' double
+            # Integer ppm, not (floor((avg) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)): two engines' double
             # round-to-6dp can differ in the last ulp and the driver
             # hashes bit patterns (VERDICT r4 item 1). sum*1e6 div n
             # is exact bigint arithmetic on both engines.
@@ -1925,9 +1922,9 @@ matrix AS (
 SELECT date_format(cohort_d, 'yyyy-MM-dd') AS cohort_day,
        day_offset,
        n_users,
-       round(CAST(n_users AS DOUBLE) /
+       (floor((CAST(n_users AS DOUBLE) /
              MAX(CASE WHEN day_offset = 0 THEN n_users END)
-               OVER (PARTITION BY cohort_d), 6) AS retained_share
+               OVER (PARTITION BY cohort_d)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS retained_share
 FROM matrix
 ORDER BY cohort_day, day_offset
 """,
@@ -1945,9 +1942,9 @@ WITH melted AS (
 SELECT metric,
        count(*) AS n_rows,
        count(DISTINCT value) AS n_distinct,
-       round(min(value), 6) AS min_v,
-       round(max(value), 6) AS max_v,
-       round(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS avg_v
+       (floor((min(value)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS min_v,
+       (floor((max(value)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS max_v,
+       (floor((CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS avg_v
 FROM melted
 GROUP BY metric
 ORDER BY metric
@@ -1955,7 +1952,7 @@ ORDER BY metric
     "q33_gapfill_daily": """
 WITH daily AS (
   SELECT user_id, to_date(ts) AS d,
-         round(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS v
+         (floor((CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS v
   FROM events GROUP BY 1, 2
 ),
 spine AS (
@@ -2080,7 +2077,7 @@ WITH hist AS (
 SELECT bucket,
        CAST(bucket * {BUCKET_W}D AS DOUBLE) AS bucket_lo,
        n_orders,
-       ROUND(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 6) AS share
+       (floor((CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER ()) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS share
 FROM hist
 ORDER BY bucket
 """,

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
+from ..functions.rounding import r6 as _r6
 
 #: orders columns profiled, with their kind ('num' | 'ts' | 'str')
 _PROFILE_COLS = [
@@ -311,9 +312,9 @@ def dq_split_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "n_train",
             "n_test",
-            F.round(p, 6).alias("p_train"),
-            F.round(q, 6).alias("q_test"),
-            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+            _r6(p).alias("p_train"),
+            _r6(q).alias("q_test"),
+            _r6((p - q) * F.log(p / q)).alias("psi_term"),
         )
         .orderBy("bucket")
     )
@@ -343,12 +344,12 @@ filled AS (
 ),
 tot AS (SELECT SUM(n_train) AS tot_train, SUM(n_test) AS tot_test FROM filled)
 SELECT bucket, n_train, n_test,
-       ROUND((n_train + 1.0) / (tot_train + {PSI_BUCKETS}), 6) AS p_train,
-       ROUND((n_test + 1.0) / (tot_test + {PSI_BUCKETS}), 6) AS q_test,
-       ROUND(((n_train + 1.0) / (tot_train + {PSI_BUCKETS})
+       (floor(((n_train + 1.0) / (tot_train + {PSI_BUCKETS})) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS p_train,
+       (floor(((n_test + 1.0) / (tot_test + {PSI_BUCKETS})) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS q_test,
+       (floor((((n_train + 1.0) / (tot_train + {PSI_BUCKETS})
               - (n_test + 1.0) / (tot_test + {PSI_BUCKETS}))
              * ln(((n_train + 1.0) / (tot_train + {PSI_BUCKETS}))
-                  / ((n_test + 1.0) / (tot_test + {PSI_BUCKETS}))), 6) AS psi_term
+                  / ((n_test + 1.0) / (tot_test + {PSI_BUCKETS})))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS psi_term
 FROM filled, tot
 ORDER BY bucket
 """
@@ -379,12 +380,12 @@ filled AS (
 ),
 tot AS (SELECT SUM(n_train) AS tot_train, SUM(n_test) AS tot_test FROM filled)
 SELECT bucket, n_train, n_test,
-       ROUND((n_train + 1.0D) / (tot_train + {PSI_BUCKETS}), 6) AS p_train,
-       ROUND((n_test + 1.0D) / (tot_test + {PSI_BUCKETS}), 6) AS q_test,
-       ROUND(((n_train + 1.0D) / (tot_train + {PSI_BUCKETS})
+       (floor(((n_train + 1.0D) / (tot_train + {PSI_BUCKETS})) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS p_train,
+       (floor(((n_test + 1.0D) / (tot_test + {PSI_BUCKETS})) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS q_test,
+       (floor((((n_train + 1.0D) / (tot_train + {PSI_BUCKETS})
               - (n_test + 1.0D) / (tot_test + {PSI_BUCKETS}))
              * ln(((n_train + 1.0D) / (tot_train + {PSI_BUCKETS}))
-                  / ((n_test + 1.0D) / (tot_test + {PSI_BUCKETS}))), 6) AS psi_term
+                  / ((n_test + 1.0D) / (tot_test + {PSI_BUCKETS})))) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS psi_term
 FROM filled CROSS JOIN tot
 ORDER BY bucket
 """
@@ -501,12 +502,12 @@ def _corr_expr(a: str, b: str) -> str:
     double first (exact for sums < 2^53)."""
     n = "cast(n as double)"
     return (
-        f"round(({n} * cast(s_{a}_{b} as double)"
+        f"(floor((({n} * cast(s_{a}_{b} as double)"
         f" - cast(s_{a} as double) * cast(s_{b} as double))"
         f" / nullif(sqrt(({n} * cast(s_{a}_{a} as double)"
         f"   - cast(s_{a} as double) * cast(s_{a} as double))"
         f"  * ({n} * cast(s_{b}_{b} as double)"
-        f"   - cast(s_{b} as double) * cast(s_{b} as double))), 0.0), 6)"
+        f"   - cast(s_{b} as double) * cast(s_{b} as double))), 0.0)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))"
     )
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
+from ..functions.rounding import r6 as _r6
 
 #: revenue in exact cents: bigint, summable in any order at any SF
 _REV_CENTS = "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
@@ -76,7 +77,7 @@ def q34_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_year",
             F.round(F.col("america_c").cast("double") / 100.0, 2).alias("america_revenue"),
             F.round(F.col("total_c").cast("double") / 100.0, 2).alias("total_revenue"),
-            F.round(F.col("america_c").cast("double") / F.col("total_c").cast("double"), 6)
+            _r6(F.col("america_c").cast("double") / F.col("total_c").cast("double"))
             .alias("mkt_share"),
         )
         .orderBy("o_year")
@@ -87,8 +88,8 @@ Q34_SQL = f"""
 SELECT year(o.o_orderdate) AS o_year,
        round(CAST(SUM(CASE WHEN r.r_name = 'AMERICA' THEN {_REV_CENTS_SQL} ELSE 0 END) AS DOUBLE) / 100.0, 2) AS america_revenue,
        round(CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE) / 100.0, 2) AS total_revenue,
-       round(CAST(SUM(CASE WHEN r.r_name = 'AMERICA' THEN {_REV_CENTS_SQL} ELSE 0 END) AS DOUBLE)
-             / CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE), 6) AS mkt_share
+       (floor((CAST(SUM(CASE WHEN r.r_name = 'AMERICA' THEN {_REV_CENTS_SQL} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS mkt_share
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -157,21 +158,19 @@ def q36_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.agg(
-        F.round(
+        _r6(
             F.lit(100.0)
             * F.sum(
                 F.when(F.col("p_type").like(_PROMO_PREFIX), F.col("rev_c")).otherwise(F.lit(0))
             ).cast("double")
-            / F.sum("rev_c").cast("double"),
-            6,
-        ).alias("promo_share_pct"),
+            / F.sum("rev_c").cast("double")).alias("promo_share_pct"),
         F.round(F.sum("rev_c").cast("double") / 100.0, 2).alias("total_revenue"),
     )
 
 
 Q36_SQL = f"""
-SELECT round(100.0 * CAST(SUM(CASE WHEN p.p_type LIKE '{_PROMO_PREFIX}' THEN {_REV_CENTS_SQL} ELSE 0 END) AS DOUBLE)
-             / CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE), 6) AS promo_share_pct,
+SELECT (floor((100.0 * CAST(SUM(CASE WHEN p.p_type LIKE '{_PROMO_PREFIX}' THEN {_REV_CENTS_SQL} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS promo_share_pct,
        round(CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE) / 100.0, 2) AS total_revenue
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
