@@ -71,7 +71,14 @@ def _stage_shuffle_stats(spark, floor_id: int) -> tuple[int, int, int]:
     delta robust to the status store evicting OLD stages mid-window
     (spark.ui.retainedStages); only stages newer than the snapshot are
     summed, and a bench query's ~15 runs create far fewer stages than
-    the retention limit."""
+    the retention limit.
+
+    Only COMPLETE stages are summed (ADVICE r11): a failed stage
+    attempt plus its retry would otherwise double-count the retried
+    bytes and inflate the published shuffle_mb — the one channel whose
+    whole point is machine-independence. The floor id still advances
+    over EVERY status so a stage running at snapshot time can't leak
+    into the next window."""
     ss = spark.sparkContext._jsc.sc().statusStore()
     jvm = spark.sparkContext._jvm
     gw = spark.sparkContext._gateway
@@ -87,7 +94,7 @@ def _stage_shuffle_stats(spark, floor_id: int) -> tuple[int, int, int]:
         s = stages.apply(i)
         sid = s.stageId()
         max_id = max(max_id, sid)
-        if sid > floor_id:
+        if sid > floor_id and str(s.status()) == "COMPLETE":
             read_b += s.shuffleReadBytes()
             write_b += s.shuffleWriteBytes()
     return max_id, read_b, write_b

@@ -20,6 +20,16 @@ SQL literals are CAST(... AS DOUBLE) because Spark parses a bare
 See also: ``llm/similarity._mean_us`` (the all-integer sibling for
 means of integer sums) and ``functions/vector.cosine`` (the first
 consumer of this spelling).
+
+Directional caveat (ADVICE r11): the two repo "half-up" idioms are
+NOT interchangeable on signed data. This module's floor spelling
+rounds .5-micro ties toward **+inf** (−1.5 µ → −1 µ), while
+``_mean_us``'s integer spelling rounds ties **away from zero**
+(−1.5 µ → −2 µ). Each is bit-identical across Spark and DuckDB — the
+cross-engine contract holds either way — but swapping one for the
+other under a column that can go negative changes results at ties.
+Keep whichever spelling a site already uses; when adding a new signed
+site, pick one and mirror it EXACTLY in the oracle.
 """
 
 from __future__ import annotations

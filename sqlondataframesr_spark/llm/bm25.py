@@ -46,15 +46,32 @@ BM25_N_QUERIES = 5
 BM25_TOP_K = 5
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _postings(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(postings, dl) — the inverted-index frames every ranker in the
+    family shares. The corpus is tokenized ONCE: ``tf`` is the cached
+    root and ``dl`` is derived from it (Σ tf per doc ≡ token count per
+    doc, exact integers), so no consumer re-runs the explode. Both
+    ``tf`` and ``postings`` are materialized with plan-identical
+    construction across bm25_topk / ql_dirichlet_topk /
+    hybrid_rrf_topk — Spark's CacheManager dedupes by canonicalized
+    plan, so within one action (ret_rank_agreement's report, VERDICT
+    r11 item 5) the three arms share ONE tokenization scan and ONE
+    postings build."""
     docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     # postings: exact tf per (doc, term) + exact doc length
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    postings = materialize(tf.join(dl, "doc_id"))
+    tf = materialize(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    return materialize(tf.join(dl, "doc_id")), dl
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    postings, dl = _postings(spark, sf_dir)
     n_docs = docs.count()
     avgdl_df = dl.agg(
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
@@ -174,13 +191,7 @@ def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (q_id, doc_id, score, rnk) ordered by (q_id, rnk).
     """
-    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    postings = materialize(tf.join(dl, "doc_id"))
+    postings, dl = _postings(spark, sf_dir)
     cf = postings.groupBy("term").agg(F.sum("tf").alias("cf"))
     ctot = postings.agg(F.sum("tf").cast("long").alias("ctot"))
     q_terms = (

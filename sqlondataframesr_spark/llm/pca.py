@@ -159,9 +159,15 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame: localCheckpoint (the materialize.py iterative-loop remedy)
     # truncates lineage so Catalyst analysis stays flat per round —
     # with lazy persist the per-round wall time grew 0.4s -> 1.5s ->
-    # 5.3s on IDENTICAL 4,096-row inputs, pure plan-depth cost. Each
-    # intermediate is <= DIM^2 rows, so re-run-on-block-loss is a
-    # trivial retry story (see materialize.py docstring).
+    # 5.3s on IDENTICAL 4,096-row inputs, pure plan-depth cost.
+    # Fault-tolerance caveat (ADVICE r11): localCheckpoint truncates
+    # lineage NON-fault-tolerantly — a lost block (executor death)
+    # cannot be recomputed and fails the whole job; the retry story is
+    # re-submitting the query, which is cheap only because every
+    # checkpointed intermediate here is <= DIM^2 rows and the corpus
+    # pass that feeds it runs once. Where that resubmit isn't
+    # acceptable, use sparkContext.setCheckpointDir + reliable
+    # checkpoint() (see materialize.py docstring).
     b1 = rescale(c, "cv").localCheckpoint()
 
     def square(m: DataFrame) -> DataFrame:

@@ -26,10 +26,20 @@ engines hash identically. No transcendentals anywhere.
 
 Scale: aggregates three already-top-k frames (N_QUERIES x k rows
 each) — the join is top-k x top-k WITHIN a (method pair, query), never
-corpus-sized. Oracle = literal composition of the three gated oracle
-texts (the annrecall.py pattern). No SPARK_SQL dual: a composition of
-registered queries — same COVERAGE.md justification as
-ann_recall_report.
+corpus-sized. The union of the three ranker frames is MATERIALIZED
+before the pair loop (ADVICE r11 + VERDICT r11 item 5): each of the 3
+pairs filters the union on both sides, so a lazy union would re-run
+every ranker plan — BM25/QL/RRF including their postings shuffles —
+six times over; pinned, each ranker executes once. The rankers
+themselves share the corpus pass: bm25.py's ``_postings`` builds ONE
+cached tf frame (dl derived from it, no second tokenize) with
+plan-identical construction across all three arms, so Spark's
+CacheManager dedupes the tokenization scan within the report action.
+At sf0.1 the residual wall is stage-latency on a 5k-doc toy corpus
+(~30 sub-second stages), not repeated compute. Oracle = literal
+composition of the three gated oracle texts (the annrecall.py
+pattern). No SPARK_SQL dual: a composition of registered queries —
+same COVERAGE.md justification as ann_recall_report.
 """
 
 from __future__ import annotations
@@ -38,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import bm25 as _bm25
 from . import hybrid as _hybrid
+from ..materialize import materialize
 
 #: (method label, fn, output id column) — label-sorted
 _METHODS = [
@@ -71,6 +82,8 @@ def ret_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
         ranked = r if ranked is None else ranked.unionByName(r)
+    # pin the 3 x (N_QUERIES x k)-row union: 6 pair-side consumers
+    ranked = materialize(ranked)
     out = None
     for ma, mb in _PAIRS:
         a = ranked.filter(F.col("method") == ma).select(

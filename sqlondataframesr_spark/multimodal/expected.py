@@ -169,6 +169,14 @@ def _expected_frames(sf_dir: str):
     }
 
 
+#: per-process memo: resolved sfs env -> built directory path, so a
+#: repeat lookup pays neither the per-dir DuckDB key scans nor the
+#: md5 (ADVICE r11). Safe because a data regen mid-PROCESS is out of
+#: contract (the r11 skew regen happened between processes, where the
+#: memo is empty and the live data_keys roll the directory as before).
+_DIR_MEMO: dict[str, str] = {}
+
+
 def expected_dir() -> str:
     """Build (once per module-source version) and return the expected-
     tables directory: one parquet per featurizer, all gate scales
@@ -185,26 +193,44 @@ def expected_dir() -> str:
     import duckdb
 
     sfs_env = os.environ.get("SPARK_GRAFT_MM_EXPECTED_SFS", _DEFAULT_SFS)
-    data_keys = ":".join(
-        str(
-            duckdb.sql(
-                "SELECT CAST(SUM(n_chars) AS BIGINT) FROM "
-                f"read_parquet('{sf}/documents.parquet')"
-            ).fetchone()[0]
-        )
-        for sf in sfs_env.split(":")
-    )
+    if sfs_env in _DIR_MEMO:
+        return _DIR_MEMO[sfs_env]
+
+    # A missing/moved data dir folds a sentinel into the key instead of
+    # raising (ADVICE r11): the surviving scales still get expected
+    # rows, and the absent scale's oracle fails loudly on zero rows —
+    # the module's designed failure mode — rather than at cache-key
+    # time before any lookup could succeed.
+    def _data_key(sf: str) -> str:
+        try:
+            return str(
+                duckdb.sql(
+                    "SELECT CAST(SUM(n_chars) AS BIGINT) FROM "
+                    f"read_parquet('{sf}/documents.parquet')"
+                ).fetchone()[0]
+            )
+        except Exception:  # noqa: BLE001 - absent dir => sentinel key
+            return "missing"
+
+    keys = {sf: _data_key(sf) for sf in sfs_env.split(":")}
+    data_keys = ":".join(keys.values())
     with open(__file__, "rb") as f:
         ver = hashlib.md5(
             f.read() + b":" + sfs_env.encode() + b":" + data_keys.encode()
         ).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"sqlondataframesr_mm_expected_{ver}")
     if os.path.isdir(d):
+        _DIR_MEMO[sfs_env] = d
         return d
 
     import pandas as pd
 
-    sfs = sfs_env.split(":")
+    sfs = [sf for sf, k in keys.items() if k != "missing"]
+    if not sfs:
+        raise FileNotFoundError(
+            f"expected_dir: no readable documents.parquet under any of "
+            f"{sfs_env!r} (SPARK_GRAFT_MM_EXPECTED_SFS)"
+        )
     per_sf = [_expected_frames(sf) for sf in sfs]
     stage = f"{d}.stage.{os.getpid()}"
     os.makedirs(stage, exist_ok=True)
@@ -218,6 +244,7 @@ def expected_dir() -> str:
         import shutil
 
         shutil.rmtree(stage, ignore_errors=True)
+    _DIR_MEMO[sfs_env] = d
     return d
 
 
