@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..materialize import materialize, spread_scan
 from ..catalog import load_table
 from ..functions.rounding import r6 as _r6
+from ..functions.closure_sql import packed_closure_sql
 
 #: near-duplicate decision threshold on word-3-shingle Jaccard
 JACCARD_THRESHOLD = 0.8
@@ -1390,4 +1391,120 @@ SELECT CAST(COUNT(1) AS BIGINT) AS n_grams,
        MAX(df) > {SUBSTR_DF_CAP} AS cap_binds
 FROM dfs
 """,
+    # Winnowing duals (VERDICT r11 item 8): the fluent forms are built
+    # from Spark-SQL expression strings already (_winnow_selections),
+    # so the dual is the same chain as CTEs. Stage layout mirrors the
+    # fluent exactly (th -> khs -> sel as separate projections — Spark
+    # does NOT collapse them: each alias is referenced more than once
+    # and higher-order transforms are non-cheap, so CollapseProject's
+    # cost guard keeps the chain staged, not exponentially inlined).
+    "doc_winnow_fingerprint": f"""
+WITH tt AS (
+  SELECT doc_id, w FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
+  WHERE size(w) >= {WINNOW_K}
+),
+t AS (
+  SELECT doc_id,
+         transform(w, x -> cast(conv(substring(md5(x), 1, 8), 16, 10)
+                                AS bigint) % {WINNOW_M}) AS th
+  FROM tt
+),
+k AS (
+  SELECT doc_id,
+         transform(sequence(0, size(th) - {WINNOW_K}),
+                   i -> aggregate(slice(th, i + 1, {WINNOW_K}), bigint(0),
+                                  (a, b) -> (a * {WINNOW_B} + b) % {WINNOW_M})) AS khs
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         array_sort(array_distinct(transform(
+             sequence(0, greatest(size(khs) - {WINNOW_W}, 0)),
+             i -> array_min(slice(khs, i + 1, {WINNOW_W}))))) AS sel
+  FROM k
+)
+SELECT doc_id, size(sel) AS n_fp, array_join(sel, ',') AS fp
+FROM s ORDER BY doc_id
+""",
+    # The pairs dual needs one extra guard the fingerprint dual does
+    # not: explode(sel) makes InferFiltersFromGenerate synthesize
+    # ``size(sel) > 0`` and predicate pushdown then SUBSTITUTES the
+    # whole th->khs->sel alias chain into that filter — nested lambda
+    # substitution re-derives ~(windows x k-grams x tokens) md5s per
+    # doc (the hazard dedup_winnow_pairs' fluent form pins with a
+    # materialize boundary). Pure SQL has no cache, so the barrier is
+    # a per-doc aggregate (max of the single sel row): filters cannot
+    # push below an aggregate on a non-grouping column, so the
+    # inferred filter lands on the aggregated array, not the chain.
+    "dedup_winnow_pairs": f"""
+WITH tt AS (
+  SELECT doc_id, w FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
+  WHERE size(w) >= {WINNOW_K}
+),
+t AS (
+  SELECT doc_id,
+         transform(w, x -> cast(conv(substring(md5(x), 1, 8), 16, 10)
+                                AS bigint) % {WINNOW_M}) AS th
+  FROM tt
+),
+k AS (
+  SELECT doc_id,
+         transform(sequence(0, size(th) - {WINNOW_K}),
+                   i -> aggregate(slice(th, i + 1, {WINNOW_K}), bigint(0),
+                                  (a, b) -> (a * {WINNOW_B} + b) % {WINNOW_M})) AS khs
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         array_distinct(transform(
+             sequence(0, greatest(size(khs) - {WINNOW_W}, 0)),
+             i -> array_min(slice(khs, i + 1, {WINNOW_W})))) AS sel
+  FROM k
+),
+sagg AS (SELECT doc_id, max(sel) AS sel FROM s GROUP BY doc_id),
+e AS (SELECT doc_id, explode(sel) AS f FROM sagg)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS n_shared
+FROM e a JOIN e b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY doc_a, doc_b
+""",
+    # dual of the ITERATIVE dedup_clusters (VERDICT r11 item 2): edges
+    # replay the oracle's full-corpus form (near = shingle-Jaccard with
+    # the portable floor rounding, exact = md5 match — identical texts
+    # under 3 words have no shingles, so the exact arm is not redundant);
+    # the closure is the shared bounded-round packed-array fold
+    # (functions/closure_sql.py), poisoning ids on non-convergence.
+    "dedup_clusters": packed_closure_sql(
+        prelude=f"""s AS ({_SHINGLES_SPARK_SQL}),
+e AS (SELECT doc_id, explode(sh) AS sx FROM s),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS n_common
+  FROM e a JOIN e b ON a.sx = b.sx AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, size(sh) AS n_sh FROM s),
+near AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE (floor((cast(n_common as double)
+        / cast(sa.n_sh + sb.n_sh - n_common as double)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) >= {JACCARD_THRESHOLD}D
+),
+exact AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+),
+allp AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM exact),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM allp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM allp
+)""",
+        nodes_sql="SELECT doc_id AS node FROM documents",
+        key_name="doc_id",
+        id_name="cluster_id",
+        size_name="cluster_size",
+    ),
 }

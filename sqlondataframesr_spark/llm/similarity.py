@@ -44,6 +44,7 @@ from ..materialize import materialize, spread_scan
 from ..catalog import load_table
 from ..functions import vector as V
 from ..functions.rounding import r6 as _r6
+from ..functions.closure_sql import packed_closure_sql
 
 DIM = 64
 NUM_PLANES = 16
@@ -1705,3 +1706,35 @@ ORDER BY c.vec_id
 
 QUERIES["emb_semantic_clusters"] = emb_semantic_clusters
 ORACLES["emb_semantic_clusters"] = EMB_SEMANTIC_CLUSTERS_ORACLE
+
+# dual of the ITERATIVE emb_semantic_clusters (VERDICT r11 item 2):
+# edges replay the banded-LSH candidate generation + cosine threshold
+# in Spark dialect (the dedup_embedding_cosine dual's own CTEs); the
+# closure is the shared bounded-round packed-array fold
+# (functions/closure_sql.py), poisoning ids on non-convergence.
+SPARK_SQL["emb_semantic_clusters"] = packed_closure_sql(
+    prelude=f"""vec AS ({_VEC_SPARK_SQL}),
+sigt AS ({_SIG_SPARK_SQL}),
+bands AS ({_BANDS_SPARK_SQL}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+near AS (
+  SELECT cand.vec_a, cand.vec_b
+  FROM cand
+  JOIN vec va ON va.vec_id = cand.vec_a
+  JOIN vec vb ON vb.vec_id = cand.vec_b
+  WHERE {_COS.format(a='va.v', b='vb.v', na='va.nrm', nb='vb.nrm')} >= {COS_THRESHOLD}D
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM near
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM near
+)""",
+    nodes_sql="SELECT vec_id AS node FROM embeddings",
+    key_name="vec_id",
+    id_name="cluster_id",
+    size_name="cluster_size",
+)

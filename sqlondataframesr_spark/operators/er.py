@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import load_table
 from ..materialize import materialize, spread_scan
 from .components import min_label_components
+from ..functions.closure_sql import packed_closure_sql
 
 #: max edit distance for a candidate match
 ER_MAX_DISTANCE = 2
@@ -263,52 +264,13 @@ JOIN (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS entity_size
 ORDER BY c.custkey
 """
 
-#: unrolled propagation rounds in the Spark-SQL dual; with pointer
-#: jumping each round roughly squares reachable distance, so 8 rounds
-#: cover component diameters far past anything a blocked match graph
-#: produces — and the dual POISONS its output if round 8 still moved
-#: a label, so an undersized unroll is a loud mismatch, never silent
-ER_SQL_ROUNDS = 8
-
-
-def _er_clusters_spark_sql(rounds: int = ER_SQL_ROUNDS) -> str:
-    """Bounded-round hash-to-min + pointer-jump closure — the
-    Spark-SQL dual of :func:`er_entity_clusters` (VERDICT r10 item 5).
-
-    Spark 4's recursive CTE cannot express the fixpoint
-    (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE on a cyclic edge list), and
-    a CTE-per-round unroll is ANALYSIS-EXPONENTIAL: Spark inlines
-    every multi-referenced CTE, so a round chain referencing the
-    previous round twice doubles the logical plan per round (measured
-    12.6s -> 47.8s for 2 -> 4 rounds at sf0.001, pure Catalyst time).
-    The dual therefore packs the match graph into ONE row (sorted node
-    array + index-aligned adjacency) and runs the rounds as an
-    ``aggregate`` fold over arrays — each fold step only references
-    the materialized accumulator, so nothing compounds. Odd steps are
-    the neighbor-min, even steps the label(label(v)) pointer jump (the
-    same round the fluent operators/components.py loop runs), so
-    ``rounds`` jump rounds cover component diameter ~2^rounds.
-
-    Single-row closure = deliberately NOT the distributed path (the
-    fluent iterative operator is); it is the N-version twin, same
-    scalability class as the DuckDB recursive-CTE oracle. The final
-    projection POISONS every id to -1 if one more neighbor-min step
-    still moves a label, so an undersized unroll is a loud
-    fluent≡SQL mismatch, never a silent wrong-pass."""
-    # one fold step per half-round: odd = neighbor-min, even = jump
-    steps = 2 * rounds
-    nbr_min = (
-        "transform(li, (x, i) -> least(x, coalesce(array_min("
-        "transform(element_at(p.rows, i + 1).nbrs,"
-        " j -> element_at(li, j + 1))), x)))"
-    )
-    jump = "transform(li, j -> element_at(li, j + 1))"
-    one_more = (
-        "transform(lf, (x, i) -> least(x, coalesce(array_min("
-        "transform(element_at(p2.rows, i + 1).nbrs,"
-        " j -> element_at(lf, j + 1))), x)))"
-    )
-    return f"""WITH pairs AS (
+#: Spark-SQL dual of :func:`er_entity_clusters` (VERDICT r10 item 5):
+#: the bounded-round packed-array hash-to-min closure, generated by
+#: the shared helper (functions/closure_sql.py — r12 generalized this
+#: file's original unroll so the label-propagation family shares one
+#: audited spelling). Poisons every id to -1 on non-convergence.
+ER_CLUSTERS_SPARK_SQL = packed_closure_sql(
+    prelude=f"""pairs AS (
   SELECT a.c_custkey AS ka, b.c_custkey AS kb
   FROM customer a
   JOIN customer b
@@ -319,48 +281,12 @@ def _er_clusters_spark_sql(rounds: int = ER_SQL_ROUNDS) -> str:
 edges AS (
   SELECT ka AS src, kb AS dst FROM pairs
   UNION ALL
-  SELECT kb AS src, ka AS dst FROM pairs),
-idx AS (
-  SELECT c_custkey AS node,
-         CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS INT) AS i
-  FROM customer),
-eidx AS (
-  SELECT di.i AS d, si.i AS s
-  FROM edges e
-  JOIN idx si ON e.src = si.node
-  JOIN idx di ON e.dst = di.node),
-adjr AS (SELECT d, collect_list(s) AS nbrs FROM eidx GROUP BY d),
-packed AS (
-  SELECT array_sort(collect_list(struct(ii.i AS i,
-           coalesce(a.nbrs, CAST(array() AS ARRAY<INT>)) AS nbrs))) AS rows,
-         array_sort(collect_list(ii.node)) AS ns
-  FROM idx ii LEFT JOIN adjr a ON a.d = ii.i),
-solved AS (
-  SELECT p.ns, p.rows,
-         aggregate(sequence(1, {steps}),
-                   transform(p.rows, r -> r.i),
-                   (li, stepn) -> IF(pmod(stepn, 2) = 1,
-                                     {nbr_min},
-                                     {jump})) AS lf
-  FROM packed p),
-final AS (
-  SELECT p2.ns, p2.lf,
-         (p2.lf = {one_more}) AS converged
-  FROM (SELECT ns, rows, lf FROM solved) p2),
-labels AS (
-  SELECT element_at(ns, pos + 1) AS custkey,
-         IF(converged, element_at(ns, lbl + 1), CAST(-1 AS BIGINT))
-           AS entity_id
-  FROM final LATERAL VIEW posexplode(lf) pe AS pos, lbl),
-sized AS (
-  SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS entity_size
-  FROM labels GROUP BY entity_id)
-SELECT l.custkey, l.entity_id, s.entity_size
-FROM labels l JOIN sized s USING (entity_id)
-ORDER BY l.custkey"""
-
-
-ER_CLUSTERS_SPARK_SQL = _er_clusters_spark_sql()
+  SELECT kb AS src, ka AS dst FROM pairs)""",
+    nodes_sql="SELECT c_custkey AS node FROM customer",
+    key_name="custkey",
+    id_name="entity_id",
+    size_name="entity_size",
+)
 
 QUERIES = {
     "er_customer_pairs": er_customer_pairs,
