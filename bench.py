@@ -59,10 +59,18 @@ EXT_HEAVY_RUNS = 7
 EXT_HEAVY_CUTOFF_S = 1.2
 
 
-def _stage_shuffle_stats(spark, floor_id: int) -> tuple[int, int, int]:
-    """(max_stage_id, shuffle_read_bytes, shuffle_write_bytes) summed
-    over completed stages with stageId > floor_id, via the JVM
-    AppStatusStore (the UI's own data — no listener, no REST server).
+def _stage_shuffle_stats(spark, floor_id: int) -> tuple[int, int, int, int]:
+    """(max_stage_id, shuffle_read_bytes, shuffle_write_bytes,
+    executor_cpu_ns) summed over completed stages with stageId >
+    floor_id, via the JVM AppStatusStore (the UI's own data — no
+    listener, no REST server).
+
+    executorCpuTime (VERDICT r11 item 3) is the second machine-
+    independent-ish channel: wall time moves ±35% with host contention
+    (r11: 2.15 s idle vs 2.89 s contended, identical bytes), but CPU
+    time per query moves far less — a contended round shows wall >>
+    cpu growth, a real plan regression grows BOTH. Recorded per
+    headline query as cpu_s so the artifact self-diagnoses.
 
     Machine-independent observability (VERDICT r10 item 6): wall time
     moves with host contention, but BYTES MOVED by a plan is a pure
@@ -89,7 +97,7 @@ def _stage_shuffle_stats(spark, floor_id: int) -> tuple[int, int, int]:
         gw.new_array(jvm.double, 0),
         jvm.java.util.ArrayList(),
     )
-    max_id, read_b, write_b = floor_id, 0, 0
+    max_id, read_b, write_b, cpu_ns = floor_id, 0, 0, 0
     for i in range(stages.size()):
         s = stages.apply(i)
         sid = s.stageId()
@@ -97,7 +105,8 @@ def _stage_shuffle_stats(spark, floor_id: int) -> tuple[int, int, int]:
         if sid > floor_id and str(s.status()) == "COMPLETE":
             read_b += s.shuffleReadBytes()
             write_b += s.shuffleWriteBytes()
-    return max_id, read_b, write_b
+            cpu_ns += s.executorCpuTime()
+    return max_id, read_b, write_b, cpu_ns
 
 
 def main() -> None:
@@ -236,6 +245,13 @@ def main() -> None:
     #: (RDataFramesSQL.Rmd:139-152), and cross-round drift (e.g.
     #: minhash 7.6s->13.5s r1->r2) is only diagnosable with spread.
     spreads: dict[str, dict[str, float]] = {}
+    #: per-query plan observability for EVERY timed query (VERDICT r11
+    #: item 4 widened from the headline six): shuffle [read, write] MB
+    #: and executor CPU seconds per run — so the next plan regression
+    #: in the heavy tail (ann_recall_report ... er_entity_clusters) is
+    #: bytes-visible too, not just wall-visible. Written to
+    #: BENCH_DETAILS as per_query_stats.
+    per_query_stats: dict[str, dict[str, object]] = {}
     for name, fn in queries:
         # progress marker (stderr; stdout stays the one-line contract)
         # — without it a stalled query is undiagnosable from outside
@@ -270,11 +286,20 @@ def main() -> None:
             n_runs = EXT_HEAVY_RUNS
         else:
             n_runs = EXT_RUNS
+        floor_sid, _, _, _ = _stage_shuffle_stats(spark, -1)
         for _ in range(n_runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).toPandas()
             samples.append(time.perf_counter() - t0)
             release_all()
+        _, rd_b, wr_b, cpu = _stage_shuffle_stats(spark, floor_sid)
+        per_query_stats[name] = {
+            "shuffle_mb": [
+                round(rd_b / n_runs / 1e6, 3),
+                round(wr_b / n_runs / 1e6, 3),
+            ],
+            "cpu_s": round(cpu / n_runs / 1e9, 3),
+        }
         timings[name] = round(statistics.median(samples), 4)
         spreads[name] = {
             "min": round(min(samples), 4),
@@ -299,24 +324,29 @@ def main() -> None:
     #: per-headline-query shuffle bytes moved per run, MB (read, write)
     #: — machine-independent plan observability (VERDICT r10 item 6)
     shuffle_mb: dict[str, list[float]] = {}
+    #: per-headline-query executor CPU seconds per run (VERDICT r11
+    #: item 3): the contended-host discriminator — wall up with cpu
+    #: flat = host noise; both up = charge the plan.
+    cpu_s: dict[str, float] = {}
     for k, v in ref_confs.items():
         spark.conf.set(k, v)
     for name in sorted(ref_names):
         fn = registry.queries()[name]
         fn(spark, sf_dir).toPandas()
         release_all()
-        floor_id, _, _ = _stage_shuffle_stats(spark, -1)
+        floor_id, _, _, _ = _stage_shuffle_stats(spark, -1)
         samples = []
         for _ in range(REF_RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).toPandas()
             samples.append(time.perf_counter() - t0)
             release_all()
-        _, read_b, write_b = _stage_shuffle_stats(spark, floor_id)
+        _, read_b, write_b, cpu_ns = _stage_shuffle_stats(spark, floor_id)
         shuffle_mb[name] = [
             round(read_b / REF_RUNS / 1e6, 3),
             round(write_b / REF_RUNS / 1e6, 3),
         ]
+        cpu_s[name] = round(cpu_ns / REF_RUNS / 1e9, 3)
         med = round(statistics.median(samples), 4)
         settled[name] = {
             "first_pass_median": timings[name],
@@ -462,6 +492,77 @@ def main() -> None:
             "ratio_minus_floor": round(max(0.0, med - floor_noop) / base, 2),
         }
 
+    # --- scaling-exponent leg (VERDICT r11 item 1) -----------------
+    # Time one representative per heavy family at sf0.001/0.01/<sf>
+    # and fit the time-vs-sf exponent: the first artifact that can
+    # FALSIFY the "survives 100x" plan audits. Two slopes published:
+    #   slope_fit  — least-squares log-log over all three points (raw
+    #                medians; the per-query scheduling floor flattens
+    #                it at toy SF, so it UNDERSTATES compute growth);
+    #   slope_tail — floor-subtracted slope over the largest decade
+    #                (0.01 -> sf): the honest super-linearity detector.
+    # Contract: slope_tail <= ~1.15 per family, else a SCALE.md
+    # forensic. Disable with SPARK_GRAFT_SCALING=0 (the leg adds ~2-3
+    # min; the driver's per-round bench keeps it on).
+    SCALING_FAMILIES = [
+        "dedup_minhash_lsh",          # MinHash-LSH banding
+        "semdedup",                   # cluster-scoped semantic dedup
+        "er_customer_pairs",          # blocked ER pair generation
+        "er_entity_clusters",         # + hash-to-min closure
+        "dedup_ngram_jaccard_capped", # DF-capped inverted index
+        "evt_sessionize_profile",     # gap sessionization
+        "evt_activity_deciles",       # drank consumer (global rank)
+        "evt_markov_attribution",     # distill-then-iterate T^12
+        "ann_lsh_topk",               # banded ANN
+    ]
+    scaling: dict[str, list[float]] = {}
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        import math
+
+        base = os.path.dirname(sf_dir.rstrip("/"))
+        sf_points = [
+            (os.path.join(base, "sf0.001"), 0.001),
+            (os.path.join(base, "sf0.01"), 0.01),
+            (sf_dir, sf),
+        ]
+        # drop duplicates if sf_dir IS one of the small scales
+        seen: set[float] = set()
+        sf_points = [
+            p for p in sf_points if not (p[1] in seen or seen.add(p[1]))
+        ]
+        for k, v in default_confs.items():
+            spark.conf.set(k, v)
+        for name in SCALING_FAMILIES:
+            print(f"[bench] scaling:{name}", file=sys.stderr, flush=True)
+            fn = registry.queries()[name]
+            meds = []
+            for d, _s in sf_points:
+                fn(spark, d).toPandas()
+                release_all()
+                ss = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fn(spark, d).toPandas()
+                    ss.append(time.perf_counter() - t0)
+                    release_all()
+                meds.append(statistics.median(ss))
+            xs = [math.log10(s) for _, s in sf_points]
+            ys = [math.log10(t) for t in meds]
+            n = len(xs)
+            mx, my = sum(xs) / n, sum(ys) / n
+            slope_fit = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+                (x - mx) ** 2 for x in xs
+            )
+            adj = [max(t - floor_noop, 1e-4) for t in meds]
+            slope_tail = (math.log10(adj[-1]) - math.log10(adj[-2])) / (
+                xs[-1] - xs[-2]
+            )
+            scaling[name] = [
+                *(round(t, 3) for t in meds),
+                round(slope_fit, 3),
+                round(slope_tail, 3),
+            ]
+
     ref_total = sum(v for k, v in timings.items() if is_ref(k))
     headline = {
         "metric": "sum_of_reference_query_medians",
@@ -495,6 +596,14 @@ def main() -> None:
         # MB: plan-shape observability that doesn't move with host
         # noise — compare against SCALE.md's recorded reference values
         "shuffle_mb": shuffle_mb,
+        # executor CPU seconds per run per headline query: contended
+        # host => wall grows, cpu_s doesn't; plan regression => both
+        "cpu_s": cpu_s,
+        # scaling exponents for the heavy families (VERDICT r11 item
+        # 1): name -> [sec@0.001, sec@0.01, sec@sf, fitted log-log
+        # slope, floor-subtracted tail slope]. Contract: tail slope
+        # <= ~1.15 or a SCALE.md forensic.
+        "scaling": scaling,
         "se_scale": se_scale,
         # stress rows past reference magnitude: ratio is vs a
         # PROJECTED baseline = measured scale-100 sqldf median scaled
@@ -531,6 +640,7 @@ def main() -> None:
                 **headline,
                 "queries": timings,
                 "spreads": spreads,
+                "per_query_stats": per_query_stats,
                 "settled_pass": settled,
                 "floor_sec": {"noop": floor_noop, "scan_count": floor_scan},
                 "vs_baseline": floor_analysis,
@@ -548,6 +658,8 @@ def main() -> None:
         print(json.dumps({"detail": dict(ext[i : i + 8])}))
     for name in sorted(floor_analysis):
         print(json.dumps({"vs_baseline": {name: floor_analysis[name]}}))
+    if scaling:
+        print(json.dumps({"scaling": scaling}))
     print(
         json.dumps(
             {
