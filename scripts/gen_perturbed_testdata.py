@@ -33,11 +33,25 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-#: sf0.01 cardinalities observed in the driver's tables
-N = {
-    "customer": 1500, "supplier": 100, "part": 2000, "orders": 15000,
-    "lineitem": 60000, "events": 10000, "documents": 500, "embeddings": 500,
+#: cardinalities observed in the driver's tables, by scale (r12 added
+#: sf0.1 so the skew matrix leg can run at the BENCH scale — VERDICT
+#: r11 item 7). Note embeddings grow 4x not 10x, and the user-id
+#: domain follows events 10x — both copied from the real trees.
+N_BY_SCALE = {
+    "0.01": {
+        "customer": 1500, "supplier": 100, "part": 2000, "orders": 15000,
+        "lineitem": 60000, "events": 10000, "documents": 500,
+        "embeddings": 500, "users": 150,
+    },
+    "0.1": {
+        "customer": 15000, "supplier": 1000, "part": 20000,
+        "orders": 150000, "lineitem": 600000, "events": 100000,
+        "documents": 5000, "embeddings": 2000, "users": 1500,
+    },
 }
+#: sf0.01 cardinalities (the default scale; kept as a module name for
+#: existing importers)
+N = N_BY_SCALE["0.01"]
 
 _REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
@@ -61,7 +75,8 @@ def _ts_array(days: np.ndarray, base: dt.datetime) -> pa.Array:
                     type=pa.timestamp("us"))
 
 
-def generate(out_dir: str, seed: int = 2, skew: bool = False) -> None:
+def generate(out_dir: str, seed: int = 2, skew: bool = False,
+             scale: str = "0.01") -> None:
     """``skew=True`` (VERDICT r10 item 2) plants the four hot-key
     stress features the cap/bot-guard code paths exist for, while
     keeping every schema and cardinality identical to the sf0.01
@@ -83,6 +98,7 @@ def generate(out_dir: str, seed: int = 2, skew: bool = False) -> None:
       cannot bind, so the pytest asserts binding with an explicit
       smaller cap and the report's max_cluster_size >> corpus/K).
     """
+    N = N_BY_SCALE[scale]  # noqa: N806 - shadows the module default
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -166,7 +182,7 @@ def generate(out_dir: str, seed: int = 2, skew: bool = False) -> None:
     n = N["events"]
     us = rng.integers(0, 30 * 86400 * 10**6, n)
     epoch = np.datetime64(dt.datetime(2024, 1, 1), "us")
-    user_id = rng.integers(0, 150, n)
+    user_id = rng.integers(0, N["users"], n)
     if skew:
         user_id[: n // 10] = 0  # the bot: ~10% of all events
     write("events",
@@ -242,5 +258,6 @@ if __name__ == "__main__":
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     out = (sys.argv[2] if len(sys.argv) > 2
            else f"/tmp/sqlondataframesr_testdata_seed{seed}/sf0.01")
-    generate(out, seed)
+    sc = os.path.basename(out.rstrip("/")).removeprefix("sf")
+    generate(out, seed, scale=sc if sc in N_BY_SCALE else "0.01")
     print("wrote", out)

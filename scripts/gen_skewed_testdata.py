@@ -39,5 +39,11 @@ if __name__ == "__main__":
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else SKEW_SEED
     out = (sys.argv[2] if len(sys.argv) > 2
            else "/tmp/sqlondataframesr_testdata_skew/sf0.01")
-    generate(out, seed, skew=True)
+    # scale derives from the out_dir basename (sf0.1 -> "0.1") so the
+    # r12 bench-scale skew leg is one command:
+    #   python scripts/gen_skewed_testdata.py 11 /tmp/..._skew/sf0.1
+    import os
+    from gen_perturbed_testdata import N_BY_SCALE
+    sc = os.path.basename(out.rstrip("/")).removeprefix("sf")
+    generate(out, seed, skew=True, scale=sc if sc in N_BY_SCALE else "0.01")
     print("wrote", out)
