@@ -20,10 +20,9 @@ Determinism: recall is integer PPM (``n_hits * 10^6 div n_possible``),
 the repo-wide exact-division idiom, so the DuckDB oracle (a literal
 composition of the per-method oracle texts) hashes identically.
 
-No SPARK_SQL dual: this is a composition of registered queries
-(several of which, e.g. the Lloyd-trained IVF, are themselves
-non-dialect-expressible) — same justification as
-``ann_matryoshka_recall_report``'s entry in COVERAGE.md.
+The SPARK_SQL dual (r12) is the same composition over the seven
+variants' registered Spark-SQL statements — possible once the
+Lloyd-trained IVF gained its kmeans-unroll dual.
 """
 
 from __future__ import annotations
@@ -90,29 +89,19 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recall_oracle() -> str:
-    """Literal composition of the per-method DuckDB oracle texts —
-    each already-gated top-k SQL becomes a nested subquery, so this
-    oracle is exactly as trustworthy as its parts."""
-    from . import pq as pqmod
-    from . import similarity as simmod
-
-    texts = {
-        "ann_ivf_topk": simmod.ANN_IVF_TOPK_ORACLE,
-        "ann_ivf_pq_topk": pqmod.ORACLES["ann_ivf_pq_topk"],
-        "ann_ivf_trained": simmod.ORACLES["ann_ivf_trained"],
-        "ann_lsh_topk": simmod.ANN_LSH_TOPK_ORACLE,
-        "ann_matryoshka_topk": simmod.ANN_MATRYOSHKA_TOPK_ORACLE,
-        "ann_pq_adc": pqmod.ORACLES["ann_pq_adc"],
-        "ann_sq8_topk": simmod.ANN_SQ8_TOPK_ORACLE,
-    }
+def _recall_sql(texts: dict[str, str], bf_text: str, intdiv: str) -> str:
+    """Literal composition of the per-method top-k SQL texts — each
+    already-gated statement becomes a nested subquery, so the composed
+    report is exactly as trustworthy as its parts. Shared by the
+    DuckDB oracle and (r12, once ann_ivf_trained gained its kmeans-
+    unroll dual) the Spark-SQL dual."""
     branches = " UNION ALL ".join(
         f"SELECT '{label}' AS method, q_id, neighbor_id FROM ({texts[key]}) t_{label}"
         for label, _, key in _METHODS
     )
     return f"""
 WITH bf AS (
-  SELECT q_id, neighbor_id FROM ({_sim.ANN_COSINE_TOPK_ORACLE}) t_bf
+  SELECT q_id, neighbor_id FROM ({bf_text}) t_bf
 ),
 cand AS ({branches}),
 methods AS (SELECT DISTINCT method FROM cand),
@@ -128,11 +117,44 @@ hits AS (
 )
 SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
        CAST(n_possible AS BIGINT) AS n_possible,
-       CAST(n_hits * 1000000 // n_possible AS BIGINT) AS recall_ppm
+       CAST(n_hits * 1000000 {intdiv} n_possible AS BIGINT) AS recall_ppm
 FROM hits ORDER BY method
 """
 
 
+def _recall_oracle() -> str:
+    from . import pq as pqmod
+    from . import similarity as simmod
+
+    return _recall_sql(
+        {
+            "ann_ivf_topk": simmod.ANN_IVF_TOPK_ORACLE,
+            "ann_ivf_pq_topk": pqmod.ORACLES["ann_ivf_pq_topk"],
+            "ann_ivf_trained": simmod.ORACLES["ann_ivf_trained"],
+            "ann_lsh_topk": simmod.ANN_LSH_TOPK_ORACLE,
+            "ann_matryoshka_topk": simmod.ANN_MATRYOSHKA_TOPK_ORACLE,
+            "ann_pq_adc": pqmod.ORACLES["ann_pq_adc"],
+            "ann_sq8_topk": simmod.ANN_SQ8_TOPK_ORACLE,
+        },
+        _sim.ANN_COSINE_TOPK_ORACLE,
+        "//",
+    )
+
+
+def _recall_spark_sql() -> str:
+    from . import pq as pqmod
+    from . import similarity as simmod
+
+    return _recall_sql(
+        {k: simmod.SPARK_SQL[k]
+         for k in ["ann_ivf_topk", "ann_ivf_trained", "ann_lsh_topk",
+                   "ann_matryoshka_topk", "ann_sq8_topk"]}
+        | {k: pqmod.SPARK_SQL[k] for k in ["ann_pq_adc", "ann_ivf_pq_topk"]},
+        simmod.SPARK_SQL["ann_cosine_topk"],
+        "div",
+    )
+
+
 QUERIES = {"ann_recall_report": ann_recall_report}
 ORACLES = {"ann_recall_report": _recall_oracle()}
-SPARK_SQL: dict[str, str] = {}
+SPARK_SQL: dict[str, str] = {"ann_recall_report": _recall_spark_sql()}

@@ -38,8 +38,8 @@ CacheManager dedupes the tokenization scan within the report action.
 At sf0.1 the residual wall is stage-latency on a 5k-doc toy corpus
 (~30 sub-second stages), not repeated compute. Oracle = literal
 composition of the three gated oracle texts (the annrecall.py
-pattern). No SPARK_SQL dual: a composition of registered queries —
-same COVERAGE.md justification as ann_recall_report.
+pattern); the SPARK_SQL dual (r12) is the same composition over the
+rankers' registered Spark-SQL statements.
 """
 
 from __future__ import annotations
@@ -111,12 +111,10 @@ def ret_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("method_a", "method_b")
 
 
-def _agreement_oracle() -> str:
-    texts = {
-        "bm25": ("doc_id", _bm25.ORACLES["bm25_topk"]),
-        "hybrid_rrf": ("id", _hybrid.ORACLES["hybrid_rrf_topk"]),
-        "ql_dirichlet": ("doc_id", _bm25.ORACLES["ql_dirichlet_topk"]),
-    }
+def _agreement_sql(texts: dict[str, tuple[str, str]], intdiv: str) -> str:
+    """The report as one composed SQL text over the three rankers'
+    own registered (dialect-specific) statements — shared by the
+    DuckDB oracle and (r12) the Spark-SQL dual."""
     n_q, k = _bm25.BM25_N_QUERIES, _bm25.BM25_TOP_K
     branches = " UNION ALL ".join(
         f"SELECT '{label}' AS method, q_id, {col} AS id, rnk"
@@ -139,7 +137,7 @@ SELECT p.method_a, p.method_b,
        CAST({n_q} AS BIGINT) AS n_queries,
        CAST({k} AS BIGINT) AS k,
        CAST(COUNT(j.q_id) AS BIGINT) AS n_overlap,
-       CAST(COUNT(j.q_id) * 1000000 // {n_q * k} AS BIGINT) AS overlap_ppm,
+       CAST(COUNT(j.q_id) * 1000000 {intdiv} {n_q * k} AS BIGINT) AS overlap_ppm,
        CAST(COALESCE(SUM(CASE WHEN j.rnk_a = 1 AND j.rnk_b = 1
                               THEN 1 ELSE 0 END), 0) AS BIGINT)
          AS n_same_top1
@@ -151,5 +149,25 @@ ORDER BY p.method_a, p.method_b
 
 
 QUERIES = {"ret_rank_agreement": ret_rank_agreement}
-ORACLES = {"ret_rank_agreement": _agreement_oracle()}
-SPARK_SQL: dict[str, str] = {}
+ORACLES = {
+    "ret_rank_agreement": _agreement_sql(
+        {
+            "bm25": ("doc_id", _bm25.ORACLES["bm25_topk"]),
+            "hybrid_rrf": ("id", _hybrid.ORACLES["hybrid_rrf_topk"]),
+            "ql_dirichlet": ("doc_id", _bm25.ORACLES["ql_dirichlet_topk"]),
+        },
+        "//",
+    )
+}
+# composed dual (r12): same composition over the rankers' registered
+# Spark-SQL statements — replaces the "composition" COVERAGE waiver
+SPARK_SQL: dict[str, str] = {
+    "ret_rank_agreement": _agreement_sql(
+        {
+            "bm25": ("doc_id", _bm25.SPARK_SQL["bm25_topk"]),
+            "hybrid_rrf": ("id", _hybrid.SPARK_SQL["hybrid_rrf_topk"]),
+            "ql_dirichlet": ("doc_id", _bm25.SPARK_SQL["ql_dirichlet_topk"]),
+        },
+        "div",
+    )
+}

@@ -1557,6 +1557,50 @@ ORDER BY vec_a, vec_b
 """,
     "emb_label_centroid": _centroid_spark_sql(),
     "kmeans_train": _kmeans_spark_sql(),
+    # trained-IVF dual (r12): the kmeans unroll (shared CTE list, same
+    # text the kmeans_train dual runs) feeds the SAME probe/rerank tail
+    # as ann_ivf_topk's dual, with cent = the trained codebook c{ITERS}.
+    # This closes the one ANN rung COVERAGE.md previously called
+    # non-dialect-expressible — the r11 kmeans dual made it expressible.
+    "ann_ivf_trained": (
+        "WITH "
+        + ",\n".join(_kmeans_spark_parts())
+        + f""",
+cent AS (SELECT c_id, cv, cn FROM c{KM_ITERS}),
+asg_scored AS (
+  SELECT vec.vec_id, cent.c_id,
+         {_COS.format(a='vec.v', b='cent.cv', na='vec.nrm', nb='cent.cn')} AS ccos
+  FROM vec CROSS JOIN cent
+),
+asg AS (
+  SELECT vec_id, c_id AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, c_id) AS arnk
+        FROM asg_scored)
+  WHERE arnk = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, c_id AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, c_id) AS prnk
+        FROM asg_scored WHERE vec_id < {N_QUERIES})
+  WHERE prnk <= {NPROBE}
+),
+cand AS (
+  SELECT probes.q_id, asg.vec_id AS neighbor_id
+  FROM asg JOIN probes USING (list_id)
+  WHERE asg.vec_id != probes.q_id
+),
+scored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         {_COS.format(a='q.v', b='c.v', na='q.nrm', nb='c.nrm')} AS cosine
+  FROM cand
+  JOIN vec q ON q.vec_id = cand.q_id
+  JOIN vec c ON c.vec_id = cand.neighbor_id
+),
+{_TOPK_TAIL_SPARK}
+"""
+    ),
     "emb_random_projection": _RP_SPARK_SQL,
     "emb_quantize_int8": """
 WITH vv AS (
@@ -1706,6 +1750,27 @@ ORDER BY c.vec_id
 
 QUERIES["emb_semantic_clusters"] = emb_semantic_clusters
 ORACLES["emb_semantic_clusters"] = EMB_SEMANTIC_CLUSTERS_ORACLE
+
+# composed dual (r12): the recall report joins two pipelines whose
+# Spark-SQL duals are registered above — the composition is exactly as
+# trustworthy as its parts (the minhash_recall_report pattern).
+SPARK_SQL["ann_matryoshka_recall_report"] = f"""
+WITH bf AS (
+  SELECT q_id, neighbor_id FROM ({SPARK_SQL["ann_cosine_topk"]}) t_bf
+),
+mrl AS (
+  SELECT q_id AS m_q, neighbor_id AS m_n
+  FROM ({SPARK_SQL["ann_matryoshka_topk"]}) t_mrl
+),
+hits AS (
+  SELECT bf.q_id, COUNT(mrl.m_n) AS n_hits
+  FROM bf LEFT JOIN mrl ON bf.q_id = mrl.m_q AND bf.neighbor_id = mrl.m_n
+  GROUP BY bf.q_id
+)
+SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS DOUBLE) / {TOP_K} AS recall
+FROM hits ORDER BY q_id
+"""
 
 # dual of the ITERATIVE emb_semantic_clusters (VERDICT r11 item 2):
 # edges replay the banded-LSH candidate generation + cosine threshold

@@ -755,6 +755,64 @@ ORACLES = {
 # Spark-SQL N-version forms — the SQL spelling of event-time windows
 # (GROUP BY window(...)) against the fluent F.window plan.
 SPARK_SQL: dict[str, str] = {
+    # r12 duals for the remaining batch-expressible window rows: the
+    # min_by/max_by OHLC endpoints and the CMS cells/merge (explode +
+    # md5 buckets + GROUP BY window — every piece has a SQL spelling).
+    "evt_ohlc_candles": """
+SELECT w.window.start AS hour, w.open_cents, w.high_cents, w.low_cents,
+       w.close_cents, w.n_events
+FROM (
+  SELECT window,
+         min_by(cast(round(value * 100) as bigint), struct(ts, event_id)) AS open_cents,
+         MAX(cast(round(value * 100) as bigint)) AS high_cents,
+         MIN(cast(round(value * 100) as bigint)) AS low_cents,
+         max_by(cast(round(value * 100) as bigint), struct(ts, event_id)) AS close_cents,
+         CAST(COUNT(1) AS BIGINT) AS n_events
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY window(ts, '1 hour')
+) w
+ORDER BY hour
+""",
+    "evt_cms_daily_cells": """
+SELECT CAST(w.window.start AS DATE) AS day, w.j, w.bucket, w.cell_cnt
+FROM (
+  SELECT window, j, pmod(cast(conv(substring(md5(concat(cast(j as string), ':', cast(user_id as string))), 1, 13), 16, 10) as bigint), 1024) AS bucket,
+         CAST(COUNT(1) AS BIGINT) AS cell_cnt
+  FROM (SELECT ts, user_id, explode(array(0, 1, 2, 3)) AS j FROM events)
+  GROUP BY window(ts, '1 day'), j, pmod(cast(conv(substring(md5(concat(cast(j as string), ':', cast(user_id as string))), 1, 13), 16, 10) as bigint), 1024)
+) w
+ORDER BY day, j, bucket
+""",
+    "evt_cms_user_merge_report": """
+WITH merged AS (
+  SELECT j, pmod(cast(conv(substring(md5(concat(cast(j as string), ':', cast(user_id as string))), 1, 13), 16, 10) as bigint), 1024) AS bucket,
+         CAST(COUNT(1) AS BIGINT) AS cell_cnt
+  FROM (SELECT user_id, explode(array(0, 1, 2, 3)) AS j FROM events)
+  GROUP BY j, pmod(cast(conv(substring(md5(concat(cast(j as string), ':', cast(user_id as string))), 1, 13), 16, 10) as bigint), 1024)
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(1) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY user_id
+),
+top AS (
+  SELECT user_id, exact_cnt, rnk
+  FROM (SELECT *, row_number() OVER (ORDER BY exact_cnt DESC, user_id) AS rnk
+        FROM exact)
+  WHERE rnk <= 10
+),
+probes AS (
+  SELECT t.user_id, t.exact_cnt, t.rnk, j.j, pmod(cast(conv(substring(md5(concat(cast(j as string), ':', cast(user_id as string))), 1, 13), 16, 10) as bigint), 1024) AS bucket
+  FROM top t LATERAL VIEW explode(array(0, 1, 2, 3)) j AS j
+)
+SELECT p.user_id, p.exact_cnt,
+       MIN(c.cell_cnt) AS cms_cnt,
+       MIN(c.cell_cnt) - p.exact_cnt AS overcount,
+       p.rnk
+FROM probes p JOIN merged c ON p.j = c.j AND p.bucket = c.bucket
+GROUP BY p.user_id, p.exact_cnt, p.rnk
+ORDER BY p.rnk
+""",
     "evt_click_purchase_left": """
 SELECT c.user_id,
        c.event_id AS click_id,
