@@ -26,17 +26,21 @@ engines hash identically. No transcendentals anywhere.
 
 Scale: aggregates three already-top-k frames (N_QUERIES x k rows
 each) — the join is top-k x top-k WITHIN a (method pair, query), never
-corpus-sized. The union of the three ranker frames is MATERIALIZED
-before the pair loop (ADVICE r11 + VERDICT r11 item 5): each of the 3
-pairs filters the union on both sides, so a lazy union would re-run
-every ranker plan — BM25/QL/RRF including their postings shuffles —
-six times over; pinned, each ranker executes once. The rankers
-themselves share the corpus pass: bm25.py's ``_postings`` builds ONE
-cached tf frame (dl derived from it, no second tokenize) with
-plan-identical construction across all three arms, so Spark's
-CacheManager dedupes the tokenization scan within the report action.
-At sf0.1 the residual wall is stage-latency on a 5k-doc toy corpus
-(~30 sub-second stages), not repeated compute. Oracle = literal
+corpus-sized. Two r12 structure changes (ADVICE r11 + VERDICT r11
+item 5): (a) the 3-ranker union is MATERIALIZED and consumed by ONE
+method-vs-method self-join + ONE aggregate (the oracle's own shape)
+instead of the per-pair filter/join/agg loop (6 scans + 3 agg jobs);
+(b) the rankers share the corpus pass — bm25.py's ``_postings``
+builds ONE cached tf frame (dl derived from it, no second tokenize)
+with plan-identical construction across all three arms, so Spark's
+CacheManager dedupes the tokenization within the report action.
+Honest accounting: this took the sf0.1 median 8.1 s -> ~7.4 s only —
+the r11 hypothesis that the arms re-derived shared work was mostly
+already false (plan-identical persists deduped via CacheManager
+before r12); the residual wall is the three pipelines' ~25 sequential
+sub-second stages, the same toy-scale stage-latency floor the
+headline-six floor analysis documents, with per-run cpu_s now in
+BENCH_DETAILS per_query_stats to prove it. Oracle = literal
 composition of the three gated oracle texts (the annrecall.py
 pattern); the SPARK_SQL dual (r12) is the same composition over the
 rankers' registered Spark-SQL statements.
@@ -82,33 +86,55 @@ def ret_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
         ranked = r if ranked is None else ranked.unionByName(r)
-    # pin the 3 x (N_QUERIES x k)-row union: 6 pair-side consumers
+    # pin the 3 x (N_QUERIES x k)-row union, then ONE self-join across
+    # methods replaces the r11 per-pair filter/join/agg loop (6 scans
+    # + 3 agg jobs -> 1 join + 1 agg — the oracle's own shape); the
+    # static pair frame restores zero-overlap pairs via left join.
     ranked = materialize(ranked)
-    out = None
-    for ma, mb in _PAIRS:
-        a = ranked.filter(F.col("method") == ma).select(
-            "q_id", "id", F.col("rnk").alias("rnk_a")
+    a, b = ranked.alias("a"), ranked.alias("b")
+    j = (
+        a.join(
+            b,
+            (F.col("a.q_id") == F.col("b.q_id"))
+            & (F.col("a.id") == F.col("b.id"))
+            & (F.col("a.method") < F.col("b.method")),
         )
-        b = ranked.filter(F.col("method") == mb).select(
-            "q_id", "id", F.col("rnk").alias("rnk_b")
+        .groupBy(
+            F.col("a.method").alias("method_a"),
+            F.col("b.method").alias("method_b"),
         )
-        j = a.join(b, ["q_id", "id"])
-        row = j.agg(
-            F.lit(ma).alias("method_a"),
-            F.lit(mb).alias("method_b"),
+        .agg(
+            F.count(F.lit(1)).alias("j_overlap"),
+            F.sum(
+                F.expr("if(a.rnk = 1 and b.rnk = 1, 1L, 0L)")
+            ).alias("j_top1"),
+        )
+    )
+    pairs = spark.range(1).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(ma).alias("method_a"), F.lit(mb).alias("method_b")
+                )
+                for ma, mb in _PAIRS
+            ])
+        ).alias("p")
+    ).select("p.method_a", "p.method_b")
+    return (
+        pairs.join(F.broadcast(j), ["method_a", "method_b"], "left")
+        .select(
+            "method_a",
+            "method_b",
             F.lit(n_q).cast("long").alias("n_queries"),
             F.lit(k).cast("long").alias("k"),
-            F.count(F.lit(1)).cast("long").alias("n_overlap"),
-            F.expr(f"count(1) * 1000000L div {n_q * k}")
-            .cast("long")
-            .alias("overlap_ppm"),
-            F.coalesce(
-                F.sum(F.expr("if(rnk_a = 1 and rnk_b = 1, 1L, 0L)")),
-                F.lit(0),
-            ).cast("long").alias("n_same_top1"),
+            F.coalesce("j_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(
+                f"coalesce(j_overlap, 0L) * 1000000L div {n_q * k}"
+            ).cast("long").alias("overlap_ppm"),
+            F.coalesce("j_top1", F.lit(0)).cast("long").alias("n_same_top1"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("method_a", "method_b")
+        .orderBy("method_a", "method_b")
+    )
 
 
 def _agreement_sql(texts: dict[str, tuple[str, str]], intdiv: str) -> str:
