@@ -1272,8 +1272,9 @@ ORACLES = {
 }
 
 # Spark-SQL N-version forms (fluent ≡ SQL, tests/test_reference_queries.py).
-# dedup_clusters has no SQL twin: its min-label propagation loop is
-# iterative (the oracle uses WITH RECURSIVE, which Spark SQL lacks).
+# dedup_clusters gained a bounded-round packed-closure dual in r12
+# (packed_closure_sql, registered below): the min-label propagation is
+# unrolled to the proven round bound instead of WITH RECURSIVE.
 SPARK_SQL: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_ORACLE,  # dialect-neutral: valid in both engines
     "dedup_spans": DEDUP_SPANS_SPARK_SQL,

@@ -566,6 +566,10 @@ _CMS_USER_BUCKET = (
     f" {CMS_STREAM_WIDTH})"
 )
 
+#: the depth axis as a SQL literal — interpolated into the CMS duals so
+#: a geometry change can never desync them from the fluent path
+_CMS_J_ARRAY = "array(" + ", ".join(str(i) for i in range(CMS_STREAM_DEPTH)) + ")"
+
 
 def cms_user_cells(events: DataFrame) -> DataFrame:
     """Per-day count-min sketch cells over the USER stream — the
@@ -774,22 +778,22 @@ FROM (
 ) w
 ORDER BY hour
 """,
-    "evt_cms_daily_cells": """
+    "evt_cms_daily_cells": f"""
 SELECT CAST(w.window.start AS DATE) AS day, w.j, w.bucket, w.cell_cnt
 FROM (
-  SELECT window, j, pmod(cast(conv(substring(md5(concat(cast(j as string), ':', cast(user_id as string))), 1, 13), 16, 10) as bigint), 1024) AS bucket,
+  SELECT window, j, {_CMS_USER_BUCKET} AS bucket,
          CAST(COUNT(1) AS BIGINT) AS cell_cnt
-  FROM (SELECT ts, user_id, explode(array(0, 1, 2, 3)) AS j FROM events)
-  GROUP BY window(ts, '1 day'), j, pmod(cast(conv(substring(md5(concat(cast(j as string), ':', cast(user_id as string))), 1, 13), 16, 10) as bigint), 1024)
+  FROM (SELECT ts, user_id, explode({_CMS_J_ARRAY}) AS j FROM events)
+  GROUP BY window(ts, '1 day'), j, {_CMS_USER_BUCKET}
 ) w
 ORDER BY day, j, bucket
 """,
-    "evt_cms_user_merge_report": """
+    "evt_cms_user_merge_report": f"""
 WITH merged AS (
-  SELECT j, pmod(cast(conv(substring(md5(concat(cast(j as string), ':', cast(user_id as string))), 1, 13), 16, 10) as bigint), 1024) AS bucket,
+  SELECT j, {_CMS_USER_BUCKET} AS bucket,
          CAST(COUNT(1) AS BIGINT) AS cell_cnt
-  FROM (SELECT user_id, explode(array(0, 1, 2, 3)) AS j FROM events)
-  GROUP BY j, pmod(cast(conv(substring(md5(concat(cast(j as string), ':', cast(user_id as string))), 1, 13), 16, 10) as bigint), 1024)
+  FROM (SELECT user_id, explode({_CMS_J_ARRAY}) AS j FROM events)
+  GROUP BY j, {_CMS_USER_BUCKET}
 ),
 exact AS (
   SELECT user_id, CAST(COUNT(1) AS BIGINT) AS exact_cnt
@@ -802,8 +806,8 @@ top AS (
   WHERE rnk <= 10
 ),
 probes AS (
-  SELECT t.user_id, t.exact_cnt, t.rnk, j.j, pmod(cast(conv(substring(md5(concat(cast(j as string), ':', cast(user_id as string))), 1, 13), 16, 10) as bigint), 1024) AS bucket
-  FROM top t LATERAL VIEW explode(array(0, 1, 2, 3)) j AS j
+  SELECT t.user_id, t.exact_cnt, t.rnk, j.j, {_CMS_USER_BUCKET} AS bucket
+  FROM top t LATERAL VIEW explode({_CMS_J_ARRAY}) j AS j
 )
 SELECT p.user_id, p.exact_cnt,
        MIN(c.cell_cnt) AS cms_cnt,
