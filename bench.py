@@ -204,6 +204,25 @@ def main() -> None:
     # once untimed (plus their per-query warm-up below) so every timed
     # run executes against a hot JVM — the BASELINE.md protocol times
     # warm engines too (microbenchmark reuses loaded R sessions).
+    # r13: warm under the SAME ref_confs the six are timed under
+    # (declared measurement fix, OPTIMIZATION_r13.md): the conf set
+    # changes the physical plans, so a default-conf warm-up compiled
+    # the WRONG codegen classes and timed run 1 still hit cold code —
+    # the r12 first-pass medians read up to 3.5x the settled pass on
+    # exactly this (q1 3.64 s first vs 1.04 s settled in the r13
+    # baseline run). Warm-up count is unchanged. (ref_confs is defined
+    # just below with its measurement rationale; the session defaults
+    # are snapshotted before anything is set.)
+    ref_confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.files.maxPartitionBytes": "1m",
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "1048576",
+    }
+    default_confs = {k: spark.conf.get(k) for k in ref_confs}
+    for k, v in ref_confs.items():
+        spark.conf.set(k, v)
     for name, fn in queries:
         if is_ref(name):
             fn(spark, sf_dir).toPandas()
@@ -221,23 +240,37 @@ def main() -> None:
     # carry real bytes, AQE's runtime statistics and skew-splits are
     # exactly what you want — this is toy-scale latency tuning, and
     # labeled as such.
-    ref_confs = {
+    # r13 re-measurement (OPTIMIZATION_r13.md §headline): the testdata
+    # parquet files are ONE row group each, so a parquet scan can never
+    # parallelize below file granularity — exactly one split gets the
+    # row-group midpoint and decodes everything; sub-file splits only
+    # add empty-task dispatch. 256k splits (42 tasks on lineitem, 41
+    # empty) cost ~0.15 s/query in dispatch vs 1m (11 tasks); 128m
+    # (1 task) loses the overlap of the handful of non-empty tasks
+    # across the query's scans. Counterbalanced A/B at sf0.1 (7-run
+    # medians, alternating legs x2): six-query sum 256k 2.98/2.70,
+    # 1m 2.16/2.16 — 1m wins every leg. The join conf pair steers the
+    # orders-side joins from driver-built-and-shipped broadcast
+    # relations (150k rows collected + hashed on the driver EVERY run)
+    # to shuffled-hash joins whose build rides the 8 reduce tasks
+    # (guide §3.1; §9 recommends preferSortMergeJoin=false as
+    # baseline): q3 0.545 -> 0.359, q4 0.65 -> 0.53 in direct A/B.
+    # Toy-scale-only, like AQE-off: at 100 TB the session defaults
+    # (AQE on, 10 MB threshold, 128 MB splits) stay in force and AQE
+    # picks the strategy from runtime sizes. (ref_confs itself is
+    # defined above, before the global warm-up that uses it.)
+    # The literal SE tasks read byte-splittable CSV (real sub-file
+    # parallelism, honest size estimates), where the r8 256k-split +
+    # broadcast-join tuning still wins (r13 A/B: task3 0.23 vs 0.33,
+    # task4 0.34 vs 0.46 under the parquet-tuned confs) — so the two
+    # latency families carry separate conf sets.
+    se_confs = {
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.shuffle.partitions": "8",
-        # r8: the latency family's inputs are single sub-100MB files;
-        # under the 128MB default each scan is ONE input split, so the
-        # parse/decode runs single-threaded while 31 cores idle.
-        # Splitting at 256k parallelizes the scan (CSV is
-        # byte-splittable; the parquet files carry many small row
-        # groups). Measured A/B at sf0.1 / scale-100 (9-run medians):
-        # q1 0.66->0.44, t3 0.38->0.22, t4 0.50->0.29, t5 0.35->0.24;
-        # 512k and 128k are both worse in direct comparison. Same
-        # toy-scale-only caveat as the other two confs: at 100 TB
-        # files exceed 128MB and split naturally — restoring the
-        # default there is exactly right.
         "spark.sql.files.maxPartitionBytes": "256k",
+        "spark.sql.join.preferSortMergeJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "10485760",
     }
-    default_confs = {k: spark.conf.get(k) for k in ref_confs}
 
     timings: dict[str, float] = {}
     #: per-query min/median/max over the timed runs — the reference's
@@ -256,7 +289,13 @@ def main() -> None:
         # progress marker (stderr; stdout stays the one-line contract)
         # — without it a stalled query is undiagnosable from outside
         print(f"[bench] {name}", file=sys.stderr, flush=True)
-        for k, v in (ref_confs if is_latency(name) else default_confs).items():
+        if is_ref(name):
+            fam_confs = ref_confs
+        elif name in se_names:
+            fam_confs = se_confs
+        else:
+            fam_confs = default_confs
+        for k, v in fam_confs.items():
             spark.conf.set(k, v)
         # Per-query warm-up: JIT, parquet footer cache, AQE stats.
         # Materialization is Arrow-batched toPandas — columnar
@@ -508,6 +547,9 @@ def main() -> None:
         "dedup_minhash_lsh",          # MinHash-LSH banding
         "semdedup",                   # cluster-scoped semantic dedup
         "er_customer_pairs",          # blocked ER pair generation
+        "er_customer_pairs_banded",   # r13: the DF-capped banded escape
+        #   — published next to the blocked slope so the r12 claim
+        #   ("banding caps fan-out where blocks grow") carries a number
         "er_entity_clusters",         # + hash-to-min closure
         "dedup_ngram_jaccard_capped", # DF-capped inverted index
         "evt_sessionize_profile",     # gap sessionization
@@ -525,14 +567,26 @@ def main() -> None:
             (os.path.join(base, "sf0.01"), 0.01),
             (sf_dir, sf),
         ]
-        # drop duplicates if sf_dir IS one of the small scales
+        # drop duplicates if sf_dir IS one of the small scales, and
+        # (ADVICE r12) drop scales the tree doesn't carry — a skew or
+        # standalone dir lacks the sibling sf0.001/sf0.01 trees and
+        # would otherwise crash the leg after the expensive main passes
         seen: set[float] = set()
         sf_points = [
-            p for p in sf_points if not (p[1] in seen or seen.add(p[1]))
+            p
+            for p in sf_points
+            if os.path.isdir(p[0]) and not (p[1] in seen or seen.add(p[1]))
         ]
+        if len(sf_points) < 2:
+            print(
+                "[bench] scaling leg skipped: <2 sf points on this tree",
+                file=sys.stderr,
+                flush=True,
+            )
+            sf_points = []
         for k, v in default_confs.items():
             spark.conf.set(k, v)
-        for name in SCALING_FAMILIES:
+        for name in SCALING_FAMILIES if sf_points else []:
             print(f"[bench] scaling:{name}", file=sys.stderr, flush=True)
             fn = registry.queries()[name]
             meds = []
