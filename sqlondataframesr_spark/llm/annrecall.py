@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import pq as _pq
 from . import similarity as _sim
+from ..materialize import materialize
 
 #: (method label, Spark query fn, DuckDB oracle SQL) — label-sorted
 #: output; every entry's fn/oracle pair is itself driver-gated
@@ -56,6 +57,17 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns a full top-k here); methods whose candidate generation
     misses a bucket simply score fewer hits — that IS the signal.
     """
+    # r13 (guide §1.1 measured): the shared normalized-vector cache is
+    # forced FIRST, in one job, before the eight member pipelines are
+    # composed. Without this, the pipelines' stages (which AQE already
+    # overlaps inside the one report action) race on the UNBUILT vec
+    # cache and recompute its partitions concurrently — A/B at sf0.1,
+    # 5-run medians: 11.4 s lazy-race vs 8.8 s vec-first. Per-method
+    # pinning + thread-pool forcing was also tried and REJECTED
+    # (10.9 s: the union's stages already overlap; extra caches only
+    # added build cost and pool stragglers — see OPTIMIZATION_r13.md).
+    # The cache lives only within this run (release_all drops it).
+    materialize(_sim._vectors(spark, sf_dir)).count()
     bf = _sim.ann_cosine_topk(spark, sf_dir).select("q_id", "neighbor_id")
     cand = None
     for label, fn, _ in _METHODS:

@@ -70,9 +70,16 @@ def _postings(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     postings, dl = _postings(spark, sf_dir)
-    n_docs = docs.count()
+    # r13: the collection size rides as a 1-row broadcast column
+    # instead of an eager docs.count() — that count was a whole
+    # driver-blocking job on EVERY call (also paid by hybrid_rrf_topk
+    # and ret_rank_agreement, which compose this arm). The idf
+    # arithmetic is unchanged: a BIGINT n_docs enters the identical
+    # double expression the int literal did.
+    n_docs_df = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
     avgdl_df = dl.agg(
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
     )
@@ -87,12 +94,13 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("q_id"))
         .join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(avgdl_df))
+        .crossJoin(F.broadcast(n_docs_df))
         .withColumn(
             # integer micro-units: the scalar chain is engine-identical,
             # the quantized BIGINT sum is accumulation-order-independent
             "contrib_us",
             F.expr(
-                f"cast(round((ln(({n_docs} - df + 0.5) / (df + 0.5) + 1)"
+                f"cast(round((ln((n_docs - df + 0.5) / (df + 0.5) + 1)"
                 f" * tf / (tf + {K1} * (1 - {B} + {B} * dl / avgdl)))"
                 " * 1000000.0) as bigint)"
             ),

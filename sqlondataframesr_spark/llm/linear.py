@@ -75,14 +75,39 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the DIM per-dimension update sums as ONE parsed struct expression.
+#: r13 (guide §1.2 "per-task work" applied to the DRIVER): profiling
+#: showed ~0.5 s PER ROUND of pure py4j plan construction for the 64
+#: separate Column objects (each F.sum/.cast/.alias chain is its own
+#: JVM round-trip) plus ~0.25 s of JVM analysis at the localCheckpoint
+#: call. One string expression parsed JVM-side builds the IDENTICAL
+#: aggregate plan (same coalesce(sum(..), 0)::bigint per dimension)
+#: with two py4j calls per round instead of ~260.
+_UPD_STRUCT = (
+    "struct(cast(count(1) as bigint) as nm,"
+    " cast(coalesce(sum(y), 0) as bigint) as db, "
+    + ", ".join(
+        f"cast(coalesce(sum(y * element_at(xq, {i + 1})), 0) as bigint) as d{i}"
+        for i in range(DIM)
+    )
+    + ")"
+)
+
+_NEW_WS = (
+    "array("
+    + ", ".join(f"element_at(ws, {i + 1}) + u.d{i}" for i in range(DIM))
+    + ") as ws"
+)
+
+
 def _train(spark: SparkSession, sf_dir: str):
     """Run the :data:`PC_ROUNDS` unrolled rounds; returns
     (quantized training frame, final 1-row weight state, per-round
     curve frames)."""
     qv = materialize(_quantized(spark, sf_dir))
     # 1-row weight state: ws array<bigint>[DIM], b bigint
-    w = spark.range(1).select(
-        F.expr(f"array_repeat(0L, {DIM})").alias("ws"), F.lit(0).cast("long").alias("b")
+    w = spark.range(1).selectExpr(
+        f"array_repeat(0L, {DIM}) as ws", "cast(0 as bigint) as b"
     )
     curve_rows = []
     for t in range(1, PC_ROUNDS + 1):
@@ -92,41 +117,19 @@ def _train(spark: SparkSession, sf_dir: str):
                    " (acc, e) -> acc + e) + b"),
         )
         mis = scored.filter(F.expr("y * mg <= 0"))
-        upd = mis.agg(
-            F.count(F.lit(1)).cast("long").alias("nm"),
-            F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("db"),
-            *[
-                F.coalesce(F.sum(F.expr(f"y * element_at(xq, {i + 1})")), F.lit(0))
-                .cast("long")
-                .alias(f"d{i}")
-                for i in range(DIM)
-            ],
-        )
+        upd = mis.agg(F.expr(_UPD_STRUCT).alias("u"))
         w = (
             w.crossJoin(upd)
-            .select(
-                F.array(
-                    *[
-                        F.expr(f"element_at(ws, {i + 1}) + d{i}")
-                        for i in range(DIM)
-                    ]
-                ).alias("ws"),
-                (F.col("b") + F.col("db")).cast("long").alias("b"),
-                F.col("nm"),
-            )
+            .selectExpr(_NEW_WS, "cast(b + u.db as bigint) as b", "u.nm as nm")
             .localCheckpoint(eager=False)
         )
         curve_rows.append(
-            w.select(
-                F.lit(t).cast("long").alias("round"),
-                F.col("nm").alias("n_mistakes"),
-                F.expr(
-                    "aggregate(transform(ws, x -> abs(x)), 0L,"
-                    " (acc, e) -> acc + e)"
-                )
-                .cast("long")
-                .alias("w_l1"),
-                F.col("b").alias("bias"),
+            w.selectExpr(
+                f"cast({t} as bigint) as round",
+                "nm as n_mistakes",
+                "cast(aggregate(transform(ws, x -> abs(x)), 0L,"
+                " (acc, e) -> acc + e) as bigint) as w_l1",
+                "b as bias",
             )
         )
         w = w.drop("nm")
@@ -222,32 +225,38 @@ def ml_perceptron_ovr_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(xq, ws, (x, wi) -> x * wi), 0L,"
         " (acc, e) -> acc + e) + b"
     )
+    # single parsed struct per round — see _UPD_STRUCT (r13): the 64
+    # per-dimension sums as one string expression kills the ~0.5 s/round
+    # py4j plan-construction tax while producing the identical plan
+    ovr_upd = (
+        "struct(cast(coalesce(sum(y), 0) as bigint) as db, "
+        + ", ".join(
+            f"cast(coalesce(sum(y * element_at(xq, {i + 1})), 0) as bigint)"
+            f" as d{i}"
+            for i in range(DIM)
+        )
+        + ")"
+    )
+    ovr_new_ws = (
+        "array("
+        + ", ".join(
+            f"element_at(ws, {i + 1}) + coalesce(u.d{i}, 0L)" for i in range(DIM)
+        )
+        + ") as ws"
+    )
     for _ in range(OVR_ROUNDS):
         mis = (
             q10.join(F.broadcast(w), "cls")
             .withColumn("mg", F.expr(mg_expr))
             .filter(F.expr("y * mg <= 0"))
         )
-        upd = mis.groupBy("cls").agg(
-            F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("db"),
-            *[
-                F.coalesce(F.sum(F.expr(f"y * element_at(xq, {i + 1})")), F.lit(0))
-                .cast("long")
-                .alias(f"d{i}")
-                for i in range(DIM)
-            ],
-        )
+        upd = mis.groupBy("cls").agg(F.expr(ovr_upd).alias("u"))
         w = (
             w.join(upd, "cls", "left")
-            .select(
+            .selectExpr(
                 "cls",
-                F.array(
-                    *[
-                        F.expr(f"element_at(ws, {i + 1}) + coalesce(d{i}, 0L)")
-                        for i in range(DIM)
-                    ]
-                ).alias("ws"),
-                (F.col("b") + F.coalesce(F.col("db"), F.lit(0))).cast("long").alias("b"),
+                ovr_new_ws,
+                "cast(b + coalesce(u.db, 0L) as bigint) as b",
             )
             .localCheckpoint(eager=False)
         )

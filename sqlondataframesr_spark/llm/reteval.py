@@ -52,7 +52,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import bm25 as _bm25
 from . import hybrid as _hybrid
-from ..materialize import materialize
+from . import similarity as _sim
+from ..materialize import force_concurrently, materialize
 
 #: (method label, fn, output id column) — label-sorted
 _METHODS = [
@@ -77,20 +78,38 @@ def ret_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (method_a, method_b, n_queries, k, n_overlap, overlap_ppm,
     n_same_top1) ordered by (method_a, method_b)."""
     n_q, k = _bm25.BM25_N_QUERIES, _bm25.BM25_TOP_K
-    ranked = None
+    # r13 (optimization-guide §2.6): the three ranker arms used to
+    # evaluate sequentially inside the one report action (r12: 6.35 s
+    # wall vs 62 s cpu — the arms are stage-latency bound and leave
+    # cores idle). Build the SHARED roots first in one thread each —
+    # the tokenized postings (bm25 + ql + hybrid's lexical arm) and the
+    # normalized vectors (hybrid's ANN arm) — then force the three
+    # pinned arm frames concurrently: wall ≈ max(arm), not Σ(arm).
+    # All within this run; nothing outlives release_all().
+    postings, _dl = _bm25._postings(spark, sf_dir)
+    vec = materialize(_sim._vectors(spark, sf_dir))
+    force_concurrently([postings, vec], max_workers=2)
+    arms = []
     for label, fn, id_col in _METHODS:
-        r = fn(spark, sf_dir).select(
-            F.lit(label).alias("method"),
-            "q_id",
-            F.col(id_col).alias("id"),
-            "rnk",
+        arms.append(
+            materialize(
+                fn(spark, sf_dir).select(
+                    F.lit(label).alias("method"),
+                    "q_id",
+                    F.col(id_col).alias("id"),
+                    "rnk",
+                )
+            )
         )
+    force_concurrently(arms, max_workers=3)
+    ranked = None
+    for r in arms:
         ranked = r if ranked is None else ranked.unionByName(r)
-    # pin the 3 x (N_QUERIES x k)-row union, then ONE self-join across
-    # methods replaces the r11 per-pair filter/join/agg loop (6 scans
-    # + 3 agg jobs -> 1 join + 1 agg — the oracle's own shape); the
-    # static pair frame restores zero-overlap pairs via left join.
-    ranked = materialize(ranked)
+    # ONE self-join across methods replaces the r11 per-pair
+    # filter/join/agg loop (6 scans + 3 agg jobs -> 1 join + 1 agg —
+    # the oracle's own shape); both join sides read the three arm
+    # caches forced above, so no extra pin is needed. The static pair
+    # frame restores zero-overlap pairs via left join.
     a, b = ranked.alias("a"), ranked.alias("b")
     j = (
         a.join(

@@ -74,6 +74,41 @@ def spread_scan(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+def force_concurrently(frames: list[DataFrame], max_workers: int = 4) -> None:
+    """Materialize several already-pinned independent branches
+    CONCURRENTLY (optimization-guide §2.6: actions are only sequential
+    because driver code calls them sequentially; submitting independent
+    jobs from a small thread pool lets one branch's straggler tail
+    back-fill the cores another branch left idle).
+
+    Used by the report/composition operators (ann_recall_report,
+    ret_rank_agreement): each member pipeline is stage-latency bound at
+    toy SF and leaves most cores idle, so K pipelines in flight cost
+    ~max(pipeline) instead of ~sum(pipeline). All forcing happens
+    INSIDE the operator's own run — nothing survives release_all(), so
+    per-run timing and the no-cross-run-caching contract are intact.
+
+    Caller contract: frames whose plans share an UNBUILT expensive
+    cache entry should be preceded by forcing that shared frame first
+    (concurrent jobs that miss the same cache each recompute it —
+    correct, but the sharing is lost).
+
+    count() is the cheapest full-materialization action for a persisted
+    frame: building the InMemoryRelation computes every column of the
+    cached plan regardless of the downstream projection, so unlike on
+    an unpersisted plan it cannot under-compute.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not frames:
+        return
+    if len(frames) == 1:
+        frames[0].count()
+        return
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(frames))) as pool:
+        list(pool.map(lambda df: df.count(), frames))
+
+
 def release_all() -> None:
     """Unpersist every frame pinned since the last release (per-query
     cache scope; safe to call with queries in flight — unpersist only

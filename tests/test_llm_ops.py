@@ -1266,3 +1266,39 @@ def test_pca_power_concentrates_on_the_variance_axis(spark, tmp_path):
         C._table_cache.pop(key, None)
     assert abs(out[1]) == 1000000
     assert all(out[d] == 0 for d in range(2, P.PCA_DIM + 1))
+
+
+def test_perceptron_update_struct_matches_column_form(spark):
+    """r13 internals change: the 64 per-dimension update sums ride ONE
+    parsed struct expression (_UPD_STRUCT) instead of 64 Column
+    objects. Equivalence is pinned here against the Column-built form
+    on a deterministic mixed-sign frame — any drift in a cast, a
+    coalesce or an element index breaks this, not the bench."""
+    from pyspark.sql import functions as F
+
+    from sqlondataframesr_spark.llm import linear as L
+
+    rows = [
+        (i, (1 if i % 3 else -1), [((i * 7 + d) % 11) - 5 for d in range(L.DIM)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, y long, xq array<bigint>"
+    )
+    got = df.agg(F.expr(L._UPD_STRUCT).alias("u")).select("u.*").collect()[0]
+    want = df.agg(
+        F.count(F.lit(1)).cast("long").alias("nm"),
+        F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("db"),
+        *[
+            F.coalesce(F.sum(F.expr(f"y * element_at(xq, {i + 1})")), F.lit(0))
+            .cast("long")
+            .alias(f"d{i}")
+            for i in range(L.DIM)
+        ],
+    ).collect()[0]
+    assert got.asDict() == want.asDict()
+    # empty input: count 0, every sum coalesces to 0 (the round-1
+    # no-misclassified edge the curve relies on)
+    empty = df.filter("vec_id < 0")
+    got0 = empty.agg(F.expr(L._UPD_STRUCT).alias("u")).select("u.*").collect()[0]
+    assert got0.nm == 0 and got0.db == 0 and got0.d0 == 0

@@ -25,3 +25,34 @@ def test_release_all_is_idempotent_and_safe(spark):
     release_all()
     # plan still computable after unpersist (lineage preserved)
     assert df.count() == 10
+
+
+def test_force_concurrently_builds_all_caches(spark):
+    """r13: the report operators force independent pinned branches from
+    a thread pool (guide §2.6). Contract: after the call every frame's
+    cache is BUILT (no lazy residue) and results are intact."""
+    from sqlondataframesr_spark.materialize import force_concurrently
+
+    frames = [
+        materialize(spark.range(100 * (i + 1)).selectExpr("id", "id * 2 as v"))
+        for i in range(3)
+    ]
+    force_concurrently(frames)
+    try:
+        for i, df in enumerate(frames):
+            # cached plan is materialized: the storage level is set and
+            # a re-count touches the cache, not the range source
+            assert df.storageLevel != StorageLevel.NONE
+            assert df.count() == 100 * (i + 1)
+    finally:
+        release_all()
+
+
+def test_force_concurrently_handles_empty_and_single(spark):
+    from sqlondataframesr_spark.materialize import force_concurrently
+
+    force_concurrently([])  # no-op
+    one = materialize(spark.range(7))
+    force_concurrently([one])
+    assert one.count() == 7
+    release_all()
