@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
+from ..materialize import spread_scan
 from ..functions.rounding import r6 as _r6
 
 #: orders columns profiled, with their kind ('num' | 'ts' | 'str')
@@ -51,8 +52,14 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg expressions over a single scan); the per-column rows are then
     unpivoted driver-side from the 1-row result via a literal
     ``stack`` — no second scan, no shuffle beyond the global reduce.
+
+    spread_scan (r13): the multi-count_distinct lowers to an Expand
+    (one row per distinct column per input row, a ~7x fan) that runs
+    fused with the scan — and the single-row-group testdata parquet
+    gives that scan ONE split, so the fan ran on one core. At real
+    scale the scan has thousands of splits and this no-ops.
     """
-    ords = load_table(spark, sf_dir, "orders")
+    ords = spread_scan(load_table(spark, sf_dir, "orders"))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _PROFILE_COLS:
         aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}_nulls"))
