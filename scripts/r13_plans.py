@@ -32,10 +32,15 @@ REF_NAMES = {
     "q6_distinct_suppliers_of_qualifying_brands",
 }
 
+# must mirror bench.py's ref_confs (the conf set the six are timed
+# under); the r13 "before" dumps were taken with the r12 set
+# (256k splits, default join confs) — that is the point of the diff
 REF_CONFS = {
     "spark.sql.adaptive.enabled": "false",
     "spark.sql.shuffle.partitions": "8",
-    "spark.sql.files.maxPartitionBytes": "256k",
+    "spark.sql.files.maxPartitionBytes": "1m",
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "1048576",
 }
 
 DEFAULT_SELECTION = sorted(REF_NAMES) + [
