@@ -213,9 +213,18 @@ def main() -> None:
     # baseline run). Warm-up count is unchanged. (ref_confs is defined
     # just below with its measurement rationale; the session defaults
     # are snapshotted before anything is set.)
+    # r14 (VERDICT r13 item 2a): the pinned shuffle-partition count
+    # scales with the granted cores instead of a constant tuned at 32 —
+    # max(8, cpus) keeps the measured 8-way floor for small grants and
+    # gives the cpu-scaling leg something true to measure at larger
+    # ones (a fixed 8 made the 8-core and 32-core runs byte-identical
+    # by construction, tripping the driver's suspect_cpus_ignored flag
+    # on the conf pin rather than the operators). A/B'd at 32 cores
+    # before adoption — see OPTIMIZATION_r14.md §bench-contract.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     ref_confs = {
         "spark.sql.adaptive.enabled": "false",
-        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.shuffle.partitions": str(max(8, cpus)),
         "spark.sql.files.maxPartitionBytes": "1m",
         "spark.sql.join.preferSortMergeJoin": "false",
         "spark.sql.autoBroadcastJoinThreshold": "1048576",
@@ -266,7 +275,7 @@ def main() -> None:
     # latency families carry separate conf sets.
     se_confs = {
         "spark.sql.adaptive.enabled": "false",
-        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.shuffle.partitions": str(max(8, cpus)),
         "spark.sql.files.maxPartitionBytes": "256k",
         "spark.sql.join.preferSortMergeJoin": "true",
         "spark.sql.autoBroadcastJoinThreshold": "10485760",
@@ -618,72 +627,56 @@ def main() -> None:
             ]
 
     ref_total = sum(v for k, v in timings.items() if is_ref(k))
+    # r14 (VERDICT r13 item 2b): the one-line contract carries ONLY
+    # metric/value/unit/queries/sf plus three tiny scalars — the r12
+    # line (272 query entries + stats blocks) was truncated in the
+    # driver's tail capture and silently cost a whole round its
+    # round-over-round PERF comparison. Every bulk block (se_tasks,
+    # floor_sec, shuffle_mb, cpu_s, scaling, se_stress, spreads) now
+    # lives ONLY in BENCH_DETAILS.json and the chunked audit lines
+    # above the final line. "cpus" echoes the honored
+    # $SPARK_GRAFT_CPUS so a scaling-leg artifact is self-describing.
     headline = {
         "metric": "sum_of_reference_query_medians",
         "value": round(ref_total, 4),
         "unit": "sec",
-        # the final line must stay SMALL: the driver records only the
-        # tail of stdout, and round 1's single 3 KB line lost its head
-        # (q1/q2) to that truncation. Headline line = the six
-        # baseline-comparable queries only; every extension timing goes
-        # to BENCH_DETAILS.json and to the chunked lines above.
         "queries": {k: v for k, v in timings.items() if is_ref(k)},
-        # literal SE tasks at reference magnitude: name -> [median,
-        # baseline_sqldf, ratio, ratio_minus_floor] (compact — the
-        # line must stay small). ratio_minus_floor strips the measured
-        # per-query scheduling floor from our side (VERDICT r9 item 2:
-        # the floor-subtracted ratio rides in the recorded headline
-        # line, not only in BENCH_DETAILS, so a contended-run artifact
-        # is visible as such right in BENCH_r{N}.json).
-        "se_tasks": {
-            k: [
-                timings[k],
-                BASELINE_SQLDF[k],
-                round(timings[k] / BASELINE_SQLDF[k], 2),
-                round(max(0.0, timings[k] - floor_noop) / BASELINE_SQLDF[k], 2),
-            ]
-            for k in sorted(se_names)
-            if k in timings and k in BASELINE_SQLDF
-        },
-        "floor_sec": {"noop": floor_noop, "scan_count": floor_scan},
-        # bytes shuffled per run by each headline query, [read, write]
-        # MB: plan-shape observability that doesn't move with host
-        # noise — compare against SCALE.md's recorded reference values
-        "shuffle_mb": shuffle_mb,
-        # executor CPU seconds per run per headline query: contended
-        # host => wall grows, cpu_s doesn't; plan regression => both
-        "cpu_s": cpu_s,
-        # scaling exponents for the heavy families (VERDICT r11 item
-        # 1): name -> [sec@0.001, sec@0.01, sec@sf, fitted log-log
-        # slope, floor-subtracted tail slope]. Contract: tail slope
-        # <= ~1.15 or a SCALE.md forensic.
-        "scaling": scaling,
-        "se_scale": se_scale,
-        # stress rows past reference magnitude: ratio is vs a
-        # PROJECTED baseline = measured scale-100 sqldf median scaled
-        # linearly in rows (generous to the single-machine engines —
-        # in-memory engines degrade super-linearly once working sets
-        # outgrow cache). ratio < the same task's se100 ratio = the
-        # Spark crossover demonstrated.
-        "se_stress": {
-            k: [
-                timings[k],
-                round(
-                    SE_TASK_BASE[k.split("_", 1)[1]] * se_stress_scale / 100, 3
-                ),
-                round(
-                    timings[k]
-                    / (SE_TASK_BASE[k.split("_", 1)[1]] * se_stress_scale / 100),
-                    2,
-                ),
-            ]
-            for k in sorted(se_stress_names)
-            if k in timings
-        },
-        "se_stress_scale": se_stress_scale,
         "sf": sf,
+        "cpus": cpus,
         "n_queries_timed": len(timings),
         "total_all_queries": round(sum(timings.values()), 4),
+    }
+    # bulk blocks (formerly on the final line; the DETAILS file and the
+    # chunked lines are their only home now):
+    # - se_tasks: name -> [median, baseline_sqldf, ratio,
+    #   ratio_minus_floor] (floor-subtracted ratio per VERDICT r9)
+    # - shuffle_mb / cpu_s: machine-independent plan observability for
+    #   the headline six (VERDICT r10/r11)
+    # - scaling: heavy-family medians at 3 SFs + fitted/tail slopes
+    #   (contract: tail slope <= ~1.15)
+    # - se_stress: ratio vs PROJECTED (linear-in-rows) sqldf baseline
+    se_tasks_block = {
+        k: [
+            timings[k],
+            BASELINE_SQLDF[k],
+            round(timings[k] / BASELINE_SQLDF[k], 2),
+            round(max(0.0, timings[k] - floor_noop) / BASELINE_SQLDF[k], 2),
+        ]
+        for k in sorted(se_names)
+        if k in timings and k in BASELINE_SQLDF
+    }
+    se_stress_block = {
+        k: [
+            timings[k],
+            round(SE_TASK_BASE[k.split("_", 1)[1]] * se_stress_scale / 100, 3),
+            round(
+                timings[k]
+                / (SE_TASK_BASE[k.split("_", 1)[1]] * se_stress_scale / 100),
+                2,
+            ),
+        ]
+        for k in sorted(se_stress_names)
+        if k in timings
     }
     details_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
@@ -693,6 +686,13 @@ def main() -> None:
             {
                 **headline,
                 "queries": timings,
+                "se_tasks": se_tasks_block,
+                "se_scale": se_scale,
+                "se_stress": se_stress_block,
+                "se_stress_scale": se_stress_scale,
+                "shuffle_mb": shuffle_mb,
+                "cpu_s": cpu_s,
+                "scaling": scaling,
                 "spreads": spreads,
                 "per_query_stats": per_query_stats,
                 "settled_pass": settled,
@@ -714,6 +714,12 @@ def main() -> None:
         print(json.dumps({"vs_baseline": {name: floor_analysis[name]}}))
     if scaling:
         print(json.dumps({"scaling": scaling}))
+    if se_tasks_block:
+        print(json.dumps({"se_tasks": se_tasks_block, "se_scale": se_scale}))
+    if se_stress_block:
+        print(json.dumps({"se_stress": se_stress_block,
+                          "se_stress_scale": se_stress_scale}))
+    print(json.dumps({"shuffle_mb": shuffle_mb, "cpu_s": cpu_s}))
     print(
         json.dumps(
             {

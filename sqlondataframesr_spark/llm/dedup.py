@@ -180,6 +180,113 @@ ORDER BY doc_a, doc_b
 SHINGLE_DF_CAP = 10
 
 
+def _capped_pair_counts(items: DataFrame, elem: str, cap: int) -> DataFrame:
+    """Candidate pairs with EXACT shared-element counts from a
+    DF-capped inverted index over ``items = (doc_id, <elem>: array)``
+    (``elem`` arrays are distinct per doc). Returns one row per
+    candidate pair: (doc_a < doc_b, n_common, na, nb).
+
+    r14 (VERDICT r13 item 1, guide §1.2 per-task work): the verify
+    stage used to semi-join the candidate docs back to their FULL
+    element arrays and compute ``size(array_intersect(arr_a, arr_b))``
+    per pair — a per-pair hash-set build over ~10^2 strings, ~54 s of
+    JVM CPU at sf0.1 on dedup_containment alone, and the full arrays
+    rode two shuffles to get there. The count decomposes exactly:
+    rare = {{e: df(e) <= cap}} and hot = {{e: df(e) > cap}} partition
+    the element space, so
+
+        |arr_a ∩ arr_b| = |arr_a ∩ arr_b ∩ rare| + |arr_a ∩ arr_b ∩ hot|.
+
+    The RARE term is free: the capped index's pair expansion emits the
+    pair (a, b) exactly once per shared rare element (postings are
+    per-element doc lists; arrays are distinct per doc), so replacing
+    the old ``DISTINCT`` with ``groupBy(pair).count()`` yields
+    |∩ ∩ rare| in the same shuffle that built the candidates. The HOT
+    term touches only per-doc HOT-ONLY arrays (empty unless a
+    boilerplate element exceeds the cap — at test scale identically
+    empty; at 100 TB bounded by the few corpus-hot elements), so the
+    ``array_intersect`` that remains runs on tiny arrays. The oracles
+    are unchanged — same candidate set, same counts, bit-identical
+    output (equivalence pinned in tests/test_llm_ops.py).
+    """
+    exploded = items.select(
+        "doc_id", F.explode(elem).alias("s")
+    ).transform(materialize)
+    # element document frequencies feed BOTH the rare filter (candidate
+    # generation) and the hot filter (per-doc hot arrays) — pin, or the
+    # groupBy aggregate over the postings runs twice
+    dfs = (
+        exploded.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .transform(materialize)
+    )
+    rare = dfs.filter(F.col("df") <= cap).select("s")
+    per_elem = (
+        exploded.join(rare, "s", "left_semi")
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)), y ->"
+        " struct(x AS doc_a, y AS doc_b))))"
+    )
+    # one pair row per shared RARE element -> the count IS
+    # |arr_a ∩ arr_b ∩ rare| (the old code's DISTINCT over the same
+    # rows, plus the count the verify join used to recompute the hard
+    # way); keys identical to the old candidate set
+    cand = (
+        per_elem
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_rare_common"))
+    )
+    # per-doc info: array size + HOT-ONLY elements (usually empty) —
+    # the only array that still reaches the per-pair intersect
+    hot = dfs.filter(F.col("df") > cap).select("s")
+    hot_arrs = (
+        exploded.join(hot, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("hot_el"))
+    )
+    info = (
+        items.select("doc_id", F.size(elem).alias("n_el"))
+        .join(hot_arrs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_el",
+            F.coalesce(
+                F.col("hot_el"), F.expr("cast(array() as array<string>)")
+            ).alias("hot_el"),
+        )
+        .transform(materialize)
+    )
+    ia = info.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_el").alias("na"),
+        F.col("hot_el").alias("hot_a"),
+    )
+    ib = info.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_el").alias("nb"),
+        F.col("hot_el").alias("hot_b"),
+    )
+    return (
+        cand.join(ia, "doc_a")
+        .join(ib, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_rare_common")
+                + F.size(F.array_intersect("hot_a", "hot_b"))
+            ).alias("n_common"),
+            "na",
+            "nb",
+        )
+    )
+
+
 def _jaccard_pairs_capped(
     docs: DataFrame, cap: int = SHINGLE_DF_CAP
 ) -> DataFrame:
@@ -213,96 +320,26 @@ def _jaccard_pairs_capped(
     shingles, so in practice the miss set is boilerplate-only pairs —
     exactly the pairs a training-data pipeline wants judged by content,
     not template.
+
+    r14: verification no longer touches full shingle arrays — the
+    exact n_common decomposes into the rare-shared count (free in the
+    candidate aggregate) plus a hot-only intersect; see
+    :func:`_capped_pair_counts`. The size-compatibility prefilter
+    (jaccard(A,B) <= min/max sizes, 5e-7 slack for the r6 rounding)
+    still drops size-incompatible pairs before the final arithmetic.
     """
     shingled = _with_shingles(docs).transform(materialize)
-    # exploded feeds the df count AND the rare-postings re-aggregate —
-    # checkpoint so shingling+explode runs once
-    exploded = shingled.select(
-        "doc_id", F.explode("sh").alias("s")
-    ).transform(materialize)
-    # TWO passes over the postings, both shuffled on the shingle:
-    # (1) df count only — fixed-width aggregation state, hot shingles
-    # cost 8 bytes; (2) collect the doc list ONLY for rare shingles
-    # (semi-join first), so no postings list longer than the cap is
-    # ever buffered. A single-pass count+collect_list aggregate was
-    # measured ~10x slower at sf0.1: the hot (boilerplate) shingles'
-    # full postings lists dominate the aggregation state even though
-    # the df filter drops them immediately after.
-    rare = (
-        exploded.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= cap)
-        .select("s")
+    v = _capped_pair_counts(shingled, "sh", cap).filter(
+        F.least("na", "nb").cast("double")
+        >= F.lit(JACCARD_THRESHOLD - 5e-7)
+        * F.greatest("na", "nb").cast("double")
     )
-    per_shingle = (
-        exploded.join(rare, "s", "left_semi")
-        .groupBy("s")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-    )
-    pair_expr = (
-        "flatten(transform(ds, (x, i) ->"
-        " transform(slice(ds, i + 2, size(ds)), y ->"
-        " struct(x AS doc_a, y AS doc_b))))"
-    )
-    # cand feeds THREE plan branches (both cand_docs legs + the verify
-    # join) — checkpoint, or the per-shingle aggregate recomputes per
-    # branch (measured 2-4x the whole query's cost)
-    cand = (
-        per_shingle
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select(F.col("p.doc_a"), F.col("p.doc_b"))
-        .distinct()
-        .transform(materialize)
-    )
-    # Size-compatibility prefilter: jaccard(A,B) <= min(|A|,|B|)
-    # / max(|A|,|B|), so any pair with a size ratio under the threshold
-    # can never qualify. On a template-heavy corpus this drops most
-    # candidates (sf0.1: 436k -> 157k) before the per-pair set
-    # intersection. The (doc_id, n_sh) relation grows with the corpus,
-    # so NO pinned broadcast — AQE broadcasts the two-column projection
-    # while it fits and falls back to shuffle when it doesn't (a pinned
-    # hint that fits at sf0.1 OOMs executors at 100x). The threshold
-    # carries 5e-7 slack so the prefilter keeps every pair the final
-    # r6(jaccard) >= threshold filter could accept (true jaccard
-    # in [thr - 5e-7, thr) rounds UP to qualify).
-    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
-    cand = (
-        cand.join(
-            sizes.select(F.col("doc_id").alias("doc_a"),
-                         F.col("n_sh").alias("na")), "doc_a")
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"),
-                         F.col("n_sh").alias("nb")), "doc_b")
-        .filter(
-            F.least("na", "nb").cast("double")
-            >= F.lit(JACCARD_THRESHOLD - 5e-7)
-            * F.greatest("na", "nb").cast("double")
-        )
-        .select("doc_a", "doc_b")
-        .transform(materialize)
-    )
-    # exact verify: full shingle arrays, but ONLY for candidate docs
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    cand_sh = shingled.join(cand_docs, "doc_id", "left_semi").transform(materialize)
-    sha = cand_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    shb = cand_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    verified = (
-        cand.join(sha, "doc_a")
-        .join(shb, "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            _r6(
-                F.col("n_common").cast("double")
-                / (
-                    F.size("sh_a") + F.size("sh_b") - F.col("n_common")
-                ).cast("double")
-            ),
-        )
+    verified = v.withColumn(
+        "jaccard",
+        _r6(
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+        ),
     )
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", "jaccard"
@@ -363,62 +400,38 @@ CONTAINMENT_THRESHOLD = 0.9
 def _containment_pairs(docs: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
     """Ordered (container, contained, containment) pairs over an
     arbitrary (doc_id, text) frame — body of :func:`dedup_containment`,
-    split out so tests can run it on planted corpora."""
+    split out so tests can run it on planted corpora.
+
+    r14: n_common comes from :func:`_capped_pair_counts` (rare-shared
+    count + hot-only intersect — no full-array verify join), and both
+    containment directions are emitted from ONE pass via an inline
+    2-struct explode instead of a UNION that re-executed the whole
+    verify subtree twice (the old plan's single biggest cost: the
+    union's branches each re-joined the full shingle arrays)."""
     shingled = _with_shingles(docs).transform(materialize)
-    exploded = shingled.select(
-        "doc_id", F.explode("sh").alias("s")
-    ).transform(materialize)
-    rare = (
-        exploded.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= cap)
-        .select("s")
-    )
-    per_shingle = (
-        exploded.join(rare, "s", "left_semi")
-        .groupBy("s")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-    )
-    pair_expr = (
-        "flatten(transform(ds, (x, i) ->"
-        " transform(slice(ds, i + 2, size(ds)), y ->"
-        " struct(x AS doc_a, y AS doc_b))))"
-    )
-    cand = (
-        per_shingle
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select(F.col("p.doc_a"), F.col("p.doc_b"))
-        .distinct()
-        .transform(materialize)
-    )
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    cand_sh = shingled.join(cand_docs, "doc_id", "left_semi").transform(materialize)
-    sha = cand_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    shb = cand_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    v = (
-        cand.join(sha, "doc_a")
-        .join(shb, "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-    )
+    v = _capped_pair_counts(shingled, "sh", cap)
     both = v.select(
-        F.col("doc_a").alias("container_id"),
-        F.col("doc_b").alias("contained_id"),
-        _r6(
-            F.col("n_common").cast("double") / F.size("sh_b").cast("double")
-        ).alias("containment"),
-    ).union(
-        v.select(
-            F.col("doc_b").alias("container_id"),
-            F.col("doc_a").alias("contained_id"),
-            _r6(
-                F.col("n_common").cast("double") / F.size("sh_a").cast("double")
-            ).alias("containment"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("container_id"),
+                    F.col("doc_b").alias("contained_id"),
+                    _r6(
+                        F.col("n_common").cast("double")
+                        / F.col("nb").cast("double")
+                    ).alias("containment"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("container_id"),
+                    F.col("doc_a").alias("contained_id"),
+                    _r6(
+                        F.col("n_common").cast("double")
+                        / F.col("na").cast("double")
+                    ).alias("containment"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.container_id", "d.contained_id", "d.containment")
     return both.filter(F.col("containment") >= CONTAINMENT_THRESHOLD).orderBy(
         "container_id", "contained_id"
     )
@@ -653,48 +666,18 @@ def _substring_pairs_capped(
     related by nothing but corpus-wide boilerplate, which exact-
     substring dedup exists to ignore. :func:`dedup_substring_cap_report`
     is the alerting signal for when that contract is in play.
+
+    r14: n_shared comes from :func:`_capped_pair_counts` — the exact
+    rare-shared count rides the candidate aggregate and only the
+    (usually empty) hot-gram arrays reach a per-pair intersect, so the
+    full 32-char-md5 gram arrays never cross a shuffle or a hash-set
+    build again.
     """
     grams = _with_grams(docs, k).transform(materialize)
-    e = grams.select("doc_id", F.explode("gr").alias("gx")).transform(materialize)
-    rare = (
-        e.groupBy("gx")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= cap)
-        .select("gx")
-    )
-    per_gram = (
-        e.join(rare, "gx", "left_semi")
-        .groupBy("gx")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-    )
-    pair_expr = (
-        "flatten(transform(ds, (x, i) ->"
-        " transform(slice(ds, i + 2, size(ds)), y ->"
-        " struct(x AS doc_a, y AS doc_b))))"
-    )
-    cand = (
-        per_gram
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select(F.col("p.doc_a"), F.col("p.doc_b"))
-        .distinct()
-        .transform(materialize)
-    )
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    cand_gr = grams.join(cand_docs, "doc_id", "left_semi").transform(materialize)
-    ga = cand_gr.select(F.col("doc_id").alias("doc_a"), F.col("gr").alias("gr_a"))
-    gb = cand_gr.select(F.col("doc_id").alias("doc_b"), F.col("gr").alias("gr_b"))
-    return (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("gr_a", "gr_b")).cast("long").alias("n_shared"),
-        )
+    return _capped_pair_counts(grams, "gr", cap).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("long").alias("n_shared"),
     )
 
 
@@ -833,7 +816,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .transform(materialize)
     )
-
     # Min-label propagation with driver round-trips HALVED: the
     # convergence count is only taken every second round (dup graphs
     # converge in 1-2 rounds, so the common case is ONE count job that

@@ -96,17 +96,36 @@ def force_concurrently(frames: list[DataFrame], max_workers: int = 4) -> None:
     count() is the cheapest full-materialization action for a persisted
     frame: building the InMemoryRelation computes every column of the
     cached plan regardless of the downstream projection, so unlike on
-    an unpersisted plan it cannot under-compute.
+    an unpersisted plan it cannot under-compute — which is also why
+    every frame MUST already be persisted (asserted below, ADVICE r13):
+    on an unpersisted frame the count would column-prune, build no
+    cache, and silently lose the sharing this helper exists for.
+
+    Threads are wrapped in ``inheritable_thread_target`` (ADVICE r13):
+    under PySpark pinned-thread mode a plain pool thread does not
+    inherit the caller's JVM thread-locals, so job groups / job
+    descriptions set on the main thread would not tag (or cancel) the
+    pool's jobs.
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import StorageLevel as _SL
+    from pyspark.util import inheritable_thread_target
+
     if not frames:
         return
+    for df in frames:
+        assert df.storageLevel != _SL.NONE, (
+            "force_concurrently: frame is not persisted — pin it with"
+            " materialize() first or the count builds no cache"
+        )
     if len(frames) == 1:
         frames[0].count()
         return
+    session = frames[0].sparkSession
+    run = inheritable_thread_target(session)(lambda df: df.count())
     with ThreadPoolExecutor(max_workers=min(max_workers, len(frames))) as pool:
-        list(pool.map(lambda df: df.count(), frames))
+        list(pool.map(run, frames))
 
 
 def release_all() -> None:

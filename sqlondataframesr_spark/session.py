@@ -35,6 +35,23 @@ from pyspark.sql import SparkSession
 SQL_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # r14 (guide §2.2/§2.5, measured): AQE coalescing targets BYTES,
+    # and its default 1 MB minPartitionSize floor serializes stages
+    # whose CPU-per-byte is extreme — the md5 shingle/fingerprint
+    # family's postings aggregates carry a few MB but tens of CPU
+    # seconds, and the floor coalesced them to ~4 tasks on 32 cores
+    # (observed as (3+1)/4 straggler stages). 128k keeps such stages
+    # parallel; the floor is a LOWER bound that never binds once
+    # partitions carry real bytes (at 100 TB bytes/parallelism >> 1 MB,
+    # so this changes nothing there — and on any scale a tiny-byte/
+    # huge-CPU aggregate is exactly the stage you don't want fused).
+    # A/B at sf0.1 (counterbalanced): dedup_containment 3.6 -> 1.67 s,
+    # dedup_ngram_jaccard_capped 3.3 -> 1.9 s, ann_recall_report
+    # 8.2 -> 7.4 s, ret_rank_agreement 5.3 -> 4.9 s, profile_orders
+    # 1.27 -> 0.95 s; evt_markov_attribution/dedup_substring_13gram
+    # read 0.3-0.4 s high in one leg each, inside their recorded
+    # noise bands (spreads 3.9-6.2 / 3.6-5.7).
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "128k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -856,6 +856,51 @@ def test_containment_detects_embedded_doc_jaccard_misses(spark):
     assert (1, 2) not in jac                # Jaccard blind to this pair
 
 
+def test_containment_counts_hot_shingles_exactly(spark):
+    """r14 — the count-only verify decomposition (_capped_pair_counts:
+    n_common = rare-shared count + hot-only intersect). On a corpus
+    where the contained doc shares BOTH rare and corpus-hot (df > cap)
+    shingles with its container, the hot term must contribute to
+    n_common: containment is exactly 1.0, which a broken hot term
+    (rare-only counting) would miss, and the brute-force intersection
+    over the full shingle arrays must agree pairwise."""
+    boiler = "the terms of service apply to all users of this web site"
+    rows = [
+        (i, f"{boiler} unique piece number {i} with extras {i * 7} {i * 13}")
+        for i in range(30)
+    ]
+    short = f"{boiler} alpha beta gamma delta epsilon zeta"
+    long = short + " plus a very long unrelated tail of commentary " + " ".join(
+        f"t{i}" for i in range(40)
+    )
+    rows += [(100, long), (101, short)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # boiler shingles are hot: df >= 32 > cap=10 — the rare index alone
+    # cannot account for them, only the hot-array term can
+    exploded = dedup._with_shingles(df).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    max_df = exploded.groupBy("s").count().agg(F.max("count")).collect()[0][0]
+    assert max_df > 10
+
+    cont = {
+        (r.container_id, r.contained_id): r.containment
+        for r in dedup._containment_pairs(df, cap=10).collect()
+    }
+    assert cont.get((100, 101)) == 1.0  # hot shingles counted in n_common
+
+    # pairwise ground truth from the full shingle arrays (the _r6
+    # floor(x*1e6+0.5)/1e6 spelling, replicated)
+    import math
+
+    sh = {r.doc_id: set(r.sh) for r in dedup._with_shingles(df).collect()}
+    for (big, small), c in cont.items():
+        n_common = len(sh[big] & sh[small])
+        expect = math.floor(n_common / len(sh[small]) * 1e6 + 0.5) / 1e6
+        assert abs(c - expect) < 1e-9, (big, small, c, expect)
+
+
 def test_bpe_learns_textbook_merges(spark):
     """Planted corpus with a known merge sequence, checked against a
     from-scratch local BPE (Sennrich-style greedy left-to-right):

@@ -40,12 +40,31 @@ def test_force_concurrently_builds_all_caches(spark):
     force_concurrently(frames)
     try:
         for i, df in enumerate(frames):
-            # cached plan is materialized: the storage level is set and
-            # a re-count touches the cache, not the range source
+            # storage level being set only proves persist() ran (ADVICE
+            # r13): assert cache RESIDENCY — the optimized plan resolves
+            # to an InMemoryRelation whose buffers are populated, i.e.
+            # the counts actually executed
             assert df.storageLevel != StorageLevel.NONE
+            rel = df._jdf.queryExecution().optimizedPlan()
+            assert "InMemoryRelation" in rel.nodeName(), rel.nodeName()
+            assert rel.cacheBuilder().isCachedColumnBuffersLoaded()
             assert df.count() == 100 * (i + 1)
     finally:
         release_all()
+
+
+def test_force_concurrently_rejects_unpersisted_frame(spark):
+    """ADVICE r13: a frame that was never pinned would silently
+    column-prune the count and build no cache — the helper must fail
+    loudly instead."""
+    import pytest
+
+    from sqlondataframesr_spark.materialize import force_concurrently
+
+    bare = spark.range(10).selectExpr("id", "id * 3 as v")
+    with pytest.raises(AssertionError, match="not persisted"):
+        force_concurrently([bare, materialize(spark.range(5))])
+    release_all()
 
 
 def test_force_concurrently_handles_empty_and_single(spark):
