@@ -603,8 +603,20 @@ def _substring_pairs(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     grams = _with_grams(docs, k)
     # e feeds BOTH sides of the self-join — checkpoint, or the window
     # md5 map (the expensive part: one hash per token window) runs
-    # twice (measured ~2x the query's cost at sf0.1)
-    e = grams.select("doc_id", F.explode("gr").alias("gx")).transform(materialize)
+    # twice (measured ~2x the query's cost at sf0.1).
+    # explode_OUTER (r14): plain explode lets InferFiltersFromGenerate
+    # synthesize `size(gr) > 0`, and pushdown inlines the ENTIRE md5
+    # window chain into that filter BELOW the spread_scan exchange —
+    # one serial pre-exchange evaluation of every gram per doc (the
+    # dedup_winnow_pairs pathology, measured 3.8 s single-task here).
+    # The outer form infers no filter; rows with empty gr cannot occur
+    # (size(w) >= k guarantees >= 1 window) and the null guard keeps
+    # the row set provably identical anyway.
+    e = (
+        grams.select("doc_id", F.explode_outer("gr").alias("gx"))
+        .filter(F.col("gx").isNotNull())
+        .transform(materialize)
+    )
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, (F.col("a.gx") == F.col("b.gx")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -733,8 +745,14 @@ def dedup_substring_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (n_grams, max_gram_df, df_cap, cap_binds).
     """
-    e = _with_grams(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", F.explode("gr").alias("gx")
+    # explode_OUTER + null guard (r14): see _substring_pairs — the
+    # inferred `size(gr) > 0` filter otherwise re-derives the md5
+    # window chain serially below the spread exchange (3.8 s of the
+    # report's 4.5 s wall)
+    e = (
+        _with_grams(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode_outer("gr").alias("gx"))
+        .filter(F.col("gx").isNotNull())
     )
     dfs = e.groupBy("gx").agg(F.count(F.lit(1)).alias("df"))
     return dfs.agg(

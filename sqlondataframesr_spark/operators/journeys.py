@@ -681,6 +681,15 @@ def evt_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("sc", "a as f", "a as t",
                     "cast(1000000 as bigint) as p_ppm")
     )
+    # r14 (guide §1.2 per-task work, stagebreak-measured): the scenario
+    # matrix is ≤ (|channels|+1) x |types|² rows — a few hundred — but
+    # its union legs inherit 32+ scan partitions, so EVERY matmul map
+    # stage downstream dispatched ~128 near-empty tasks (~8 such
+    # stages/run). coalesce(1) before the pin makes the cache (and all
+    # downstream map stages over it) single-task; the matrix is
+    # distilled, so this LOSES no parallelism that matters and is
+    # row-count-bounded at any corpus scale (the corpus-sized work —
+    # the journey window and edge counts — happened upstream of tm).
     smat = materialize(
         scen.join(
             F.broadcast(tm),
@@ -688,6 +697,7 @@ def evt_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("sc", "f", "t", "p_ppm")
         .unionByName(absorb)
+        .coalesce(1)
     )
     def matmul(ma, mb):
         a = ma.selectExpr("sc", "f", "t as k", "p_ppm as pa")
@@ -706,7 +716,9 @@ def evt_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     t2 = matmul(smat, smat)
-    t4 = materialize(matmul(t2, t2))
+    # same single-task pin as smat: t4 is ≤ a few hundred rows and
+    # feeds three matmul consumers
+    t4 = materialize(matmul(t2, t2).coalesce(1))
     t8 = matmul(t4, t4)
     t12 = matmul(t8, t4)
     conv = t12.filter(
